@@ -128,8 +128,10 @@ object Relational {
     },
 
     // ---- J3: full outer join of two grouped aggregates.
+    // Final date key emitted as varchar on both sides: engines stringify
+    // DATE differently downstream, equal values must hash identically.
     Q("q7_join_full",
-      """SELECT coalesce(a.day, b.day) AS day,
+      """SELECT cast(coalesce(a.day, b.day) as varchar) AS day,
         |  coalesce(a.n_signup, 0) AS n_signup, coalesce(b.n_error, 0) AS n_error
         |FROM (SELECT cast(ts as date) AS day, count(*) AS n_signup FROM events
         |      WHERE event_type = 'signup' GROUP BY 1) a
@@ -143,7 +145,8 @@ object Relational {
       val b = ev.filter(col("event_type") === "error").groupBy("day")
         .agg(count(lit(1)).as("n_error"))
       a.join(b, Seq("day"), "full")
-        .select(col("day"), coalesce(col("n_signup"), lit(0)).as("n_signup"),
+        .select(col("day").cast("string").as("day"),
+          coalesce(col("n_signup"), lit(0)).as("n_signup"),
           coalesce(col("n_error"), lit(0)).as("n_error"))
         .orderBy("day")
     },

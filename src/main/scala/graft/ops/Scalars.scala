@@ -62,20 +62,20 @@ object Scalars {
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dy,
         |  quarter(o_orderdate) AS qtr,
         |  dayofweek(cast(o_orderdate as date)) + 1 AS dow,
-        |  cast(date_trunc('month', o_orderdate) as date) AS mon_start,
+        |  cast(cast(date_trunc('month', o_orderdate) as date) as varchar) AS mon_start,
         |  date_diff('day', cast(o_orderdate as date), date '2002-01-01') AS days_to_2002,
-        |  cast(o_orderdate as date) + 7 AS plus7,
-        |  last_day(cast(o_orderdate as date)) AS eom
+        |  cast(cast(o_orderdate as date) + 7 as varchar) AS plus7,
+        |  cast(last_day(cast(o_orderdate as date)) as varchar) AS eom
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       T.df(s, dir, "orders").select(col("o_orderkey"),
           year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dy"),
           quarter(col("o_orderdate")).as("qtr"),
           dayofweek(col("o_orderdate").cast("date")).as("dow"),
-          date_trunc("month", col("o_orderdate")).cast("date").as("mon_start"),
+          date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("mon_start"),
           datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
-          date_add(col("o_orderdate").cast("date"), 7).as("plus7"),
-          last_day(col("o_orderdate").cast("date")).as("eom"))
+          date_add(col("o_orderdate").cast("date"), 7).cast("string").as("plus7"),
+          last_day(col("o_orderdate").cast("date")).cast("string").as("eom"))
         .orderBy("o_orderkey")
     },
 
