@@ -1,0 +1,66 @@
+package graft.registry
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus ingest: one giant UTF-8 registry dump → DataFrame of
+  * (record_seq, record_text), one row per CTA record.
+  *
+  * The reference walks the 2 GB file line-by-line in a single thread
+  * (scan.py:330-407). All of its cross-line state is *intra-record*
+  * (IMP blocks, sponsor sections, location blocks reset at each
+  * `EudraCT Number:` line), so splitting the file on that marker makes
+  * per-record parsing embarrassingly parallel: at 100 TB this is a plain
+  * partitioned scan — each HDFS split yields whole records, no shuffle.
+  *
+  * Implementation: Hadoop `textinputformat.record.delimiter` =
+  * "EudraCT Number:"; the TextInputFormat key is the record's byte
+  * offset in the file, which is exactly the file-order sequence the
+  * reference's first-non-blank merge depends on (SURVEY §7.4.1) —
+  * no zipWithIndex pass, no global sort needed.
+  *
+  * Normalization applied here, once, mirrors the reference's per-line
+  * `" ".join(line.split())` (scan.py:320): CR removal, horizontal
+  * whitespace collapsed to single spaces, line edges stripped.
+  */
+object Corpus {
+
+  val Delimiter = "EudraCT Number:"
+
+  /** Raw read: (record_seq = byte offset, record_text) for every chunk
+    * between delimiters. The chunk at offset 0 is the pre-delimiter
+    * preamble (page headers from the scraper, scrape.py:66) — dropped. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", Delimiter)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (off, text) => (off.get(), text.toString) }
+    import spark.implicits._
+    rdd.toDF("record_seq", "record_text")
+      .filter(col("record_seq") > 0)
+  }
+
+  /** Line-level whitespace normalization, applied to the whole record:
+    * equivalent to the reference's per-line collapse at match time. */
+  def normalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noCr = regexp_replace(c, "\r", "")
+    val collapsed = regexp_replace(noCr, "[^\\S\\n]+", " ")
+    regexp_replace(collapsed, "(?m)^ | $", "")
+  }
+
+  /** Normalized records with their extracted trial id: columns
+    * (record_seq, eudract_id, rec). Records whose id token is blank
+    * are dropped (cannot exist in a well-formed dump). */
+  def records(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .select(col("record_seq"), normalize(col("record_text")).as("rec"))
+      // id = first non-space token after the delimiter, casefolded like
+      // every non-title capture (scan.py:325); scan.py:411 captures (\S+).
+      .withColumn("eudract_id", lower(regexp_extract(col("rec"), """^\s*(\S+)""", 1)))
+      .filter(col("eudract_id") =!= "")
+}

@@ -1,0 +1,76 @@
+package graft.registry
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Golden end-to-end parse/merge tests on the synthetic corpus
+  * (SURVEY §5.2.1) plus the pinned-divergence ledger (§5.2.6): each
+  * deliberate difference from reference behavior is asserted so it
+  * stays intentional. */
+class RegistryGoldenSpec extends SparkSpec {
+
+  private lazy val t = Registry.load(spark, SyntheticCorpus.ensure())
+
+  test("three trials come out of five member-state records") {
+    assert(t.trials.count() == 3)
+  }
+
+  test("first-non-blank merge keeps record-1 title; whitespace collapsed; case preserved") {
+    val titles = t.trials.select("eudract_id", "official_title")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(titles("2004-000001-11") == "Study of Alpha Versus Placebo")
+    assert(titles("2006-000003-33") == "Gamma Study of Delta")
+  }
+
+  test("status imputation: completion date + ongoing -> 'not ongoing' (scan.py:103-104)") {
+    val r = t.trials.filter("eudract_id = '2004-000001-11'")
+      .select("overall_status", "completion_date").head()
+    assert(r == Row("not ongoing", "2010-05-01"))
+  }
+
+  test("MedDRA SOC imputation only when level='soc' and soc blank (scan.py:110-111)") {
+    val socs = t.trials.select("eudract_id", "meddra_soc")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(socs("2004-000001-11") == "10038738") // imputed from classification
+    assert(socs("2005-000002-22") == "10029205") // given, level=pt -> untouched
+  }
+
+  test("LEDGER §7.4.4a: yes-over-no upgrade is engine default (reference dead code keeps first 'no')") {
+    val placebo = t.trials.filter("eudract_id = '2004-000001-11'").select("placebo").head().getInt(0)
+    assert(placebo == 1) // record 1 said no, record 2 said yes
+  }
+
+  test("LEDGER: non-yes/no flag junk maps to null (reference stores raw string)") {
+    val r = t.trials.filter("eudract_id = '2006-000003-33'").select("open_design").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("LEDGER §7.4.4c: sponsor-less trial exports null sponsor, not a crash (toexcel.py:157)") {
+    val row = Search.export(t, Search.Query(trial = Some("eudract_id = '2005-000002-22'")), Nil).head()
+    assert(row.getAs[String]("sponsor_entry") == null)
+    assert(row.getAs[String]("imp_entry") == "")
+  }
+
+  test("multi-word NCA country never matches the NCA regex (SURVEY §7.4.3)") {
+    val locs = t.location.filter("eudract_id = '2006-000003-33'")
+      .collect().map(_.getString(1)).toSet
+    assert(locs == Set("Switzerland")) // 'United Kingdom' dropped by (\S*) capture
+  }
+
+  test("search: expr() predicates + semi-join chain narrow correctly (toexcel.py:109-115)") {
+    val ids = Search.search(t, Search.Query(
+      trial = Some("overall_status = 'ongoing'"),
+      imp = Some("code = 'gx-7'"))).collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("2006-000003-33"))
+    // un-searched child tables do not narrow
+    val all = Search.search(t, Search.Query()).count()
+    assert(all == 3)
+  }
+
+  test("export condensed strings match toexcel.py assembly rules") {
+    val row = Search.export(t, Search.Query(trial = Some("eudract_id = '2004-000001-11'")), Nil).head()
+    assert(row.getAs[String]("imp_entry") == "product:alphamab; product:betazol")
+    assert(row.getAs[String]("location_entry") == "France, Germany, Japan, United States")
+    assert(row.getAs[String]("sponsor_entry") == "Acme Pharma")
+  }
+}
