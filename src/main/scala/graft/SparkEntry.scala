@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All registered operator queries, in registration order. */
   def all: Seq[Q] =
-    ops.Relational.qs ++ ops.Scalars.qs ++ registry.RegistryQueries.qs
+    ops.Relational.qs ++ ops.Scalars.qs ++ registry.RegistryQueries.qs ++
+      llm.LlmText.qs ++ llm.LlmVector.qs ++ llm.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped aggregation — scan, pushdown filter, hash agg with

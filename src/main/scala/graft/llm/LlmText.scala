@@ -1,0 +1,375 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, T}
+import TextHash._
+
+/** Training-data pipeline operators over `documents`: deduplication
+  * (exact, n-gram Jaccard, MinHash-LSH, SimHash) and text analysis
+  * (language-ID heuristic, quality scoring, token accounting,
+  * fingerprinting). All tokenization/hashing is per-row column
+  * arithmetic (codegen, zero shuffle); only the pair-finding steps
+  * shuffle, and only the LSH path is the 100 TB design:
+  *
+  *  - q39 brute-force Jaccard joins docs on SHARED SHINGLE — correct,
+  *    oracle-able, but worst-case quadratic in docs-per-shingle; it is
+  *    the small-scale baseline the LSH path is verified against.
+  *  - q41 MinHash-LSH joins docs on (band, band-key) BUCKETS: 64
+  *    minhashes, 16 bands × 4 rows, so a pair at Jaccard s collides
+  *    with prob 1-(1-s⁴)¹⁶ (≈1 for s ≥ 0.8). Candidates are verified
+  *    with exact Jaccard — never all-pairs. At 1000 executors the
+  *    bucket join shuffles only (doc_id, band-key) pairs; hot buckets
+  *    (stop-shingle pileups) are the skew risk and are handled by AQE
+  *    skew-join plus the candidate-distinct step.
+  */
+object LlmText {
+
+  // ---------- Spark-side shared building blocks ----------
+
+  /** Non-empty whitespace tokens, lowercased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Per-token hashes, order preserved. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), w => wordHash(w))
+
+  /** Distinct word-3-gram shingle hashes of a document. */
+  def shingles(text: Column): Column = {
+    val hs = tokenHashes(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - 2, lit(0))),
+      i => shingleHash(element_at(hs, i), element_at(hs, i + 1), element_at(hs, i + 2))))
+  }
+
+  // ---------- DuckDB-side shared prelude (same math, same constants) ----------
+
+  /** Brute-force work cap: quadratic baselines (q39, q50) are bounded
+    * to the first BruteCap ids so they stay tractable at bench scale;
+    * a no-op at the sf0.01 correctness gate (500 rows). The uncapped
+    * path at scale is LSH (q41) / IVF (q44). */
+  val BruteCap = 2000
+
+  /** WITH-clauses giving (doc_id, pos, h) word hashes and
+    * (doc_id, sh) distinct shingle hashes on the documents table. */
+  def sqlPreludeWhere(where: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS tl
+       |        FROM documents $where)),""".stripMargin
+
+  private def preludeBody: String =
+    s"""
+       |wh AS (SELECT doc_id, pos, ${wordHashSql("w")} AS h FROM toks),
+       |dsh AS (SELECT DISTINCT a.doc_id AS doc_id, ${shingleHashSql("a.h", "b.h", "c.h")} AS sh
+       |        FROM wh a JOIN wh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |                  JOIN wh c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |ssize AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)""".stripMargin
+
+  val sqlPrelude: String = sqlPreludeWhere("") + preludeBody
+
+  /** Brute-force all-pairs Jaccard ≥ 0.5 over shared shingles —
+    * the oracle for BOTH q39 (same cap) and the LSH path q41 (uncapped;
+    * identical at the sf0.01 gate where the cap is a no-op). The 0.5
+    * threshold is far from any pair: data has nothing in (0.3, 0.9). */
+  private def jaccardPairsSqlWhere(where: String): String =
+    s"""${sqlPreludeWhere(where) + preludeBody},
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |          FROM dsh x JOIN dsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+       |FROM inter JOIN ssize sa ON sa.doc_id = doc_a JOIN ssize sb ON sb.doc_id = doc_b
+       |WHERE 2 * inter >= sa.n + sb.n - inter
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val jaccardPairsSql: String = jaccardPairsSqlWhere("")
+  val jaccardPairsSqlCapped: String = jaccardPairsSqlWhere(s"WHERE doc_id < $BruteCap")
+
+  /** Spark plan shared by q39 (all candidate pairs from a shingle join)
+    * and q41 (candidates from LSH buckets): verify candidates with
+    * exact Jaccard via array_intersect on the distinct-shingle arrays. */
+  private def verifiedPairs(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni")) // jaccard >= 0.5, integer-exact
+      .select("doc_a", "doc_b", "inter", "uni")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** documents, spread across the session's shuffle parallelism: the
+    * fixture parquet is a single tiny split, and the per-row hashing
+    * work (higher-order functions evaluate interpreted, not codegen)
+    * would otherwise run on ONE core. At 100 TB the scan has thousands
+    * of natural splits and this repartition is a no-op to remove. */
+  private[llm] def docs(s: SparkSession, dir: String): DataFrame =
+    T.df(s, dir, "documents").repartition(col("doc_id"))
+
+  /** Token hashes via the DICTIONARY pattern: hash each DISTINCT token
+    * once (the corpus vocabulary is orders of magnitude smaller than
+    * the token stream — true at any scale), broadcast the dictionary,
+    * and join it back. The char-level polynomial hash is interpreted
+    * (higher-order functions don't codegen), so evaluating it per
+    * corpus-token instead of per vocab-word was a 30× slowdown.
+    * Returns (doc_id, hs: array<long>) in token order, persisted. */
+  private[llm] def tokenHashArr(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val dict = toks.select("w").distinct()
+      .withColumn("h", wordHash(col("w")))
+    toks.join(broadcast(dict), "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
+      .select(col("doc_id"), transform(col("ph"), p => p.getField("h")).as("hs"))
+      .persist()
+  }
+
+  /** Shingle sets from the token-hash arrays (cheap arithmetic
+    * transform), persisted: the sketch is computed ONCE and reused by
+    * every join branch (candidate generation + verification) — the same
+    * "materialize signatures, then join" shape a 100 TB run uses by
+    * writing the signature table out before the bucket join. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    tokenHashArr(s, dir)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), greatest(size(col("hs")) - 2, lit(0))),
+        i => shingleHash(element_at(col("hs"), i), element_at(col("hs"), i + 1),
+          element_at(col("hs"), i + 2)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+
+  /** 2^k for k = 0..29 (SimHash bit weights). */
+  val pow2: Seq[Long] = (0 until 30).map(k => 1L << k)
+  val pow2Sql: String = pow2.mkString("[", ", ", "]")
+
+  /** Fingerprint position weights: 31^i mod M for i = 1..MaxFpTokens. */
+  val MaxFpTokens = 200
+  val powFp: Seq[Long] =
+    Iterator.iterate(31L)(p => p * 31 % M).take(MaxFpTokens).toSeq
+  val powFpSql: String = powFp.mkString("[", ", ", "]")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact + normalized dedup (hash groupBy, first-wins by id).
+    // The fixture has no exact dups, so dedup a union of the corpus
+    // with a re-keyed copy of itself: every text has exactly 2 copies
+    // and the lower doc_id must win.
+    Q("q38_dedup_exact",
+      """WITH unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |norm AS (SELECT doc_id, trim(lower(text)) AS key FROM unioned),
+        |kept AS (SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+        |         FROM norm GROUP BY key)
+        |SELECT kept_doc_id, n_copies FROM kept ORDER BY kept_doc_id""".stripMargin) { (s, dir) =>
+      val d = T.df(s, dir, "documents")
+      val both = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      both.select(col("doc_id"), trim(lower(col("text"))).as("key"))
+        .groupBy("key")
+        .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+        .select("kept_doc_id", "n_copies")
+        .orderBy("kept_doc_id")
+    },
+
+    // ---- n-gram Jaccard near-dup, brute force over shared shingles
+    // (capped baseline; the LSH path below is the uncapped scale path).
+    Q("q39_dedup_ngram_jaccard", jaccardPairsSqlCapped) { (s, dir) =>
+      val docs = docShingles(s, dir).filter(col("doc_id") < BruteCap)
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+      val cands = ex.as("x").join(ex.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      verifiedPairs(docs, cands)
+    },
+
+    // ---- MinHash signature matrix (8 seeds) — the sketch itself is
+    // oracle-checked bit-for-bit via the shared arithmetic hash.
+    Q("q40_dedup_minhash_sig",
+      s"""$sqlPrelude
+         |SELECT doc_id, s::BIGINT AS seed, ${minhashSql("sh", "s")}::BIGINT AS minhash
+         |FROM dsh CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8]) AS s)
+         |GROUP BY doc_id, s
+         |ORDER BY doc_id, seed""".stripMargin) { (s, dir) =>
+      docShingles(s, dir)
+        .select(col("doc_id"), col("sh"), explode(sequence(lit(1L), lit(8L))).as("seed"))
+        .select(col("doc_id"), col("seed"),
+          array_min(transform(col("sh"),
+            h => (h * (col("seed") * 2 + 1) + lit(7919L) * col("seed")) % M)).as("minhash"))
+        .orderBy("doc_id", "seed")
+    },
+
+    // ---- MinHash-LSH near-dup: band buckets → candidates → exact
+    // verification. Output equals the brute-force oracle because every
+    // true pair here sits at Jaccard ≥ 0.9 where 16×4 LSH recall is ~1
+    // (deterministic given the fixed hash family).
+    Q("q41_dedup_minhash_lsh", jaccardPairsSql) { (s, dir) =>
+      val docs = docShingles(s, dir)
+      // Signatures computed RELATIONALLY: explode shingles once, then 64
+      // codegen'd min-aggregates with map-side partial combine — far
+      // faster than per-row array transforms (higher-order functions are
+      // interpreted), and the exact shape a 100 TB run uses: one shuffle
+      // on doc_id, then signatures persist for the bucket join.
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+      val sigCols = (1 to 64).map(sd =>
+        min((col("h") * (2 * sd + 1) + 7919L * sd) % M).as(s"m$sd"))
+      val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandKeys = (0 until 16).map { b =>
+        ((((col(s"m${4 * b + 1}") * 31
+          + col(s"m${4 * b + 2}")) % M * 31
+          + col(s"m${4 * b + 3}")) % M * 31
+          + col(s"m${4 * b + 4}")) % M)
+      }
+      val bands = sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+        .persist()
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      verifiedPairs(docs, cands)
+    },
+
+    // ---- SimHash (30-bit, tf-weighted word hashes): near-dup sketch
+    // whose Hamming distance approximates cosine over the tf vector.
+    Q("q42_dedup_simhash",
+      s"""$sqlPrelude,
+         |tf AS (SELECT doc_id, h, count(*) AS tf FROM wh GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, k,
+         |         sum(tf * (2 * ((h // (${pow2Sql})[k+1]) % 2) - 1)) AS acc
+         |  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS k)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       sum(CASE WHEN acc > 0 THEN (${pow2Sql})[k+1] ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // fully relational (mirrors the oracle): tf per (doc, word-hash),
+      // explode the 30 bit positions, two codegen'd aggregations —
+      // no interpreted per-row fold. (h / 2^k) in double is exact for
+      // power-of-two divisors, so the truncating cast is a true floor.
+      val tf = tokenHashArr(s, dir)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+      val bits = tf
+        .select(col("doc_id"), col("h"), col("tf"),
+          explode(sequence(lit(0), lit(29))).as("k"))
+        .withColumn("p2", element_at(typedLit(pow2), col("k").cast("int") + 1))
+        .groupBy("doc_id", "k")
+        .agg(sum(col("tf") * ((col("h") / col("p2")).cast("long") % 2 * 2 - 1)).as("acc"),
+          max(col("p2")).as("p2"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("acc") > 0, col("p2")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID: stopword-profile scoring (deterministic n-gram
+    // heuristic; profiles are the operator's config, oracle recomputes).
+    Q("q45_text_langid",
+      s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         |            FROM documents)
+         |SELECT doc_id,
+         |  len(list_filter(t, w -> w IN ('the','a','of','and','in'))) AS n_en,
+         |  len(list_filter(t, w -> w IN ('der','die','und','das','ist'))) AS n_de,
+         |  len(list_filter(t, w -> w IN ('el','la','y','los','que'))) AS n_es,
+         |  len(list_filter(t, w -> w IN ('le','les','et','des','un'))) AS n_fr,
+         |  CASE greatest(
+         |         len(list_filter(t, w -> w IN ('the','a','of','and','in'))),
+         |         len(list_filter(t, w -> w IN ('der','die','und','das','ist'))),
+         |         len(list_filter(t, w -> w IN ('el','la','y','los','que'))),
+         |         len(list_filter(t, w -> w IN ('le','les','et','des','un'))))
+         |    WHEN len(list_filter(t, w -> w IN ('the','a','of','and','in'))) THEN 'en'
+         |    WHEN len(list_filter(t, w -> w IN ('der','die','und','das','ist'))) THEN 'de'
+         |    WHEN len(list_filter(t, w -> w IN ('el','la','y','los','que'))) THEN 'es'
+         |    ELSE 'fr' END AS best_lang
+         |FROM tl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = tokens(col("text"))
+      def score(words: Seq[String]): Column =
+        size(filter(t, w => words.map(w === _).reduce(_ || _)))
+      val en = score(Seq("the", "a", "of", "and", "in"))
+      val de = score(Seq("der", "die", "und", "das", "ist"))
+      val es = score(Seq("el", "la", "y", "los", "que"))
+      val fr = score(Seq("le", "les", "et", "des", "un"))
+      val best = when(greatest(en, de, es, fr) === en, "en")
+        .when(greatest(en, de, es, fr) === de, "de")
+        .when(greatest(en, de, es, fr) === es, "es")
+        .otherwise("fr")
+      docs(s, dir)
+        .select(col("doc_id"), en.as("n_en"), de.as("n_de"), es.as("n_es"),
+          fr.as("n_fr"), best.as("best_lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: integer-exact Gopher-style rules.
+    Q("q46_text_quality",
+      """WITH tl AS (SELECT doc_id, n_chars,
+        |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |m AS (SELECT doc_id, n_chars, len(t) AS n_tokens,
+        |        len(list_distinct(t)) AS n_distinct,
+        |        list_max(list_transform(t, w -> length(w))) AS max_tok_len,
+        |        len(list_filter(t, w -> length(w) > 6)) AS n_long
+        |      FROM tl)
+        |SELECT doc_id, n_tokens, n_distinct, max_tok_len, n_long,
+        |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        |   + CASE WHEN 10 * n_distinct >= 3 * n_tokens THEN 1 ELSE 0 END
+        |   + CASE WHEN max_tok_len <= 15 THEN 1 ELSE 0 END) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val nDis = size(array_distinct(t))
+      val maxLen = array_max(transform(t, w => length(w)))
+      val nLong = size(filter(t, w => length(w) > 6))
+      docs(s, dir)
+        .select(col("doc_id"), nTok.as("n_tokens"), nDis.as("n_distinct"),
+          maxLen.as("max_tok_len"), nLong.as("n_long"),
+          (when(nTok.between(20, 1000), 1).otherwise(0)
+            + when(nDis * 10 >= nTok * 3, 1).otherwise(0)
+            + when(maxLen <= 15, 1).otherwise(0)).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token accounting per corpus slice: whitespace + BPE-ish
+    // regex tokenization, aggregated by language.
+    Q("q47_text_tokens",
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS ws_tokens,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(filter(split(col("text"), " "), x => x =!= ""))).as("ws_tokens"),
+          sum(size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+            .as("re_tokens"))
+        .orderBy("lang")
+    },
+
+    // ---- document fingerprint: order-sensitive positional hash over
+    // token hashes (content-defined identity for shard-level dedup).
+    Q("q48_text_fingerprint",
+      s"""$sqlPrelude,
+         |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM wh GROUP BY doc_id)
+         |SELECT doc_id,
+         |  (list_sum(list_transform(hs[1:${MaxFpTokens}], (h, i) -> (h * (${powFpSql})[i]) % ${M})) % ${M})::BIGINT AS fingerprint,
+         |  len(hs) AS n_tokens
+         |FROM hl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // dictionary-hashed token arrays; the positional fold itself is a
+      // cheap arithmetic transform over ≤200 longs per row.
+      val capped = slice(col("hs"), 1, MaxFpTokens)
+      val fp = aggregate(
+        transform(capped, (h, i) => (h * element_at(typedLit(powFp), i + 1)) % M),
+        lit(0L), (a, x) => (a + x) % M)
+      tokenHashArr(s, dir)
+        .select(col("doc_id"), fp.as("fingerprint"), size(col("hs")).as("n_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+}

@@ -82,17 +82,22 @@ object Relational {
     },
 
     // ---- J3: left outer join + grouped aggregate with null-safe totals.
+    // Scale-safe shape (VERDICT r1 #4): pre-aggregate the fact side to
+    // customer cardinality FIRST, then join — the shuffle carries the
+    // (small) aggregate, not the full joined fact set.
     Q("q4_join_left",
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         |  cast(coalesce(sum(cast(o_totalprice as decimal(12,2))), 0) as double) AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val c = T.df(s, dir, "customer")
-      val o = T.df(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left")
-        .groupBy(c("c_custkey"))
-        .agg(count(o("o_orderkey")).as("n_orders"),
-          T.dbl(coalesce(sum(T.dec(col("o_totalprice"))), lit(0).cast("decimal(12,2)"))).as("spend"))
+      val oAgg = T.df(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("n_o"), sum(T.dec(col("o_totalprice"))).as("sp"))
+      c.join(oAgg, c("c_custkey") === oAgg("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_o"), lit(0L)).as("n_orders"),
+          T.dbl(coalesce(col("sp"), lit(0).cast("decimal(12,2)"))).as("spend"))
         .orderBy("c_custkey")
     },
 
@@ -186,6 +191,10 @@ object Relational {
     },
 
     // ---- §2.5: ranking window functions (top-3 per group).
+    // NOTE (VERDICT r1 #5): c_nationkey has 25 distinct values — fine as
+    // a rank-function correctness probe, but a 25-way partition caps
+    // window parallelism; at scale partition by a high-cardinality key
+    // (see q12, per-user windows) or pre-bucket the input.
     Q("q11_window_rank",
       """SELECT * FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
@@ -210,27 +219,29 @@ object Relational {
     },
 
     // ---- §2.5: running aggregates over an explicit ROWS frame + lead/lag/ntile.
+    // Windows order by event_id alone (unique per user): ts is nanos in
+    // DuckDB but micros in Spark, so a ts tiebreak could diverge on
+    // sub-microsecond ties (ADVICE r1, low).
     Q("q12_window_running",
       """SELECT user_id, event_id,
         |  cast(sum(cast(value as decimal(12,2))) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |    (PARTITION BY user_id ORDER BY event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_value,
-        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
-        |  lag(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-        |  lead(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        |  lag(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+        |  lead(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY event_id) AS next_type,
         |  ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS quartile
         |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wId = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       T.df(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           T.dbl(sum(T.dec(col("value"))).over(frame)).as("running_value"),
           count(lit(1)).over(frame).as("running_n"),
           lag(col("event_type"), 1, "none").over(w).as("prev_type"),
           lead(col("event_type"), 1, "none").over(w).as("next_type"),
-          ntile(4).over(wId).as("quartile"))
+          ntile(4).over(w).as("quartile"))
         .orderBy("user_id", "event_id")
     },
 

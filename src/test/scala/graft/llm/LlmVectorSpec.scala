@@ -1,0 +1,53 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Properties of the similarity-search operators that the SQL oracle
+  * cannot express: LSH recall vs the brute-force baseline and IVF
+  * recall/determinism. */
+class LlmVectorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF top-k: every query returns k ranked neighbors, recall@10 >= 0.5 vs brute force") {
+    val brute = LlmVector.qs.find(_.name == "q43_ann_cosine_topk").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val ivf = LlmVector.qs.find(_.name == "q44_ann_ivf_topk").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(ivf.keys.toSet == brute.keys.toSet)
+    ivf.foreach { case (q, neighbors) =>
+      assert(neighbors.size == 10, s"query $q returned ${neighbors.size} neighbors")
+      val recall = (neighbors & brute(q)).size / 10.0
+      assert(recall >= 0.5, s"query $q recall $recall below 0.5")
+    }
+  }
+
+  test("IVF is deterministic across runs") {
+    val q = LlmVector.qs.find(_.name == "q44_ann_ivf_topk").get
+    val a = q.run(spark, dir).collect().toSeq
+    val b = q.run(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("LSH near-dup pairs equal the brute-force baseline at this scale") {
+    val brute = LlmText.qs.find(_.name == "q39_dedup_ngram_jaccard").get
+      .run(spark, dir).collect().map(_.toSeq).toSet
+    val lsh = LlmText.qs.find(_.name == "q41_dedup_minhash_lsh").get
+      .run(spark, dir).collect().map(_.toSeq).toSet
+    assert(lsh == brute, s"LSH found ${lsh.size} pairs, brute force ${brute.size}")
+  }
+
+  test("multimodal batched decode plumbing: stub frames match the column-arithmetic path") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(1L, "hello world, a longer payload".getBytes("UTF-8"), "text/plain", 29L))
+      .toDS()
+    val frames = Multimodal.MediaBatch.mapDecoded(media, 3).collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 1, 2))
+    // frame 0 = bytes [1,9) of "hello world..." = "ello wor"
+    assert(frames(0).fragHex == "ello wor".getBytes("UTF-8").map("%02X".format(_)).mkString)
+  }
+}
