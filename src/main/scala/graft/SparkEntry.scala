@@ -12,14 +12,17 @@ object SparkEntry {
 
   /** All registered operator queries, in registration order. */
   def all: Seq[Q] =
-    ops.Relational.qs ++ ops.Scalars.qs ++ registry.RegistryQueries.qs ++
-      llm.LlmText.qs ++ llm.LlmVector.qs ++ llm.Multimodal.qs
+    ops.Relational.qs ++ ops.Scalars.qs ++ ops.Extras.qs ++
+      registry.RegistryQueries.qs ++
+      llm.LlmText.qs ++ llm.LlmVector.qs ++ llm.Multimodal.qs ++
+      streaming.Streams.qs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1-shaped aggregation — scan, pushdown filter, hash agg with
-    * map-side partial combine, single shuffle. */
+  /** Flagship: the end-to-end reference slice (SURVEY §7.2) — corpus →
+    * record split → 47-field extract → single-shuffle merge → user
+    * WHERE via expr() → semi-join chain → condensed export row.
+    * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q37_registry_search_export")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,9 +36,14 @@ object T {
     else raw
   }
 
-  /** Register all fixture tables as temp views (for spark.sql entries). */
+  /** Register all fixture tables as temp views (for spark.sql entries).
+    * Registered once per (session, dir) — re-registering 10 views per
+    * query invocation was wasteful (VERDICT r1 #6). */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   def views(s: SparkSession, dir: String): Unit =
-    names.foreach(n => df(s, dir, n).createOrReplaceTempView(n))
+    if (registered.put(s, dir) != dir)
+      names.foreach(n => df(s, dir, n).createOrReplaceTempView(n))
 
   /** Exact decimal view of a 2-dp double column: identical in Spark & DuckDB. */
   def dec(c: Column): Column = c.cast("decimal(12,2)")

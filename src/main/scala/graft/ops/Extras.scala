@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, T}
+
+/** Declared-surface fill-ins (VERDICT r1 "missing" rows): map functions
+  * (F18), as-of join (J5), deterministic first-wins dedup (O4), and the
+  * F1/F3/F9 scalar trio. */
+object Extras {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- F18: map construction, extraction, keys, cardinality.
+    // DuckDB map extraction returns a single-element list -> [1].
+    Q("q51_map_fns",
+      """SELECT p_partkey,
+        |  MAP(['brand', 'type'], [p_brand, p_type])['brand'][1] AS brand_v,
+        |  array_to_string(map_keys(MAP(['brand', 'type'], [p_brand, p_type])), ',') AS ks,
+        |  cardinality(MAP(['brand', 'type'], [p_brand, p_type])) AS n
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      T.df(s, dir, "part").select(col("p_partkey"),
+          element_at(m, "brand").as("brand_v"),
+          array_join(map_keys(m), ",").as("ks"),
+          size(m).cast("bigint").as("n"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- J5: as-of join — for each error event, the latest click by
+    // the same user at or before it (ordered by event_id, which is the
+    // deterministic event-order axis; ts is nanos-vs-micros hazardous).
+    // Spark has no built-in as-of join: the union + running
+    // last(_, ignoreNulls) window trick (SURVEY §2.3) does it with ONE
+    // shuffle on user_id and no range explosion — the plan that holds
+    // at 100× (a correlated-subquery or theta-join formulation would
+    // re-scan per row).
+    Q("q52_asof_join",
+      """SELECT e.event_id AS error_event,
+        |       (SELECT max(c.event_id) FROM events c
+        |        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |          AND c.event_id <= e.event_id) AS last_click
+        |FROM events e WHERE e.event_type = 'error'
+        |ORDER BY error_event""".stripMargin) { (s, dir) =>
+      val ev = T.df(s, dir, "events")
+        .filter(col("event_type").isin("error", "click"))
+        .select(col("user_id"), col("event_id"),
+          (col("event_type") === "click").as("is_click"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click",
+          last(when(col("is_click"), col("event_id")), ignoreNulls = true).over(w))
+        .filter(!col("is_click"))
+        .select(col("event_id").as("error_event"), col("last_click"))
+        .orderBy("error_event")
+    },
+
+    // ---- O4: deterministic first-wins dedup (the ordered analogue of
+    // dropDuplicates, whose survivor is otherwise partition-dependent):
+    // keep the earliest event per (user, type).
+    Q("q53_dropdup_ordered",
+      """SELECT user_id, event_type, event_id AS first_event FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+      T.df(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // ---- F1 whitespace collapse / F3 title-case / F9 comma-strip cast.
+    // DuckDB has no initcap: the oracle rebuilds it word-wise.
+    Q("q54_scalar_extras",
+      """SELECT p_partkey,
+        |  trim(regexp_replace(' ' || p_name || '  ' || p_type || ' ', '\s+', ' ', 'g')) AS collapsed,
+        |  array_to_string(list_transform(string_split(lower(p_name), ' '),
+        |                                 w -> upper(w[1]) || w[2:]), ' ') AS titled,
+        |  replace(((p_partkey // 1000)::VARCHAR || ',' || lpad((p_partkey % 1000)::VARCHAR, 3, '0')),
+        |          ',', '')::BIGINT AS uncomma
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      T.df(s, dir, "part").select(col("p_partkey"),
+          trim(regexp_replace(
+            concat(lit(" "), col("p_name"), lit("  "), col("p_type"), lit(" ")),
+            "\\s+", " ")).as("collapsed"),
+          initcap(col("p_name")).as("titled"),
+          regexp_replace(
+            concat((col("p_partkey") / 1000).cast("bigint").cast("string"), lit(","),
+              lpad((col("p_partkey") % 1000).cast("string"), 3, "0")),
+            ",", "").cast("bigint").as("uncomma"))
+        .orderBy("p_partkey")
+    }
+  )
+}

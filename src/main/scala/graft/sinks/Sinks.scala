@@ -1,0 +1,32 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Export sinks (SURVEY §2.1 S6/S8).
+  *
+  * Parquet is the primary cluster sink; single-file CSV serves the
+  * reference's Excel role (toexcel.py:126-162 — Excel itself is a
+  * driver-side conversion, not a cluster concern); JDBC covers the
+  * reference's stated Postgres goal (README.md:8).
+  */
+object Sinks {
+
+  /** Partitioned parquet — the at-scale sink. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Single-file CSV with header — the human-export path. coalesce(1)
+    * is deliberate and ONLY for exports of human-sized result sets;
+    * never use on large frames (single-task write). */
+  def csvSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JDBC sink (e.g. Postgres). Thin passthrough — requires a driver on
+    * the classpath and a reachable database; exercised only in
+    * deployments, not in this repo's tests (no DB in the sandbox). */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, T}
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * q55 runs a REAL streaming query — file source → tumbling-window
+  * aggregation → memory sink — driven to completion with a one-shot
+  * trigger, then returns the materialized result; the oracle is the
+  * equivalent batch aggregation in DuckDB. At scale the same plan runs
+  * continuously: the file source checkpoints for exactly-once, the
+  * window aggregation keeps one state row per (window, type), and a
+  * watermark bounds state (watermark/late-data behavior is pinned in
+  * StreamingSpec where batch arrival order is controllable).
+  */
+object Streams {
+
+  val qs: Seq[Q] = Seq(
+    Q("q55_stream_window",
+      """SELECT cast(date_trunc('day', ts) as date)::VARCHAR AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+      // the file streaming source requires a DIRECTORY: stage the table
+      // file into a per-sf landing dir (the same shape a production
+      // stream consumes: one dir, files arriving over time)
+      val landing = java.nio.file.Paths.get(
+        "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode))
+      java.nio.file.Files.createDirectories(landing)
+      val dst = landing.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+      // schema from the batch reader (ts arrives as raw nano longs)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = "stream_window_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = s.readStream.schema(schema).parquet(landing.toString)
+      val withTs =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else stream
+      val q = withTs
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .count()
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").cast("date").cast("string").as("day"),
+          col("event_type"), col("count").as("n"))
+        .orderBy("day", "event_type")
+    }
+  )
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.registry.{Corpus, Extract, FieldKind, FieldSpec, Registry, SyntheticCorpus}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming behavior pins (SURVEY §5.2.5): watermark late-data drop,
+  * and incremental-merge ≡ batch-merge equivalence on shuffled input. */
+class StreamingSpec extends SparkSpec {
+
+  test("watermark drops late-beyond-watermark rows in append mode") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+    val q = counts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_test").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((t(0), "a"), (t(5), "a"))
+    q.processAllAvailable()
+    // advance watermark far past the first window, closing it
+    input.addData((t(40), "a"))
+    q.processAllAvailable()
+    // this row is now later than watermark (10:30) - window [10:00,10:10) closed
+    input.addData((t(1), "a"))
+    q.processAllAvailable()
+    input.addData((t(55), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_test")
+      .select(col("window.start").cast("string"), col("count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the closed 10:00 window emitted count=2: the late (10:01) row was dropped
+    assert(rows("2024-01-01 10:00:00") == 2L)
+  }
+
+  test("stateful incremental merge on SHUFFLED records equals batch TrialMerge") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val path = SyntheticCorpus.ensure()
+
+    // batch-extracted records -> RecordIn (non-blank captures only)
+    val textFields = FieldSpec.trial
+    val recs = Corpus.records(spark, path)
+      .select(col("record_seq") +: col("eudract_id") +: Extract.trialCols(col("rec")): _*)
+      .collect()
+      .map { r =>
+        val fields = textFields.flatMap { f =>
+          Option(r.getAs[String](f.name)).map(f.name -> _)
+        }.toMap
+        StreamMerge.RecordIn(r.getAs[String]("eudract_id"), r.getAs[Long]("record_seq"), fields)
+      }
+    // worst case for a non-commutative fold: reverse file order
+    val shuffled = recs.reverse
+
+    val input = MemoryStream[StreamMerge.RecordIn]
+    val q = StreamMerge.run(input.toDS()).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("merge_test").start()
+    // two batches to force cross-batch state reuse
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+
+    // last update per trial = the one having seen the most records
+    val finalRows = spark.table("merge_test").as[StreamMerge.TrialUpdate].collect()
+      .groupBy(_.eudract_id).view.mapValues(_.maxBy(_.nRecords)).toMap
+
+    val batch = Registry.load(spark, path).trials.collect()
+      .map(r => r.getAs[String]("eudract_id") -> r).toMap
+
+    assert(finalRows.keySet == batch.keySet)
+    for ((id, streamRow) <- finalRows; f <- FieldSpec.trial) {
+      val batchRow = batch(id)
+      f.kind match {
+        case FieldKind.Flag =>
+          val b = if (batchRow.isNullAt(batchRow.fieldIndex(f.name))) None
+                  else Some(batchRow.getAs[Int](f.name))
+          assert(streamRow.flags.get(f.name) == b, s"$id.${f.name}")
+        case _ =>
+          assert(streamRow.fields.get(f.name) == Option(batchRow.getAs[String](f.name)),
+            s"$id.${f.name}")
+      }
+    }
+  }
+}
