@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan regression pins: the properties that make these plans
+  * scale-correct must stay visible in explain output — losing one is a
+  * silent 100× regression at the target scale, invisible at sf0.001. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: filter and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), "filter pushdown lost")
+    assert(!p.contains("l_comment"), "column pruning lost: scan reads unused columns")
+  }
+
+  test("q3: small dims broadcast; aggregation has a map-side partial phase") {
+    val p = plan("q3_join_inner_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, "broadcast joins lost")
+    assert(p.contains("partial_count"), "partial aggregation lost")
+  }
+
+  test("q4: fact side is pre-aggregated BEFORE the customer join") {
+    val p = plan("q4_join_left")
+    assert(p.contains("partial_count(o_orderkey"), "orders no longer pre-aggregated")
+  }
+
+  test("q5: semi-join chain plans as LeftSemi hash joins") {
+    assert("LeftSemi".r.findAllIn(plan("q5_join_semi_chain")).size >= 2)
+  }
+
+  test("q10: top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan("q10_sort_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q41 LSH: no cartesian/nested-loop join anywhere in the plan") {
+    val p = plan("q41_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "LSH degenerated to nested loop")
+  }
+
+  test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
+    val t = registry.Registry.load(spark, registry.SyntheticCorpus.ensure())
+    val p = t.trials.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(eudract_id".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 eudract_id exchange, got $exchanges:\n$p")
+  }
+}
