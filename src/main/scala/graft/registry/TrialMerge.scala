@@ -122,8 +122,18 @@ final case class RegistryTables(
     sponsor: DataFrame, location: DataFrame)
 
 object Registry {
-  def load(spark: SparkSession, corpusPath: String): RegistryTables = {
-    val merged = TrialMerge.merge(spark, corpusPath)
+  /** Parse+merge runs once per (session, corpus); the merged frame is
+    * persisted and all views derive from it. Re-parsing per query was
+    * pure waste — a production deployment materializes the merged
+    * table once per corpus snapshot. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), RegistryTables]()
+
+  def load(spark: SparkSession, corpusPath: String): RegistryTables =
+    cache.computeIfAbsent((spark, corpusPath), _ => build(spark, corpusPath))
+
+  private def build(spark: SparkSession, corpusPath: String): RegistryTables = {
+    val merged = TrialMerge.merge(spark, corpusPath).persist()
     val trials = merged.drop("imps", "sponsors", "locations")
     val imp = merged
       .select(col("eudract_id"), posexplode(col("imps")).as(Seq("imp_seq", "i")))

@@ -41,8 +41,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
-    val t = registry.Registry.load(spark, registry.SyntheticCorpus.ensure())
-    val p = t.trials.queryExecution.executedPlan.toString
+    // TrialMerge.merge directly: Registry.load memoizes + persists, which
+    // would show an InMemoryTableScan instead of the raw plan
+    val p = registry.TrialMerge
+      .merge(spark, registry.SyntheticCorpus.ensure())
+      .drop("imps", "sponsors", "locations")
+      .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning\\(eudract_id".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 eudract_id exchange, got $exchanges:\n$p")
   }
