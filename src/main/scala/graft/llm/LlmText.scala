@@ -116,32 +116,40 @@ object LlmText {
     * and join it back. The char-level polynomial hash is interpreted
     * (higher-order functions don't codegen), so evaluating it per
     * corpus-token instead of per vocab-word was a 30× slowdown.
-    * Returns (doc_id, hs: array<long>) in token order, persisted. */
-  private[llm] def tokenHashArr(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-    val dict = toks.select("w").distinct()
-      .withColumn("h", wordHash(col("w")))
-    toks.join(broadcast(dict), "w")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
-      .select(col("doc_id"), transform(col("ph"), p => p.getField("h")).as("hs"))
-      .persist()
-  }
+    * Returns (doc_id, hs: array<long>) in token order, persisted once
+    * per (session, dir) — repeated calls must not stack fresh cache
+    * entries. */
+  private val hashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def tokenHashArr(s: SparkSession, dir: String): DataFrame =
+    hashCache.computeIfAbsent((s, dir), _ => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val dict = toks.select("w").distinct()
+        .withColumn("h", wordHash(col("w")))
+      toks.join(broadcast(dict), "w")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
+        .select(col("doc_id"), transform(col("ph"), p => p.getField("h")).as("hs"))
+        .persist()
+    })
 
   /** Shingle sets from the token-hash arrays (cheap arithmetic
     * transform), persisted: the sketch is computed ONCE and reused by
     * every join branch (candidate generation + verification) — the same
     * "materialize signatures, then join" shape a 100 TB run uses by
     * writing the signature table out before the bucket join. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    tokenHashArr(s, dir)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), greatest(size(col("hs")) - 2, lit(0))),
-        i => shingleHash(element_at(col("hs"), i), element_at(col("hs"), i + 1),
-          element_at(col("hs"), i + 2)))).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
+    shingleCache.computeIfAbsent((s, dir), _ =>
+      tokenHashArr(s, dir)
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - 2, lit(0))),
+          i => shingleHash(element_at(col("hs"), i), element_at(col("hs"), i + 1),
+            element_at(col("hs"), i + 2)))).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist())
 
   /** 2^k for k = 0..29 (SimHash bit weights). */
   val pow2: Seq[Long] = (0 until 30).map(k => 1L << k)

@@ -45,8 +45,15 @@ object TrialMerge {
   }
 
   /** Full pipeline: corpus path → merged trial frame with nested child
-    * collections (imps/sponsors/locations arrays) + flat child views. */
-  def merge(spark: SparkSession, corpusPath: String): DataFrame = {
+    * collections (imps/sponsors/locations arrays) + flat child views.
+    *
+    * `strictParity = true` replicates the reference's ACTUAL flag
+    * behavior — first non-blank wins because the yes-over-no upgrade is
+    * dead code (scan.py:297) — instead of the intended semantics the
+    * engine defaults to (SURVEY §7.4.4a; both pinned in
+    * RegistryGoldenSpec). */
+  def merge(spark: SparkSession, corpusPath: String,
+            strictParity: Boolean = false): DataFrame = {
     val recs = Corpus.records(spark, corpusPath)
       .select(
         (col("record_seq") +: col("eudract_id") +: Extract.trialCols(col("rec"))) :+
@@ -57,6 +64,11 @@ object TrialMerge {
     val impAgg = udaf(ImpDedup)
     val fieldAggs = FieldSpec.trial.map { f =>
       f.kind match {
+        case FieldKind.Flag if strictParity =>
+          // first non-blank raw value, then ranked like yesOverNo
+          val v = min(when(col(f.name).isNotNull,
+            struct(col("record_seq").as("s"), col(f.name).as("v")))).getField("v")
+          when(v === "yes", 2).when(v === "no", 1).as(f.name)
         case FieldKind.Flag => yesOverNo(f.name)
         case _              => firstNonBlank(f.name)
       }

@@ -40,6 +40,12 @@ class RegistryGoldenSpec extends SparkSpec {
     assert(placebo == 1) // record 1 said no, record 2 said yes
   }
 
+  test("LEDGER §7.4.4a strict-parity mode: first-wins keeps the 'no' the reference's dead code keeps") {
+    val parity = TrialMerge.merge(spark, SyntheticCorpus.ensure(), strictParity = true)
+    val placebo = parity.filter("eudract_id = '2004-000001-11'").select("placebo").head()
+    assert(placebo.getInt(0) == 0) // record 1's 'no' survives record 2's 'yes'
+  }
+
   test("LEDGER: non-yes/no flag junk maps to null (reference stores raw string)") {
     val r = t.trials.filter("eudract_id = '2006-000003-33'").select("open_design").head()
     assert(r.isNullAt(0))
