@@ -92,6 +92,24 @@ object Extras {
               lpad((col("p_partkey") % 1000).cast("string"), 3, "0")),
             ",", "").cast("bigint").as("uncomma"))
         .orderBy("p_partkey")
+    },
+
+    // ---- A10 family: exact interpolated percentiles (Spark percentile
+    // ≡ DuckDB quantile_cont); results land on fixture's integer-ish
+    // quantities, decimal-cast for cross-engine hashing.
+    Q("q56_percentiles",
+      """SELECT l_returnflag,
+        |  cast(round(quantile_cont(l_quantity, 0.5)::DECIMAL(12,2), 2) as double) AS p50,
+        |  cast(round(quantile_cont(l_quantity, 0.9)::DECIMAL(12,2), 2) as double) AS p90,
+        |  cast(min(l_quantity) as double) AS mn, cast(max(l_quantity) as double) AS mx
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      T.df(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          T.dbl(round(expr("percentile(l_quantity, 0.5)").cast("decimal(12,2)"), 2)).as("p50"),
+          T.dbl(round(expr("percentile(l_quantity, 0.9)").cast("decimal(12,2)"), 2)).as("p90"),
+          T.dbl(min(col("l_quantity"))).as("mn"), T.dbl(max(col("l_quantity"))).as("mx"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:00:00") == 2L)
   }
 
+  test("session_window groups events separated by gaps into distinct sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = input.toDF().toDF("ts", "user")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user"))
+      .count()
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_test").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // two bursts 30min apart -> two sessions; one merge across batches
+    input.addData((t(10, 0), "u"), (t(10, 5), "u"))
+    q.processAllAvailable()
+    input.addData((t(10, 8), "u"), (t(10, 40), "u"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_test")
+      .select(col("session_window.start").cast("string"), col("count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sessions == Map(
+      "2024-01-01 10:00:00" -> 3L, // 10:00+10:05+10:08 merged into one session
+      "2024-01-01 10:40:00" -> 1L))
+  }
+
   test("stateful incremental merge on SHUFFLED records equals batch TrialMerge") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
