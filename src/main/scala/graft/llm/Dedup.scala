@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unified deduplication surface — the generalization SURVEY §2.4 A4
+  * calls for: the reference's per-trial union-find and the corpus-scale
+  * near-dup paths share one shape:
+  *
+  *   candidates (exact key | LSH bucket | position join)
+  *     → verified pairs (exact Jaccard / cosine)
+  *     → [[components]] (connected components over the pair graph)
+  *     → keep one representative per cluster.
+  *
+  * [[components]] is iterative min-label propagation: each node adopts
+  * the smallest label among itself and its neighbors until fixpoint —
+  * converging in O(graph diameter) rounds. Near-dup graphs are shallow
+  * (clusters are cliques-ish), so 2–4 rounds suffice; at 100 TB the
+  * same loop runs with the pair table persisted and the label frame
+  * checkpointed per round (the large-star/small-star optimization
+  * halves rounds but the plain loop is already diameter-bounded). */
+object Dedup {
+
+  /** Exact/normalized dedup: one survivor (min id) per normalized key. */
+  def exact(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.select(col(idCol), key.as("key"))
+      .groupBy("key")
+      .agg(min(idCol).as("kept_" + idCol), count(lit(1)).as("n_copies"))
+
+  /** Connected components over an undirected pair list: returns
+    * (id, cluster_rep) for every node, rep = min id of the component. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy("a").agg(min("nlbl").as("minNbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_rep"))
+  }
+
+  /** Survivors after near-dup clustering: drop every non-representative
+    * member of each component. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+                         aCol: String, bCol: String): DataFrame = {
+    val losers = components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_rep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -74,18 +74,34 @@ object LlmText {
     * the oracle for BOTH q39 (same cap) and the LSH path q41 (uncapped;
     * identical at the sf0.01 gate where the cap is a no-op). The 0.5
     * threshold is far from any pair: data has nothing in (0.3, 0.9). */
-  private def jaccardPairsSqlWhere(where: String): String =
+  private def jaccardPairsCore(where: String): String =
     s"""${sqlPreludeWhere(where) + preludeBody},
        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
        |          FROM dsh x JOIN dsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
        |FROM inter JOIN ssize sa ON sa.doc_id = doc_a JOIN ssize sb ON sb.doc_id = doc_b
-       |WHERE 2 * inter >= sa.n + sb.n - inter
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE 2 * inter >= sa.n + sb.n - inter""".stripMargin
+
+  private def jaccardPairsSqlWhere(where: String): String =
+    jaccardPairsCore(where) + "\nORDER BY doc_a, doc_b"
 
   val jaccardPairsSql: String = jaccardPairsSqlWhere("")
   val jaccardPairsSqlCapped: String = jaccardPairsSqlWhere(s"WHERE doc_id < $BruteCap")
+
+  /** Oracle for q57: connected components over the near-dup pair graph
+    * via a recursive transitive closure, representative = min doc_id. */
+  val clustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${jaccardPairsCore("")}),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |closure(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+       |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
 
   /** Spark plan shared by q39 (all candidate pairs from a shingle join)
     * and q41 (candidates from LSH buckets): verify candidates with
@@ -139,6 +155,35 @@ object LlmText {
     * every join branch (candidate generation + verification) — the same
     * "materialize signatures, then join" shape a 100 TB run uses by
     * writing the signature table out before the bucket join. */
+  /** MinHash-LSH verified near-dup pairs (shared by q41 and q57).
+    * Signatures computed RELATIONALLY: explode shingles once, then 64
+    * codegen'd min-aggregates with map-side partial combine — far
+    * faster than per-row array transforms (higher-order functions are
+    * interpreted), and the exact shape a 100 TB run uses: one shuffle
+    * on doc_id, then signatures persist for the bucket join. */
+  private[llm] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(s, dir)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val sigCols = (1 to 64).map(sd =>
+      min((col("h") * (2 * sd + 1) + 7919L * sd) % M).as(s"m$sd"))
+    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until 16).map { b =>
+      ((((col(s"m${4 * b + 1}") * 31
+        + col(s"m${4 * b + 2}")) % M * 31
+        + col(s"m${4 * b + 3}")) % M * 31
+        + col(s"m${4 * b + 4}")) % M)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      .persist()
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(docs, cands)
+  }
+
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -218,31 +263,17 @@ object LlmText {
     // true pair here sits at Jaccard ≥ 0.9 where 16×4 LSH recall is ~1
     // (deterministic given the fixed hash family).
     Q("q41_dedup_minhash_lsh", jaccardPairsSql) { (s, dir) =>
-      val docs = docShingles(s, dir)
-      // Signatures computed RELATIONALLY: explode shingles once, then 64
-      // codegen'd min-aggregates with map-side partial combine — far
-      // faster than per-row array transforms (higher-order functions are
-      // interpreted), and the exact shape a 100 TB run uses: one shuffle
-      // on doc_id, then signatures persist for the bucket join.
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
-      val sigCols = (1 to 64).map(sd =>
-        min((col("h") * (2 * sd + 1) + 7919L * sd) % M).as(s"m$sd"))
-      val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandKeys = (0 until 16).map { b =>
-        ((((col(s"m${4 * b + 1}") * 31
-          + col(s"m${4 * b + 2}")) % M * 31
-          + col(s"m${4 * b + 3}")) % M * 31
-          + col(s"m${4 * b + 4}")) % M)
-      }
-      val bands = sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-        .persist()
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      verifiedPairs(docs, cands)
+      lshPairs(s, dir)
+    },
+
+    // ---- near-dup CLUSTERING: pairs → connected components →
+    // representative per cluster (the actual dedup decision). Spark
+    // side is iterative min-label propagation (Dedup.components);
+    // oracle recomputes via a recursive transitive closure.
+    Q("q57_dedup_clusters", clustersSql) { (s, dir) =>
+      Dedup.components(lshPairs(s, dir), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id")
     },
 
     // ---- SimHash (30-bit, tf-weighted word hashes): near-dup sketch
@@ -297,24 +328,21 @@ object LlmText {
          |    WHEN len(list_filter(t, w -> w IN ('el','la','y','los','que'))) THEN 'es'
          |    ELSE 'fr' END AS best_lang
          |FROM tl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // relational scoring: explode tokens once, broadcast-join the
-      // (tiny) stopword profile, pivot counts — one codegen'd pass over
-      // the token stream instead of 8 interpreted array filters per row.
-      import s.implicits._
+      // relational scoring in ONE pass: explode tokens (outer, so
+      // token-less docs keep a row), then conditional-count aggregates —
+      // a single shuffle, all codegen, no interpreted array filters.
       val profiles = Seq(
         "en" -> Seq("the", "a", "of", "and", "in"),
         "de" -> Seq("der", "die", "und", "das", "ist"),
         "es" -> Seq("el", "la", "y", "los", "que"),
         "fr" -> Seq("le", "les", "et", "des", "un"))
-      val profile = profiles.flatMap { case (l, ws) => ws.map(w => (w, l)) }.toDF("w", "lng")
-      val counts = docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .join(broadcast(profile), "w")
-        .groupBy("doc_id").pivot("lng", profiles.map(_._1)).count()
-      val scored = docs(s, dir).select("doc_id")
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id") +: profiles.map { case (l, _) =>
-          coalesce(col(l), lit(0L)).as(s"n_$l") }: _*)
+      val aggs = profiles.map { case (l, ws) =>
+        sum(when(col("w").isin(ws: _*), 1L).otherwise(0L)).as(s"n_$l")
+      }
+      val scored = docs(s, dir)
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
       val best = when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_en"), "en")
         .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_de"), "de")
         .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_es"), "es")
