@@ -395,6 +395,40 @@ object LlmText {
         .orderBy("lang")
     },
 
+    // ---- tf-idf term weighting: tf and df relationally, top-3 terms
+    // per doc. Weight = tf·(N−df) — a linear-idf variant kept
+    // integer-exact for cross-engine hashing (production swaps in
+    // tf·ln(N/df); libm log differs in the last ulp between engines,
+    // which a hash compare cannot tolerate on near-ties).
+    Q("q58_text_tfidf",
+      """WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM tl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w, tf.tf, df.df, tf.tf * ((SELECT n FROM n) - df.df) AS score
+        |  FROM tf JOIN df USING (w)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY score DESC, w) AS rk FROM scored)
+        |SELECT doc_id, rk, w AS term, tf, df, score
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      val n = docs(s, dir).count()
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+      tf.join(df, "w")
+        .withColumn("score", col("tf") * (lit(n) - col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w").as("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rk")
+    },
+
     // ---- document fingerprint: order-sensitive positional hash over
     // token hashes (content-defined identity for shard-level dedup).
     Q("q48_text_fingerprint",
