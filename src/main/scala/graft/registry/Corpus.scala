@@ -30,19 +30,42 @@ object Corpus {
 
   val Delimiter = "EudraCT Number:"
 
-  /** Raw read: (record_seq = byte offset, record_text) for every chunk
-    * between delimiters. The chunk at offset 0 is the pre-delimiter
-    * preamble (page headers from the scraper, scrape.py:66) — dropped. */
+  /** Raw read: (record_seq, record_text) for every chunk between
+    * delimiters. record_seq = (file index << 40) | byte offset — files
+    * ordered lexicographically (the scraper names landing files by
+    * page, scrape.py:50, so lexical order IS corpus order), offset
+    * ordering within a file from the TextInputFormat key. The chunk at
+    * offset 0 of each file is pre-delimiter preamble (page headers,
+    * scrape.py:66) — dropped. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", Delimiter)
-    val rdd = spark.sparkContext
-      .newAPIHadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text], conf)
-      .map { case (off, text) => (off.get(), text.toString) }
+    val sc = spark.sparkContext
+    val rdd = sc.newAPIHadoopFile(path, classOf[TextInputFormat],
+      classOf[LongWritable], classOf[Text], conf)
+    // file → lexical rank (driver-side listing; cheap metadata op)
+    val fileRank: Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      val status = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      val files = status.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }.map(_.getPath.toString).sorted
+      files.zipWithIndex.map { case (f, i) => f -> i.toLong }.toMap
+    }
+    val rankB = sc.broadcast(fileRank)
+    val withFile = rdd.asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val file = split.asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+          .getPath.toString
+        val rank = rankB.value.getOrElse(file, 0L)
+        it.map { case (off, text) => (rank << 40 | off.get(), off.get(), text.toString) }
+      }
     import spark.implicits._
-    rdd.toDF("record_seq", "record_text")
-      .filter(col("record_seq") > 0)
+    withFile.toDF("record_seq", "offset", "record_text")
+      .filter(col("offset") > 0)
+      .drop("offset")
   }
 
   /** Line-level whitespace normalization, applied to the whole record:

@@ -47,6 +47,23 @@ class CorpusSpec extends SparkSpec {
     assert(TrialMerge.merge(spark, empty).count() == 0)
   }
 
+  test("multi-file corpus: lexical file order beats byte offset for first-non-blank") {
+    // file 1 (lexically first) has a LARGER offset for its record than
+    // file 2's record; first-non-blank must still take file 1's value.
+    val dir = Paths.get("/tmp/graft/corpus_spec_multifile")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("page-001.txt"),
+      (("x" * 5000) + "\nEudraCT Number: 2011-000011-11\nTrial Status: Ongoing\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("page-002.txt"),
+      "EudraCT Number: 2011-000011-11\nTrial Status: Completed\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val t = TrialMerge.merge(spark, dir.toString + "/*")
+    assert(t.count() == 1)
+    assert(t.select("overall_status").head().getString(0) == "ongoing")
+  }
+
   test("mid-line 'EudraCT Number:' text DOES split (byte-delimiter semantics, documented)") {
     // The Hadoop record delimiter is a byte sequence, not line-anchored:
     // a title containing the literal marker splits the record. Real
