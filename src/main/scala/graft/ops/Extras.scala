@@ -94,6 +94,38 @@ object Extras {
         .orderBy("p_partkey")
     },
 
+    // ---- §2.7: multiset set-operation variants (ALL forms).
+    Q("q59_set_all_variants",
+      """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P')
+        |SELECT op, n FROM (
+        |  SELECT 'union_all' AS op, (SELECT count(*) FROM (SELECT k FROM a UNION ALL SELECT k FROM b)) AS n
+        |  UNION ALL
+        |  SELECT 'intersect_all', (SELECT count(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b))
+        |  UNION ALL
+        |  SELECT 'except_all', (SELECT count(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)))
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = T.df(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("k"))
+      Seq(
+        ("union_all", a.unionAll(b).count()),
+        ("intersect_all", a.intersectAll(b).count()),
+        ("except_all", a.exceptAll(b).count()))
+        .toDF("op", "n").orderBy("op")
+    },
+
+    // ---- A10: HLL approx-distinct — sketch values are engine-specific,
+    // so no SQL oracle; ExtrasSpec pins the ±5% envelope vs exact.
+    Q.noOracle("q60_approx_distinct") { (s, dir) =>
+      T.df(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- A10 family: exact interpolated percentiles (Spark percentile
     // ≡ DuckDB quantile_cont); results land on fixture's integer-ish
     // quantities, decimal-cast for cross-engine hashing.
