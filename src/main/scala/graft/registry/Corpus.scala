@@ -92,12 +92,15 @@ object Corpus {
     regexp_replace(collapsed, "(?m)^ | $", "")
   }
 
-  /** Normalized records with their extracted trial id: columns
-    * (record_seq, eudract_id, rec). Records whose id token is blank
-    * are dropped (cannot exist in a well-formed dump). */
+  /** Raw records with their extracted trial id: columns (record_seq,
+    * eudract_id, rec). `rec` is the RAW record text — per-line
+    * normalization happens inside the extraction pass (the one-pass
+    * ExtractRecord expression collapses each line as it walks, so no
+    * whole-corpus regexp_replace sweeps are needed). Records whose id
+    * token is blank are dropped (cannot exist in a well-formed dump). */
   def records(spark: SparkSession, path: String): DataFrame =
     read(spark, path)
-      .select(col("record_seq"), normalize(col("record_text")).as("rec"))
+      .select(col("record_seq"), col("record_text").as("rec"))
       // id = first non-space token after the delimiter, casefolded like
       // every non-title capture (scan.py:325); scan.py:411 captures (\S+).
       .withColumn("eudract_id", lower(regexp_extract(col("rec"), """^\s*(\S+)""", 1)))

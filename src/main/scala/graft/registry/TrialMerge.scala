@@ -54,12 +54,20 @@ object TrialMerge {
     * RegistryGoldenSpec). */
   def merge(spark: SparkSession, corpusPath: String,
             strictParity: Boolean = false): DataFrame = {
+    // one-pass native extraction (see graft.plans.ExtractRecord): every
+    // field, IMP/sponsor section, and location of a record from a single
+    // walk over its lines, instead of 54 separate regex passes
+    val exCol = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ExtractRecord(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("rec"))))
     val recs = Corpus.records(spark, corpusPath)
+      .withColumn("ex", exCol)
       .select(
-        (col("record_seq") +: col("eudract_id") +: Extract.trialCols(col("rec"))) :+
-          Extract.impCol(col("rec")).as("rec_imps") :+
-          Extract.sponsorCol(col("rec")).as("rec_sponsors") :+
-          Extract.locationCol(col("rec")).as("rec_locs"): _*)
+        (col("record_seq") +: col("eudract_id") +:
+          FieldSpec.trial.map(f => col(s"ex.${f.name}").as(f.name))) :+
+          col("ex.rec_imps").as("rec_imps") :+
+          col("ex.rec_sponsors").as("rec_sponsors") :+
+          col("ex.rec_locs").as("rec_locs"): _*)
 
     val impAgg = udaf(ImpDedup)
     val fieldAggs = FieldSpec.trial.map { f =>

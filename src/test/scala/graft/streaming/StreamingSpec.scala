@@ -70,7 +70,10 @@ class StreamingSpec extends SparkSpec {
 
     // batch-extracted records -> RecordIn (non-blank captures only)
     val textFields = FieldSpec.trial
+    // columnar Extract path (kept as the cross-validation of the native
+    // ExtractRecord expression TrialMerge uses) needs normalized text
     val recs = Corpus.records(spark, path)
+      .withColumn("rec", Corpus.normalize(col("rec")))
       .select(col("record_seq") +: col("eudract_id") +: Extract.trialCols(col("rec")): _*)
       .collect()
       .map { r =>
