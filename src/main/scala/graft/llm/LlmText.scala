@@ -165,7 +165,7 @@ object LlmText {
     val docs = docShingles(s, dir)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
     val sigCols = (1 to 64).map(sd =>
-      min((col("h") * (2 * sd + 1) + 7919L * sd) % M).as(s"m$sd"))
+      min((col("h") * (ABase * sd % M) + 7919L * sd) % M).as(s"m$sd"))
     val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandKeys = (0 until 16).map { b =>
       ((((col(s"m${4 * b + 1}") * 31
@@ -254,7 +254,7 @@ object LlmText {
         .select(col("doc_id"), col("sh"), explode(sequence(lit(1L), lit(8L))).as("seed"))
         .select(col("doc_id"), col("seed"),
           array_min(transform(col("sh"),
-            h => (h * (col("seed") * 2 + 1) + lit(7919L) * col("seed")) % M)).as("minhash"))
+            h => (h * (lit(ABase) * col("seed") % M) + lit(7919L) * col("seed")) % M)).as("minhash"))
         .orderBy("doc_id", "seed")
     },
 

@@ -50,10 +50,23 @@ object TextHash {
   def shingleHashSql(h1: String, h2: String, h3: String): String =
     s"($h1 * 961 + $h2 * 31 + $h3) % ${M}"
 
+  /** MinHash multiplier base: 2654435761 (Knuth) mod M. Small odd
+    * multipliers like (2s+1) are a TRAP: for a shingle hash h below
+    * ~M/a_s the product never wraps the modulus, so every "independent"
+    * hash picks the document's globally-minimal shingle and the whole
+    * signature degenerates to ONE hash function — observed as an LSH
+    * recall hole on a 0.98-similar pair whose single differing shingle
+    * was one doc's minimum. A_s = (ABase·s) mod M keeps every
+    * multiplier ≥ 1.5e7 (verified for s = 1..64), so products wrap for
+    * essentially all h. */
+  val ABase = 2654435761L % M
+
   /** Spark: minhash of a shingle-hash array for seed s (1-based). */
-  def minhash(shingles: Column, s: Int): Column =
-    array_min(transform(shingles, h => (h * (2 * s + 1) + 7919L * s) % M))
+  def minhash(shingles: Column, s: Int): Column = {
+    val a = ABase * s % M
+    array_min(transform(shingles, h => (h * a + 7919L * s) % M))
+  }
 
   def minhashSql(sh: String, s: String): String =
-    s"min(($sh * (2*$s + 1) + 7919*$s) % ${M})"
+    s"min(($sh * ((${ABase}::BIGINT * $s) % ${M}) + 7919*$s) % ${M})"
 }
