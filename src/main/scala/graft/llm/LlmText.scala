@@ -73,7 +73,10 @@ object LlmText {
   /** Brute-force all-pairs Jaccard ≥ 0.5 over shared shingles —
     * the oracle for BOTH q39 (same cap) and the LSH path q41 (uncapped;
     * identical at the sf0.01 gate where the cap is a no-op). The 0.5
-    * threshold is far from any pair: data has nothing in (0.3, 0.9). */
+    * threshold is far from any pair: fixtures have no pair in
+    * (0.3, 0.9) at sf0.01 and none in (0.3, 0.8) at sf0.1, and 16×4
+    * LSH collision probability at 0.8 is 0.9998 (verified equal to
+    * brute force at both scales). */
   private def jaccardPairsCore(where: String): String =
     s"""${sqlPreludeWhere(where) + preludeBody},
        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter

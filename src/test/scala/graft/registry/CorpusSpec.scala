@@ -64,6 +64,22 @@ class CorpusSpec extends SparkSpec {
     assert(t.select("overall_status").head().getString(0) == "ongoing")
   }
 
+  test("field-shaped lines inside an EEA location block are locations, not fields (scan.py:381-397)") {
+    // the reference's block loop consumes lines blindly; ExtractRecord
+    // reproduces that — the 'Trial Status' line inside the block must
+    // become a LOCATION and must NOT override the real status
+    val path = write("blockshield",
+      "EudraCT Number: 2012-000012-12\n" +
+        "E.8.6.3 If E.8.6.1 or E.8.6.2 are Yes, specify the regions\n" +
+        "Trial Status: Bogus\n" +
+        "E.8.7 Trial has a data monitoring committee: No\n" +
+        "Trial Status: Ongoing\n")
+    val t = Registry.load(spark, path)
+    assert(t.trials.select("overall_status").head().getString(0) == "ongoing")
+    val locs = t.location.collect().map(_.getString(1)).toSet
+    assert(locs == Set("Trial Status: Bogus"))
+  }
+
   test("mid-line 'EudraCT Number:' text DOES split (byte-delimiter semantics, documented)") {
     // The Hadoop record delimiter is a byte sequence, not line-anchored:
     // a title containing the literal marker splits the record. Real
