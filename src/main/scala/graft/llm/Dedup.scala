@@ -37,9 +37,13 @@ object Dedup {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist()
-    var changed = 1L
+    // labels only ever decrease, so Σlbl is a strictly-monotone
+    // convergence witness: one single-row aggregate per round instead
+    // of a join-and-count against the previous frame.
+    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy("a").agg(min("nlbl").as("minNbr"))
@@ -48,9 +52,9 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
         .persist()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
+      val s = next.agg(sum("lbl")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1

@@ -39,6 +39,22 @@ class LlmVectorSpec extends SparkSpec {
     assert(lsh == brute, s"LSH found ${lsh.size} pairs, brute force ${brute.size}")
   }
 
+  test("dropNearDuplicates keeps exactly one representative per near-dup cluster") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = LlmText.qs.find(_.name == "q39_dedup_ngram_jaccard").get.run(spark, dir)
+    val comps = Dedup.components(pairs, "doc_a", "doc_b").collect()
+    val clusters = comps.map(_.getLong(1)).distinct.length
+    val members = comps.length
+    val survivors = Dedup.dropNearDuplicates(docs, "doc_id", pairs, "doc_a", "doc_b")
+    assert(survivors.count() == docs.count() - (members - clusters))
+    // every representative survived; every non-representative is gone
+    val kept = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    comps.foreach { r =>
+      val (id, rep) = (r.getLong(0), r.getLong(1))
+      assert(kept(id) == (id == rep), s"doc $id rep $rep kept=${kept(id)}")
+    }
+  }
+
   test("multimodal batched decode plumbing: stub frames match the column-arithmetic path") {
     import spark.implicits._
     val media = Seq(
