@@ -29,4 +29,13 @@ object Sinks {
   def jdbc(df: DataFrame, url: String, table: String,
            props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** Bucketed catalog table: co-locates join/agg keys at WRITE time so
+    * repeated joins on the bucket key skip their shuffle entirely — the
+    * replacement for the reference's per-key SQLite indexes
+    * (scan.py:71-73) at cluster scale. Requires a catalog (saveAsTable). */
+  def bucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }
