@@ -28,7 +28,16 @@ object Dedup {
       .agg(min(idCol).as("kept_" + idCol), count(lit(1)).as("n_copies"))
 
   /** Connected components over an undirected pair list: returns
-    * (id, cluster_rep) for every node, rep = min id of the component. */
+    * (id, cluster_rep) for every node, rep = min id of the component.
+    *
+    * Lineage hygiene for the at-scale loop: every 5 rounds the label
+    * frame is checkpointed (reliable if a checkpoint dir is set, local
+    * otherwise) — persist() truncates recompute but the PLAN still
+    * grows per round, and a 100 TB run with a deep graph would hit
+    * planner blow-up without the cut. The returned frame is detached
+    * from the loop's persisted intermediates (localCheckpoint), so
+    * `sym` and the final label frame are unpersisted before returning —
+    * no cache leak across a long session. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20): DataFrame = {
     val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
@@ -39,27 +48,45 @@ object Dedup {
       .persist()
     // labels only ever decrease, so Σlbl is a strictly-monotone
     // convergence witness: one single-row aggregate per round instead
-    // of a join-and-count against the previous frame.
-    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+    // of a join-and-count against the previous frame. sum over an
+    // EMPTY frame is a single null cell — a pair-free corpus is a
+    // normal input and must yield an empty result, not an NPE.
+    def lblSum(df: DataFrame): Option[Long] =
+      Option(df.agg(sum("lbl")).head.getAs[java.lang.Long](0)).map(_.longValue)
+    var prevSum = lblSum(labels)
+    if (prevSum.isEmpty) {
+      val empty = labels.select(col("id"), col("lbl").as("cluster_rep")).localCheckpoint()
+      labels.unpersist(); sym.unpersist()
+      return empty
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy("a").agg(min("nlbl").as("minNbr"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
+      val next =
+        (if ((iter + 1) % 5 == 0) {
+          if (stepped.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            stepped.checkpoint()
+          else stepped.localCheckpoint()
+        } else stepped)
         .persist()
-      val s = next.agg(sum("lbl")).head.getLong(0)
+      val s = lblSum(next)
       converged = s == prevSum
       prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
     }
-    labels.select(col("id"), col("lbl").as("cluster_rep"))
+    val out = labels.select(col("id"), col("lbl").as("cluster_rep")).localCheckpoint()
+    labels.unpersist()
+    sym.unpersist()
+    out
   }
 
   /** Survivors after near-dup clustering: drop every non-representative

@@ -116,13 +116,24 @@ object Extras {
         .toDF("op", "n").orderBy("op")
     },
 
-    // ---- A10: HLL approx-distinct — sketch values are engine-specific,
-    // so no SQL oracle; ExtrasSpec pins the ±5% envelope vs exact.
-    Q.noOracle("q60_approx_distinct") { (s, dir) =>
+    // ---- A10: HLL approx-distinct. The sketch VALUE is engine-specific
+    // (no cross-engine oracle exists for it), so the query emits the
+    // exact counts plus a self-asserting envelope: within_5pct must be
+    // TRUE, and the oracle hard-codes TRUE — if the engine's HLL ever
+    // drifts past ±5% of exact, the hash compare goes red. exact counts
+    // stay fully oracle-checked. (ExtrasSpec pins the envelope too.)
+    Q("q60_approx_distinct",
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey)::BIGINT AS exact_cust,
+        |       true AS within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       T.df(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
           countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("o_orderpriority"), col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust"))
+            <= col("exact_cust") * lit(0.05)).as("within_5pct"))
         .orderBy("o_orderpriority")
     },
 

@@ -24,6 +24,11 @@ def cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # Integer-valued floats keep their ".0" so an int64-vs-float64 dtype
+        # drift (e.g. DuckDB HUGEINT -> pandas float64) FAILS here like it
+        # does in the driver; %.9g used to mask exactly that (round-2 q47).
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
         return f"{v:.9g}"
     if isinstance(v, bytes):
         return v.hex()
