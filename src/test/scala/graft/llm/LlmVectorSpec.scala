@@ -9,19 +9,23 @@ class LlmVectorSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("IVF top-k: every query returns k ranked neighbors, recall@10 >= 0.5 vs brute force") {
+  test("IVF top-k: every query returns k ranked neighbors, recall@10 >= RecallBound vs brute force") {
     val brute = LlmVector.qs.find(_.name == "q43_ann_cosine_topk").get
       .run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    val ivf = LlmVector.qs.find(_.name == "q44_ann_ivf_topk").get
-      .run(spark, dir).collect()
+    val ivf = LlmVector.ivfTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(ivf.keys.toSet == brute.keys.toSet)
     ivf.foreach { case (q, neighbors) =>
       assert(neighbors.size == 10, s"query $q returned ${neighbors.size} neighbors")
       val recall = (neighbors & brute(q)).size / 10.0
-      assert(recall >= 0.5, s"query $q recall $recall below 0.5")
+      assert(recall >= LlmVector.RecallBound, s"query $q recall $recall below ${LlmVector.RecallBound}")
     }
+    // the graded query agrees: recall_ok is true for every query
+    val graded = LlmVector.qs.find(_.name == "q44_ann_ivf_topk").get
+      .run(spark, dir).collect()
+    assert(graded.length == brute.keys.size)
+    graded.foreach(r => assert(r.getBoolean(2), s"query ${r.getLong(0)} recall_ok=false"))
   }
 
   test("IVF is deterministic across runs") {

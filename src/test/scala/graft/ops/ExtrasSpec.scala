@@ -9,10 +9,8 @@ class ExtrasSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_cust").toDouble
-      val exact = r.getAs[Long]("exact_cust").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"${r.getString(0)}: HLL estimate drifted past 5% of exact=${r.getAs[Long]("exact_cust")}")
     }
   }
 }

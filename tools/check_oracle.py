@@ -27,7 +27,7 @@ def cell(v):
         # Integer-valued floats keep their ".0" so an int64-vs-float64 dtype
         # drift (e.g. DuckDB HUGEINT -> pandas float64) FAILS here like it
         # does in the driver; %.9g used to mask exactly that (round-2 q47).
-        if v == int(v) and abs(v) < 1e15:
+        if math.isfinite(v) and abs(v) < 1e15 and v == int(v):
             return f"{v:.1f}"
         return f"{v:.9g}"
     if isinstance(v, bytes):
