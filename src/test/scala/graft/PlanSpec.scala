@@ -40,6 +40,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "LSH degenerated to nested loop")
   }
 
+  test("q44 IVF: bucket assignment is a map-only projection — zero exchanges scan→bucket") {
+    // the r4 formulation (crossJoin(pivots) + row_number window) shuffled
+    // nlist× the corpus here; the NearestPivots expression must keep the
+    // whole assignment inside one stage (mirror of the q41 no-cartesian pin)
+    val p = llm.LlmVector.assignBuckets(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucket assignment shuffles:\n$p")
+    assert(!p.contains("Join"), s"bucket assignment joins:\n$p")
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan

@@ -16,11 +16,17 @@ class LlmVectorSpec extends SparkSpec {
     val ivf = LlmVector.ivfTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(ivf.keys.toSet == brute.keys.toSet)
-    ivf.foreach { case (q, neighbors) =>
+    val recalls = ivf.map { case (q, neighbors) =>
       assert(neighbors.size == 10, s"query $q returned ${neighbors.size} neighbors")
       val recall = (neighbors & brute(q)).size / 10.0
       assert(recall >= LlmVector.RecallBound, s"query $q recall $recall below ${LlmVector.RecallBound}")
+      recall
     }
+    // the measured plateau, not just the per-query floor: a regression
+    // inside the [RecallBound, plateau) dead zone must stay visible
+    // (ADVICE r4). nprobe=3 k-means pivots measure mean 0.80 here.
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall $mean fell below the measured ~0.8 plateau")
     // the graded query agrees: recall_ok is true for every query
     val graded = LlmVector.qs.find(_.name == "q44_ann_ivf_topk").get
       .run(spark, dir).collect()
