@@ -30,13 +30,34 @@ object Corpus {
 
   val Delimiter = "EudraCT Number:"
 
+  /** Bits reserved for the byte offset in a packed record_seq: a single
+    * landing file may be up to 1 TiB. The scraper writes one file per
+    * result page (a few MB), so real corpora sit ~6 orders of magnitude
+    * under the bound — but a silent wrap would corrupt first-non-blank
+    * merge ORDER, the one invariant everything downstream leans on, so
+    * the pack fails loudly instead. */
+  val OffsetBits = 40
+
+  /** record_seq = (file's lexical rank << 40) | byte offset. Total
+    * order across a multi-file corpus: file order first (the scraper
+    * names files by page, so lexical order IS corpus order), byte
+    * offset within a file. */
+  def packSeq(fileRank: Long, offset: Long): Long = {
+    require(offset >= 0 && offset < (1L << OffsetBits),
+      s"record byte offset $offset exceeds the ${1L << OffsetBits}-byte (1 TiB) " +
+        "single-file bound of the record_seq packing; split the landing file")
+    require(fileRank >= 0 && fileRank < (1L << (63 - OffsetBits)),
+      s"file rank $fileRank exceeds the record_seq packing bound")
+    fileRank << OffsetBits | offset
+  }
+
   /** Raw read: (record_seq, record_text) for every chunk between
-    * delimiters. record_seq = (file index << 40) | byte offset — files
-    * ordered lexicographically (the scraper names landing files by
-    * page, scrape.py:50, so lexical order IS corpus order), offset
-    * ordering within a file from the TextInputFormat key. The chunk at
-    * offset 0 of each file is pre-delimiter preamble (page headers,
-    * scrape.py:66) — dropped. */
+    * delimiters. record_seq = [[packSeq]](file's lexical rank, byte
+    * offset) — the scraper names landing files by page (scrape.py:50),
+    * so lexical order IS corpus order; offset ordering within a file
+    * comes from the TextInputFormat key. The chunk at offset 0 of each
+    * file is pre-delimiter preamble (page headers, scrape.py:66) —
+    * dropped. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", Delimiter)
@@ -76,7 +97,7 @@ object Corpus {
         val file = split.asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
           .getPath.toString
         val rank = rankB.value.getOrElse(file, 0L)
-        it.map { case (off, text) => (rank << 40 | off.get(), off.get(), text.toString) }
+        it.map { case (off, text) => (packSeq(rank, off.get()), off.get(), text.toString) }
       }
     import spark.implicits._
     withFile.toDF("record_seq", "offset", "record_text")

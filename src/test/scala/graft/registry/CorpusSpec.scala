@@ -80,6 +80,20 @@ class CorpusSpec extends SparkSpec {
     assert(locs == Set("Trial Status: Bogus"))
   }
 
+  test("record_seq packing: file rank and offset compose in order; a >1 TiB offset fails loudly") {
+    // ordering invariant: any (rank, offset) pair within bounds packs
+    // strictly monotonically — file order dominates, offset breaks ties
+    assert(Corpus.packSeq(0, 0) == 0L)
+    assert(Corpus.packSeq(0, 5000) == 5000L)
+    assert(Corpus.packSeq(3, 7) == (3L << Corpus.OffsetBits | 7))
+    assert(Corpus.packSeq(1, 0) > Corpus.packSeq(0, (1L << Corpus.OffsetBits) - 1))
+    // a single landing file beyond the 1 TiB offset space must throw,
+    // not silently corrupt merge order (round-2 verdict #10)
+    intercept[IllegalArgumentException](Corpus.packSeq(0, 1L << Corpus.OffsetBits))
+    intercept[IllegalArgumentException](Corpus.packSeq(-1, 0))
+    intercept[IllegalArgumentException](Corpus.packSeq(1L << 23, 0))
+  }
+
   test("mid-line 'EudraCT Number:' text DOES split (byte-delimiter semantics, documented)") {
     // The Hadoop record delimiter is a byte sequence, not line-anchored:
     // a title containing the literal marker splits the record. Real
