@@ -38,14 +38,14 @@ import scala.collection.mutable.ArrayBuffer
   * record with precompiled patterns; whole-stage codegen of the
   * surrounding projection is unaffected.
   */
-case class ExtractRecord(child: Expression)
+case class ExtractRecord(child: Expression, strict: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ExtractRecord.schema
   override def prettyName: String = "extract_record"
 
   protected override def nullSafeEval(input: Any): Any =
-    ExtractRecord.eval(input.asInstanceOf[UTF8String].toString)
+    ExtractRecord.eval(input.asInstanceOf[UTF8String].toString, strict)
 
   override protected def withNewChildInternal(newChild: Expression): ExtractRecord =
     copy(child = newChild)
@@ -95,9 +95,14 @@ object ExtractRecord {
   private def collapse(line: String): String =
     ws.matcher(line.trim).replaceAll(" ")
 
-  private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+  private def lowerDefault(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
-  def eval(text: String): InternalRow = {
+  def eval(text: String, strict: Boolean = false): InternalRow = {
+    // every non-title capture is case-normalized (scan.py:325): the
+    // engine default is locale-free toLowerCase; strict parity uses
+    // Python's casefold (ß→ss etc. — SURVEY §7.4.3)
+    val lower: String => String =
+      if (strict) StrictStrings.casefold else lowerDefault
     val out = new Array[Any](nTrial + 3)
     val lines = text.split('\n')
 

@@ -47,19 +47,22 @@ object TrialMerge {
   /** Full pipeline: corpus path → merged trial frame with nested child
     * collections (imps/sponsors/locations arrays) + flat child views.
     *
-    * `strictParity = true` replicates the reference's ACTUAL flag
-    * behavior — first non-blank wins because the yes-over-no upgrade is
-    * dead code (scan.py:297) — instead of the intended semantics the
-    * engine defaults to (SURVEY §7.4.4a; both pinned in
-    * RegistryGoldenSpec). */
+    * `strictParity = true` replicates the reference's ACTUAL behavior
+    * where the engine default deliberately diverges (both modes pinned
+    * in RegistryGoldenSpec): flags use first-non-blank because the
+    * yes-over-no upgrade is dead code (scan.py:297, SURVEY §7.4.4a),
+    * and string casing uses Python-faithful casefold/str.title instead
+    * of lower/initcap (scan.py:325/248, SURVEY §7.4.3). */
   def merge(spark: SparkSession, corpusPath: String,
             strictParity: Boolean = false): DataFrame = {
     // one-pass native extraction (see graft.plans.ExtractRecord): every
     // field, IMP/sponsor section, and location of a record from a single
-    // walk over its lines, instead of 54 separate regex passes
+    // walk over its lines, instead of 54 separate regex passes. In
+    // strict mode captures casefold like the reference (SURVEY §7.4.3).
     val exCol = org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.ExtractRecord(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("rec"))))
+        org.apache.spark.sql.GraftColumnBridge.expression(col("rec")),
+        strict = strictParity))
     val recs = Corpus.records(spark, corpusPath)
       .withColumn("ex", exCol)
       .select(
@@ -92,14 +95,17 @@ object TrialMerge {
       .agg(fieldAggs.head, (fieldAggs.tail ++ childAggs): _*)
 
     // Sponsor post-processing (pure array expressions, no extra shuffle):
-    // flatten record-ordered sections, title-case (scan.py:248; initcap ≈
-    // str.title, pinned divergence SURVEY §7.4.3), dedup keeping first
-    // occurrence, ""→null.
+    // flatten record-ordered sections, title-case (scan.py:248; default
+    // initcap ≈ str.title, pinned divergence SURVEY §7.4.3 — strict
+    // parity swaps in the Python-faithful title-caser), dedup keeping
+    // first occurrence, ""→null.
+    val titleize: Column => Column =
+      if (strictParity) graft.plans.StrictStrings.pyTitleCol else initcap
     val flatSponsors = flatten(transform(col("sponsor_recs"), r => r.getField("sps")))
     val titled = transform(flatSponsors, sp => struct(
-      initcap(sp.getField("name")).as("name"),
-      initcap(sp.getField("org")).as("org"),
-      initcap(sp.getField("contact")).as("contact"),
+      titleize(sp.getField("name")).as("name"),
+      titleize(sp.getField("org")).as("org"),
+      titleize(sp.getField("contact")).as("contact"),
       sp.getField("email").as("email")))
     val deduped = filter(titled, (x, i) =>
       !exists(slice(titled, lit(1), i), y => y === x))

@@ -63,6 +63,38 @@ class RegistryGoldenSpec extends SparkSpec {
     assert(locs == Set("Switzerland")) // 'United Kingdom' dropped by (\S*) capture
   }
 
+  test("LEDGER §7.4.3: default mode keeps lower/initcap; strict mode is Python casefold/title") {
+    // a German-sponsor corpus: 'Straße' separates casefold (ß→ss) from
+    // lower (ß kept), and O'Brien separates str.title (uppercase after
+    // any un-cased char) from initcap (whitespace-split words only)
+    val p = java.nio.file.Paths.get("/tmp/graft/corpus_spec_strict_strings.txt")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      ("EudraCT Number: 2014-000014-14\n" +
+        "B.1.1 Name of Sponsor: Straße O'Brien Pharma\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def sponsorName(strict: Boolean): String =
+      TrialMerge.merge(spark, p.toString, strictParity = strict)
+        .select(org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("sponsors"), 1).getField("name"))
+        .head().getString(0)
+    // reference: capture.casefold() → "strasse o'brien pharma", then
+    // .title() → "Strasse O'Brien Pharma" (scan.py:325, scan.py:248)
+    assert(sponsorName(strict = true) == "Strasse O'Brien Pharma")
+    // engine default: lower() keeps ß, initcap capitalizes per
+    // whitespace word → pinned divergence
+    assert(sponsorName(strict = false) == "Straße O'brien Pharma")
+  }
+
+  test("LEDGER §7.4.3: strict pyTitle/casefold primitives match CPython on the edge cases") {
+    import graft.plans.StrictStrings._
+    assert(casefold("Straße") == "strasse")
+    assert(casefold("ẞ") == "ss") // capital sharp s full-folds too
+    assert(pyTitle("o'brien") == "O'Brien")   // initcap: "O'brien"
+    assert(pyTitle("abc1def") == "Abc1Def")   // digit is un-cased: restart
+    assert(pyTitle("they're bill's") == "They'Re Bill'S") // CPython quirk, faithfully
+  }
+
   test("search: expr() predicates + semi-join chain narrow correctly (toexcel.py:109-115)") {
     val ids = Search.search(t, Search.Query(
       trial = Some("overall_status = 'ongoing'"),
