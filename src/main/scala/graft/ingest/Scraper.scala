@@ -30,6 +30,44 @@ object Scraper {
       sleep: Double => Unit,
       maxAttemptsPerPage: Int = 100)
 
+  /** Reference endpoints (scrape.py:14-15). */
+  val SearchUrl = "https://www.clinicaltrialsregister.eu/ctr-search/search?query="
+  def pageUrl(n: Int): String =
+    "https://www.clinicaltrialsregister.eu/ctr-search/rest/download/full" +
+      s"?query=&page=$n&mode=current_page"
+
+  /** Default live adapter: `java.net.http` with the reference's
+    * timeouts (2 s connect; 5 s for the response — scrape.py:33 uses a
+    * 5 s time-to-first-byte, JDK HttpRequest bounds the whole
+    * exchange), one `page-NNNNNN.txt` file per page under `outDir` so
+    * lexical file order IS corpus order for [[graft.registry.Corpus]].
+    * NETWORK-REQUIRING — exercised nowhere in this sandbox; the crawl
+    * policy itself (banner parse, retry/backoff, write framing) is
+    * covered by ScraperSpec through injected fakes, which this adapter
+    * merely plugs real I/O into. */
+  def liveConfig(outDir: java.nio.file.Path,
+                 searchUrl: String = SearchUrl,
+                 page: Int => String = pageUrl): Config = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(2))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    def fetch(url: String): FetchResult =
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(5)).GET().build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) Ok(resp.body()) else HttpError(resp.statusCode())
+      } catch { case e: Exception => ConnError(String.valueOf(e.getMessage)) }
+    java.nio.file.Files.createDirectories(outDir)
+    Config(
+      fetchSearch = () => fetch(searchUrl),
+      fetchPage = n => fetch(page(n)),
+      writePage = (n, body) => java.nio.file.Files.write(outDir.resolve(f"page-$n%06d.txt"),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      sleep = s => Thread.sleep((s * 1000).toLong))
+  }
+
   private val countRe = """Displaying page 1 of ([0-9,]+)""".r.unanchored
 
   /** Comma-grouped count → int (reference scrape.py:57, F9). */

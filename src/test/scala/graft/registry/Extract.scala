@@ -3,7 +3,14 @@ package graft.registry
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Per-record columnar extraction (reference scan.py:310-327 + the parse
+/** TEST-SCOPE cross-validation path: the declarative 54-regex
+  * formulation of per-record extraction, superseded in the shipped
+  * pipeline by the one-pass native [[graft.plans.ExtractRecord]]
+  * expression (VERDICT r4 #4). Kept under test/ as the independent
+  * second implementation that ExtractRecordSpec and StreamingSpec pin
+  * the native path against.
+  *
+  * Per-record columnar extraction (reference scan.py:310-327 + the parse
   * state machine scan.py:330-407, re-expressed as pure column
   * expressions). Everything here is per-row — no cross-row state, no
   * shuffle, fully inside whole-stage codegen.
