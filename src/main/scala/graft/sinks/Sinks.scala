@@ -6,8 +6,9 @@ import org.apache.spark.sql.DataFrame
   *
   * Parquet is the primary cluster sink; single-file CSV serves the
   * reference's Excel role (toexcel.py:126-162 — Excel itself is a
-  * driver-side conversion, not a cluster concern); JDBC covers the
-  * reference's stated Postgres goal (README.md:8).
+  * driver-side conversion, not a cluster concern; [[Xlsx]] is that
+  * post-step); JDBC covers the reference's stated Postgres goal
+  * (README.md:8).
   */
 object Sinks {
 
