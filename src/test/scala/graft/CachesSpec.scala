@@ -1,0 +1,32 @@
+package graft
+
+/** Release-hook computation: each cache family must fire exactly once,
+  * right after its LAST consumer in the sweep order — too early wastes
+  * recomputation, never leaks persisted frames across the sweep. */
+class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("hooks fire after each family's last consumer in registration order") {
+    val order = SparkEntry.all.map(_.name)
+    val hooks = Caches.releaseHooks(order)
+    // every family with a consumer present resolves to exactly one hook
+    assert(hooks.values.map(_.size).sum == 3)
+    // the hook for the text-dedup family sits at the LAST of its
+    // consumers; no earlier consumer carries a hook
+    val textConsumers = Seq("q39_dedup_ngram_jaccard", "q40_dedup_minhash_sig",
+      "q41_dedup_minhash_lsh", "q42_dedup_simhash", "q48_text_fingerprint",
+      "q57_dedup_clusters").filter(order.contains)
+    val last = textConsumers.maxBy(order.indexOf)
+    assert(hooks.contains(last))
+    textConsumers.filter(_ != last).foreach(q => assert(!hooks.contains(q)))
+  }
+
+  test("every hooked query name is a registered query") {
+    val names = SparkEntry.all.map(_.name).toSet
+    Caches.releaseHooks(names.toSeq).keys.foreach(k => assert(names(k)))
+  }
+
+  test("a sweep without a family's consumers gets no hook for it") {
+    val hooks = Caches.releaseHooks(Seq("q1_agg", "q2_filter_project"))
+    assert(hooks.isEmpty)
+  }
+}
