@@ -1,0 +1,33 @@
+package graft
+
+/** The no-leak property behind round 5's bench stabilization: after a
+  * family's release fires, NOTHING that family persisted stays in the
+  * storage tier. Pinned via SparkContext's persistent-RDD registry
+  * (suites run sequentially in one forked JVM, so the counts are
+  * race-free; baseline is taken after a full release because earlier
+  * suites may legitimately hold memoized registry frames). */
+class CacheReleaseSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def persisted = spark.sparkContext.getPersistentRDDs.size
+
+  test("releaseAll drops every frame the query families persisted") {
+    Caches.releaseAll(spark)
+    val base = persisted
+    // populate all three families
+    SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir).count()
+    SparkEntry.queries("q43_ann_cosine_topk")(spark, dir).count()
+    SparkEntry.queries("q32_registry_trial")(spark, dir).count()
+    assert(persisted > base, "families did not persist anything — consumers changed?")
+    Caches.releaseAll(spark)
+    assert(persisted <= base,
+      s"release leaked: $persisted persistent RDDs remain (baseline $base)")
+  }
+
+  test("released families recompute transparently on the next call") {
+    Caches.releaseAll(spark)
+    val again = SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir).count()
+    assert(again > 0)
+    Caches.releaseAll(spark)
+  }
+}
