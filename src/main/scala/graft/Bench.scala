@@ -46,6 +46,7 @@ object Bench {
       hooks.getOrElse(q.name, Nil).foreach(_(spark))
       q.name -> dt
     }
+    Caches.releaseAll(spark) // backstop against consumer-set drift
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Caches {
 
+  // NOTE: adding a query that calls into a family's memoized frames
+  // (Registry.load / LlmText.tokenHashArr-docShingles-lshPairs /
+  // LlmVector.bruteTopk-pivots) requires adding its name here, or the
+  // release fires before the new last consumer and its recomputed
+  // frames stay resident for the rest of the sweep. Sweeps should also
+  // call releaseAll at the end as a drift backstop (Bench does).
   private val families: Seq[(Set[String], SparkSession => Unit)] = Seq(
     (Set("q32_registry_trial", "q33_registry_flags", "q34_registry_imp",
       "q35_registry_sponsor", "q36_registry_location", "q37_registry_search_export"),

@@ -58,7 +58,11 @@ object Scraper {
           .timeout(java.time.Duration.ofSeconds(5)).GET().build()
         val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         if (resp.statusCode() == 200) Ok(resp.body()) else HttpError(resp.statusCode())
-      } catch { case e: Exception => ConnError(String.valueOf(e.getMessage)) }
+      } catch {
+        // interruption must CANCEL the crawl, not become a retriable error
+        case e: InterruptedException => Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) => ConnError(String.valueOf(e.getMessage))
+      }
     java.nio.file.Files.createDirectories(outDir)
     Config(
       fetchSearch = () => fetch(searchUrl),

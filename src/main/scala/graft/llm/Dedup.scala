@@ -31,17 +31,19 @@ object Dedup {
     * (id, cluster_rep) for every node, rep = min id of the component.
     *
     * Lineage hygiene for the at-scale loop: EVERY round the label
-    * frame is checkpointed (reliable if a checkpoint dir is set, local
-    * otherwise; lazily — the convergence-witness action right after
-    * materializes it, so no extra job). persist() alone truncates
-    * recompute but the LOGICAL plan still nests per round and analysis
-    * cost grows ~4× a round — measured on a 477-node graph: rounds of
-    * 2.3 s → 5.2 s → 26 s → 94 s under the old every-5-rounds cut,
-    * ~0.5 s flat with the per-round cut. The returned frame is
-    * detached from the loop's persisted intermediates
-    * (localCheckpoint), so `sym` and the final label frame are
-    * unpersisted before returning — no cache leak across a long
-    * session. */
+    * frame's Catalyst lineage is cut by rebuilding the Dataset from
+    * its materialized RDD (`createDataFrame(rdd, schema)`). persist()
+    * alone truncates recompute but the LOGICAL plan still nests per
+    * round and ANALYSIS cost grows ~4× a round — measured on a
+    * 477-node graph: rounds of 2.3 s → 5.2 s → 26 s → 94 s, ~0.5 s
+    * flat with the cut. The RDD handle is held explicitly so each
+    * round's storage is unpersisted deterministically once the next
+    * round materializes (localCheckpoint would store a copy the
+    * Dataset API gives no handle to release). The returned frame is a
+    * plain projection over the FINAL round's persisted RDD — one
+    * result-sized footprint, dropped by the ContextCleaner when the
+    * caller's plan releases it; `sym` and every intermediate are freed
+    * before returning. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20): DataFrame = {
     val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
@@ -59,10 +61,12 @@ object Dedup {
       Option(df.agg(sum("lbl")).head.getAs[java.lang.Long](0)).map(_.longValue)
     var prevSum = lblSum(labels)
     if (prevSum.isEmpty) {
-      val empty = labels.select(col("id"), col("lbl").as("cluster_rep")).localCheckpoint()
+      val empty = labels.select(col("id"), col("lbl").as("cluster_rep"))
       labels.unpersist(); sym.unpersist()
-      return empty
+      return empty // empty graph: recomputing the 0-row plan is free
     }
+    val session = pairs.sparkSession
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -73,19 +77,18 @@ object Dedup {
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
-      val next =
-        (if (stepped.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          stepped.checkpoint(eager = false)
-        else stepped.localCheckpoint(eager = false))
-        .persist()
-      val s = lblSum(next)
+      val cut = stepped.rdd.persist()
+      val next = session.createDataFrame(cut, stepped.schema)
+      val s = lblSum(next) // materializes `cut`
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
+      labels.unpersist() // round 0's Dataset cache; later rounds hold RDDs
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(cut)
       labels = next
       iter += 1
     }
-    val out = labels.select(col("id"), col("lbl").as("cluster_rep")).localCheckpoint()
+    val out = labels.select(col("id"), col("lbl").as("cluster_rep"))
     labels.unpersist()
     sym.unpersist()
     out

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -30,10 +31,20 @@ case class NearestPivots(child: Expression, pivots: Array[Array[Double]], n: Int
 
   require(n >= 1 && n <= pivots.length, s"n=$n out of range for ${pivots.length} pivots")
 
+  // analysis-time type pin: getFloat on anything but array<float> would
+  // silently reinterpret bytes
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_pivots"
 
-  /** Dots then a top-n selection scan; `in` is the row's float array. */
+  /** Dots then a top-n selection scan; `in` is the row's float array.
+    * Dirty data stays total: null elements contribute 0, a NaN dot
+    * (corrupt floats) sorts below every finite dot — never a crash,
+    * and on an all-NaN row the n smallest pivot ids come out. */
   def topN(in: ArrayData): ArrayData = {
     val dots = new Array[Double](pivots.length)
     var j = 0
@@ -42,8 +53,11 @@ case class NearestPivots(child: Expression, pivots: Array[Array[Double]], n: Int
       val len = math.min(p.length, in.numElements())
       var d = 0d
       var i = 0
-      while (i < len) { d += in.getFloat(i) * p(i); i += 1 }
-      dots(j) = d
+      while (i < len) {
+        if (!in.isNullAt(i)) d += in.getFloat(i) * p(i)
+        i += 1
+      }
+      dots(j) = if (java.lang.Double.isNaN(d)) Double.NegativeInfinity else d
       j += 1
     }
     val out = new Array[Int](n)
@@ -54,7 +68,7 @@ case class NearestPivots(child: Expression, pivots: Array[Array[Double]], n: Int
       var bd = Double.NegativeInfinity
       var k = 0
       while (k < dots.length) {
-        if (!taken(k) && dots(k) > bd) { bd = dots(k); best = k }
+        if (!taken(k) && (best == -1 || dots(k) > bd)) { bd = dots(k); best = k }
         k += 1
       }
       taken(best) = true

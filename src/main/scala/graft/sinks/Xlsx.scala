@@ -112,8 +112,10 @@ object Xlsx {
         case n: Short => sb ++= s"""<c r="$ref"$style><v>$n</v></c>"""
         case n: Int => sb ++= s"""<c r="$ref"$style><v>$n</v></c>"""
         case n: Long => sb ++= s"""<c r="$ref"$style><v>$n</v></c>"""
-        case n: Float => sb ++= s"""<c r="$ref"$style><v>$n</v></c>"""
-        case n: Double => sb ++= s"""<c r="$ref"$style><v>$n</v></c>"""
+        // NaN/Infinity are not valid OOXML numbers — Excel declares the
+        // whole workbook corrupt. Emit them as inline strings instead.
+        case n: Float if java.lang.Float.isFinite(n) => sb ++= s"""<c r="$ref"$style><v>$n</v></c>"""
+        case n: Double if java.lang.Double.isFinite(n) => sb ++= s"""<c r="$ref"$style><v>$n</v></c>"""
         case n: java.math.BigDecimal => sb ++= s"""<c r="$ref"$style><v>${n.toPlainString}</v></c>"""
         case b: Boolean => sb ++= s"""<c r="$ref"$style t="b"><v>${if (b) 1 else 0}</v></c>"""
         case s => sb ++= s"""<c r="$ref"$style t="inlineStr"><is><t xml:space="preserve">${esc(s.toString)}</t></is></c>"""

@@ -47,6 +47,25 @@ class NearestPivotsSpec extends SparkSpec {
       NearestPivots(GraftColumnBridge.expression(col("embedding")), pivots, 0))
   }
 
+  test("dirty data stays total: NaN floats and null elements never crash") {
+    // all-NaN row: every dot folds to -Inf, smallest pivot ids win
+    assert(topN(Seq(Float.NaN, Float.NaN), 2) == Seq(0, 1))
+    // null element contributes zero: dots 1.0, 0.0, 0.6
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[java.lang.Float](1f, null))).toDF("embedding")
+    val c = GraftColumnBridge.column(
+      NearestPivots(GraftColumnBridge.expression(col("embedding").cast("array<float>")), pivots, 3))
+    assert(df.select(c).head().getSeq[Int](0) == Seq(0, 2, 1))
+  }
+
+  test("analysis rejects non-float-array input") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("embedding") // array<double>
+    val c = GraftColumnBridge.column(
+      NearestPivots(GraftColumnBridge.expression(col("embedding")), pivots, 1))
+    intercept[org.apache.spark.sql.AnalysisException](df.select(c).head())
+  }
+
   test("interpreted eval agrees with the codegen path") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](1f, 1f))

@@ -57,6 +57,19 @@ class XlsxSpec extends SparkSpec {
     } finally z.close()
   }
 
+  test("non-finite doubles become inline strings, not corrupt numeric cells") {
+    val out = java.nio.file.Files.createTempDirectory("graft_xlsx").resolve("nan.xlsx")
+    Xlsx.write(Seq("x", "y", "z"),
+      Iterator(Seq(Double.NaN, Double.PositiveInfinity, 1.5d)), out, sheet = "t")
+    val z = new ZipFile(out.toFile)
+    try {
+      val sheet = readEntry(z, "xl/worksheets/sheet1.xml")
+      assert(sheet.contains("""<c r="A2" t="inlineStr"><is><t xml:space="preserve">NaN</t></is></c>"""))
+      assert(sheet.contains("""t="inlineStr"><is><t xml:space="preserve">Infinity"""))
+      assert(sheet.contains("""<c r="C2"><v>1.5</v></c>"""))
+    } finally z.close()
+  }
+
   test("column references follow A1 lettering past Z") {
     assert(Seq(0, 25, 26, 27, 51, 52, 701, 702).map(Xlsx.colRef) ==
       Seq("A", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"))
