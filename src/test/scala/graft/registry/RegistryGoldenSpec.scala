@@ -93,6 +93,10 @@ class RegistryGoldenSpec extends SparkSpec {
     assert(pyTitle("o'brien") == "O'Brien")   // initcap: "O'brien"
     assert(pyTitle("abc1def") == "Abc1Def")   // digit is un-cased: restart
     assert(pyTitle("they're bill's") == "They'Re Bill'S") // CPython quirk, faithfully
+    // accents + the ĳ digraph (validated byte-for-byte against the
+    // reference's own CPython output on a Unicode corpus — BASELINE.md)
+    assert(casefold("ÉCOLE D'ÉTÉ ĲSSELMEER") == "école d'été ĳsselmeer")
+    assert(pyTitle("école d'été ĳsselmeer") == "École D'Été Ĳsselmeer")
   }
 
   test("search: expr() predicates + semi-join chain narrow correctly (toexcel.py:109-115)") {
