@@ -58,7 +58,7 @@ object Dedup {
     // EMPTY frame is a single null cell — a pair-free corpus is a
     // normal input and must yield an empty result, not an NPE.
     def lblSum(df: DataFrame): Option[Long] =
-      Option(df.agg(sum("lbl")).head.getAs[java.lang.Long](0)).map(_.longValue)
+      Option(df.agg(sum("lbl")).head().getAs[java.lang.Long](0)).map(_.longValue)
     var prevSum = lblSum(labels)
     if (prevSum.isEmpty) {
       val empty = labels.select(col("id"), col("lbl").as("cluster_rep"))

@@ -181,6 +181,14 @@ object LlmVector {
       .withColumn("bucket", bucketCol(col("embedding"), ps))
   }
 
+  /** The 100 TB index build: materialize the corpus BUCKET-PARTITIONED,
+    * so query-time probing reads only nprobe/nlist of the files
+    * (partition pruning on `bucket`) instead of scanning everything.
+    * Still one map-only pass — assignment is the [[assignBuckets]]
+    * projection; the only cost beyond the scan is the write itself. */
+  def writeBucketedIndex(s: SparkSession, dir: String, out: String): Unit =
+    graft.sinks.Sinks.parquet(assignBuckets(s, dir), out, partitionBy = Seq("bucket"))
+
   /** Raw IVF result: (query_id, rank, neighbor_id). Bucket assignment
     * is the shuffle-free projection above; queries probe their
     * [[NProbe]] nearest buckets and are BROADCAST to the bucketed

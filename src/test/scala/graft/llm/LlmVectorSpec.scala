@@ -65,6 +65,20 @@ class LlmVectorSpec extends SparkSpec {
     }
   }
 
+  test("bucketed IVF index write: partition pruning reads only probed buckets") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    LlmVector.writeBucketedIndex(spark, dir, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(dirs.nonEmpty && dirs.length <= 16)
+    // a single-bucket probe plans a pruned scan: only that partition's files
+    val pruned = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("bucket") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), s"no partition pruning:\n$plan")
+    // round-trips the full corpus
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+  }
+
   test("multimodal batched decode plumbing: stub frames match the column-arithmetic path") {
     import spark.implicits._
     val media = Seq(
