@@ -162,6 +162,23 @@ object Extras {
           T.dbl(round(expr("percentile(l_quantity, 0.9)").cast("decimal(12,2)"), 2)).as("p90"),
           T.dbl(min(col("l_quantity"))).as("mn"), T.dbl(max(col("l_quantity"))).as("mx"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- Skew-salted join (the brief's explicit-salting technique as
+    // a first-class operator, see [[SkewJoin]]): the salted plan must
+    // produce EXACTLY the plain equi-join's result — the oracle is the
+    // plain join, so any salting bug (lost rows, double-replication)
+    // flips the hash compare.
+    Q("q61_skew_salted_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      SkewJoin.saltedJoin(T.df(s, dir, "lineitem"), "l_orderkey",
+          T.df(s, dir, "orders"), "o_orderkey", 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), T.dbl(sum(T.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("o_orderpriority")
     }
   )
 }
