@@ -154,21 +154,32 @@ object LlmText {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def tokenHashArr(s: SparkSession, dir: String): DataFrame =
     hashCache.computeIfAbsent((s, dir), _ => {
-      val toks = docs(s, dir)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      val dict = toks.select("w").distinct()
-        .withColumn("h", wordHash(col("w")))
-        .persist()
-      val dictSide = if (dict.count() <= BroadcastVocabCap) broadcast(dict) else dict
-      val out = toks.join(dictSide, "w")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
-        .select(col("doc_id"), transform(col("ph"), p => p.getField("h")).as("hs"))
-        .persist()
+      val (plan, dict) = tokenHashArrPlan(s, dir, BroadcastVocabCap)
+      val out = plan.persist()
       out.count() // materialize before releasing the dictionary
       dict.unpersist()
       out
     })
+
+  /** The un-memoized plan plus its persisted dictionary — the caller
+    * materializes `_1` and then unpersists `_2`. The vocabulary cap is
+    * injectable so the shuffle-join fallback (an open web-scale
+    * vocabulary would OOM a broadcast) is testable; the spec pins both
+    * sides equal. */
+  private[llm] def tokenHashArrPlan(s: SparkSession, dir: String,
+                                    vocabCap: Long): (DataFrame, DataFrame) = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val dict = toks.select("w").distinct()
+      .withColumn("h", wordHash(col("w")))
+      .persist()
+    val dictSide = if (dict.count() <= vocabCap) broadcast(dict) else dict
+    val out = toks.join(dictSide, "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
+      .select(col("doc_id"), transform(col("ph"), p => p.getField("h")).as("hs"))
+    (out, dict)
+  }
 
   /** Shingle sets from the token-hash arrays (cheap arithmetic
     * transform), persisted: the sketch is computed ONCE and reused by

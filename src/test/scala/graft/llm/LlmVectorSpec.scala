@@ -65,6 +65,18 @@ class LlmVectorSpec extends SparkSpec {
     }
   }
 
+  test("vocab-cap shuffle-join fallback produces the same token hashes as the broadcast path") {
+    // cap 0 forces the open-vocabulary path (no broadcast hint); the
+    // dictionary-join result must be identical either way
+    val (bPlan, bDict) = LlmText.tokenHashArrPlan(spark, dir, Long.MaxValue)
+    val (sPlan, sDict) = LlmText.tokenHashArrPlan(spark, dir, 0L)
+    try {
+      val b = bPlan.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val s = sPlan.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(b.nonEmpty && b == s)
+    } finally { bDict.unpersist(); sDict.unpersist() }
+  }
+
   test("bucketed IVF index write: partition pruning reads only probed buckets") {
     val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
     LlmVector.writeBucketedIndex(spark, dir, out)
