@@ -17,6 +17,21 @@ import graft.core.{Q, T}
   */
 object Streams {
 
+  /** Streaming exact-dedup for a document ingest stream: drop every
+    * record whose `keyCol` was already seen within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keeps one state row per
+    * key and EXPIRES state once the key's event time falls behind the
+    * watermark — the property that makes streaming dedup viable at
+    * 100 TB/day, where an unbounded `dropDuplicates` state would grow
+    * forever. Exactly-once within the horizon; re-emission of a key
+    * after the horizon passes is the documented trade (tune the delay
+    * to the upstream's max duplicate lag). StreamingSpec pins both the
+    * dedup and the cross-batch state retention. */
+  def dedupStream(in: DataFrame, keyCol: String, tsCol: String,
+                  watermarkDelay: String): DataFrame =
+    in.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   val qs: Seq[Q] = Seq(
     Q("q55_stream_window",
       """SELECT cast(date_trunc('day', ts) as date)::VARCHAR AS day, event_type, count(*) AS n

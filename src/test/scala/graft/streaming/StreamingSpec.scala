@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 10:40:00" -> 1L))
   }
 
+  test("streaming exact-dedup drops within-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Streams.dedupStream(
+        input.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_test").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: two docs, one duplicated in-batch
+    input.addData((t(0), 1L, "a"), (t(1), 1L, "a-dup"), (t(2), 2L, "b"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of doc 1 (still within watermark)
+    // plus a new doc
+    input.addData((t(3), 1L, "a-dup2"), (t(4), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_test")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exactly one survivor per doc_id, and it is the FIRST arrival
+    assert(kept == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("stateful incremental merge on SHUFFLED records equals batch TrialMerge") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
