@@ -129,44 +129,41 @@ object LlmText {
   private[llm] def docs(s: SparkSession, dir: String): DataFrame =
     T.df(s, dir, "documents").repartition(col("doc_id"))
 
-  /** Token hashes via the DICTIONARY pattern: hash each DISTINCT token
-    * once (the corpus vocabulary is orders of magnitude smaller than
-    * the token stream), and join it back. The char-level polynomial
-    * hash is interpreted (higher-order functions don't codegen), so
-    * evaluating it per corpus-token instead of per vocab-word was a
-    * 30× slowdown.
+  /** Token hashes (doc_id, hs: array<long>, token order), persisted
+    * once per (session, dir). The hashing itself is the
+    * [[graft.plans.TextKernels.tokenHashes]] native kernel — a compiled
+    * per-row loop inside whole-stage codegen — so this frame is a
+    * MAP-ONLY projection of the corpus scan: zero shuffles before the
+    * first signature exists (PlanSpec pins it). Docs with no tokens are
+    * dropped, matching the relational path (inner explode) and the
+    * oracle (no `wh` rows).
     *
-    * The dictionary join is broadcast ONLY while the vocabulary fits a
-    * driver/executor-sized table ([[BroadcastVocabCap]] ≈ 100 MB of
-    * (word, hash) rows). A web-scale corpus has an OPEN vocabulary
-    * (typos, URLs, IDs — billions of distinct tokens at 100 TB), where
-    * a broadcast would OOM: above the cap we fall back to a plain
-    * shuffle hash join on `w` — one extra shuffle of the token stream,
-    * bounded at ANY vocabulary size. The count that picks the side is
-    * one cheap job over the persisted distinct frame, paid once per
-    * (session, dir).
-    *
-    * Returns (doc_id, hs: array<long>) in token order, persisted once
-    * per (session, dir) — repeated calls must not stack fresh cache
-    * entries. */
+    * Rounds 2–5 computed this via the DICTIONARY pattern (hash each
+    * distinct token once, broadcast-join it back) because higher-order
+    * function lambdas evaluate interpreted — that formulation is kept
+    * in [[tokenHashArrPlan]] as a spec-pinned differential cross-check
+    * of the kernel, and as the open-vocabulary fallback discussion. */
   val BroadcastVocabCap = 4000000L
   private val hashCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def tokenHashArr(s: SparkSession, dir: String): DataFrame =
-    hashCache.computeIfAbsent((s, dir), _ => {
-      val (plan, dict) = tokenHashArrPlan(s, dir, BroadcastVocabCap)
-      val out = plan.persist()
-      out.count() // materialize before releasing the dictionary
-      dict.unpersist()
-      out
-    })
+    hashCache.computeIfAbsent((s, dir), _ =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.plans.TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .persist())
 
-  /** The un-memoized plan plus its persisted dictionary — the caller
-    * materializes `_1` and then unpersists `_2`. The vocabulary cap is
-    * injectable so the shuffle-join fallback (an open web-scale
-    * vocabulary would OOM a broadcast) is testable; the spec pins both
-    * sides equal. */
-  private[llm] def tokenHashArrPlan(s: SparkSession, dir: String,
+  /** The relational DICTIONARY formulation of [[tokenHashArr]] (hash
+    * each DISTINCT token once, join it back), un-memoized, plus its
+    * persisted dictionary — the caller materializes `_1` and then
+    * unpersists `_2`. Kept as the differential cross-check of the
+    * native kernel (TextKernelsSpec pins all three paths equal) and to
+    * document the open-vocabulary trade-off: the dictionary join is
+    * broadcast only under `vocabCap` distinct tokens; a web-scale
+    * corpus (billions of distinct tokens) falls back to a shuffle hash
+    * join on `w`, bounded at any vocabulary size. */
+  private[graft] def tokenHashArrPlan(s: SparkSession, dir: String,
                                     vocabCap: Long): (DataFrame, DataFrame) = {
     val toks = docs(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
@@ -187,11 +184,15 @@ object LlmText {
     * "materialize signatures, then join" shape a 100 TB run uses by
     * writing the signature table out before the bucket join. */
   /** MinHash-LSH verified near-dup pairs (shared by q41 and q57).
-    * Signatures computed RELATIONALLY: explode shingles once, then 64
-    * codegen'd min-aggregates with map-side partial combine — far
-    * faster than per-row array transforms (higher-order functions are
-    * interpreted), and the exact shape a 100 TB run uses: one shuffle
-    * on doc_id, then signatures persist for the bucket join.
+    * Signatures and band keys are the
+    * [[graft.plans.TextKernels.minhashBands]] native kernel — 64
+    * minhashes and 16 band keys in one compiled per-row loop — so the
+    * path from corpus scan to band keys is MAP-ONLY (PlanSpec pins
+    * zero Exchange): at 100 TB the ONLY shuffle in candidate
+    * generation is the bucket join itself, and signatures never move.
+    * (Rounds 3–5 computed the same values relationally: explode
+    * shingles + 64 min-aggregates — one extra shuffle on doc_id;
+    * TextKernelsSpec pins the kernel equal to that formulation.)
     *
     * The VERIFIED pair frame is memoized per (session, dir) and
     * materialized eagerly: q41 (pair listing) and q57 (clustering over
@@ -204,17 +205,9 @@ object LlmText {
   private[llm] def lshPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), _ => {
       val docs = docShingles(s, dir)
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
-      val sigCols = (1 to 64).map(sd =>
-        min((col("h") * (ABase * sd % M) + 7919L * sd) % M).as(s"m$sd"))
-      val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandKeys = (0 until 16).map { b =>
-        ((((col(s"m${4 * b + 1}") * 31
-          + col(s"m${4 * b + 2}")) % M * 31
-          + col(s"m${4 * b + 3}")) % M * 31
-          + col(s"m${4 * b + 4}")) % M)
-      }
-      val bands = sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      val bands = docs
+        .select(col("doc_id"),
+          posexplode(graft.plans.TextKernels.minhashBands(col("sh"))))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
         .persist()
       val pairs = verifiedPairs(docs,
@@ -234,10 +227,8 @@ object LlmText {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s, dir), _ =>
       tokenHashArr(s, dir)
-        .select(col("doc_id"), array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - 2, lit(0))),
-          i => shingleHash(element_at(col("hs"), i), element_at(col("hs"), i + 1),
-            element_at(col("hs"), i + 2)))).as("sh"))
+        .select(col("doc_id"),
+          graft.plans.TextKernels.shingleSet(col("hs")).as("sh"))
         .filter(size(col("sh")) > 0)
         .persist())
 
@@ -342,22 +333,16 @@ object LlmText {
          |SELECT doc_id,
          |       sum(CASE WHEN acc > 0 THEN (${pow2Sql})[k+1] ELSE 0 END)::BIGINT AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // ONE codegen'd aggregation: 30 conditional sums (one per bit)
-      // over the exploded token-hash stream. The oracle's tf weighting
-      // is algebraically identical to summing ±1 per OCCURRENCE
-      // (Σ_h tf(h)·sign_k(h) = Σ_tokens sign_k), so no tf pre-pass and
-      // no 30× bit-position explode — a single shuffle on doc_id with
-      // map-side partial combine, the same plan at 100 TB. shiftright
-      // is exact integer bit extraction (h ≥ 0 always).
-      val bitAccs = (0 until 30).map(k =>
-        sum(shiftright(col("h"), k) % 2 * 2 - 1).as(s"acc$k"))
+      // Per-row native kernel (graft.plans.SimHash): the oracle's tf
+      // weighting is algebraically identical to summing ±1 per
+      // OCCURRENCE (Σ_h tf(h)·sign_k(h) = Σ_tokens sign_k), and the
+      // kernel runs that accumulation in one compiled loop per row —
+      // ZERO shuffles from scan to sketch (rounds 3–5 used 30
+      // conditional sums over an exploded token stream: same values,
+      // one groupBy shuffle; TextKernelsSpec pins both paths equal).
       tokenHashArr(s, dir)
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .groupBy("doc_id")
-        .agg(bitAccs.head, bitAccs.tail: _*)
         .select(col("doc_id"),
-          (0 until 30).map(k => when(col(s"acc$k") > 0, pow2(k)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+          graft.plans.TextKernels.simhash(col("hs")).as("simhash"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,260 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.llm.TextHash
+
+/** Native codegen kernels for the text-sketch hot path (tokenize →
+  * hash → shingle → minhash/simhash), as custom Catalyst Expressions —
+  * the brief's extension point (b), same pattern as [[NearestPivots]].
+  *
+  * WHY: the sketch math is per-row array arithmetic, but Spark's
+  * higher-order functions (`transform`/`aggregate` lambdas) evaluate
+  * INTERPRETED — measured ~100× slower than compiled loops on the
+  * char-level hash. Rounds 2–5 worked around that relationally
+  * (hash a distinct-token dictionary, broadcast-join it back, explode
+  * shingles and run 64 codegen'd min-aggregates), which is fast but
+  * costs three shuffles (distinct + join + groupBy) before the first
+  * signature exists. These kernels compute the same values in primitive
+  * loops per row, so the whole signature pipeline is a MAP-ONLY
+  * projection over the corpus scan: at 100 TB the first (and only)
+  * exchange in near-dup detection is the LSH bucket join itself —
+  * signatures never shuffle. PlanSpec pins zero Exchange between the
+  * documents scan and the band keys.
+  *
+  * The relational dictionary formulation is retained
+  * ([[graft.llm.LlmText.tokenHashArrPlan]]) as a differential
+  * cross-check (spec-pinned equal) and as the shape to fall back on if
+  * a corpus ever held pathological rows (e.g. one 100 MB document —
+  * the kernels are O(row) like every per-row expression).
+  *
+  * Arithmetic is byte-identical to [[graft.llm.TextHash]] (the
+  * DuckDB-oracle-shared hash family): token = maximal run of non-space
+  * chars in the (caller-lowercased) text, hash = Σ codepoint·31^i mod
+  * 1e9+7 over the first 24 codepoints — matching `split(w, "")` +
+  * `ascii` which are both code-point-aware (verified: ascii('é')=233,
+  * ascii('😀')=128512; a surrogate pair stays one element).
+  *
+  * Dirty-data totality: null input → null (nullSafeEval); null array
+  * elements hash as 0; < 3 tokens → empty shingle set; an empty
+  * shingle set → empty band keys (the row drops out of the bucket
+  * join, exactly like the relational path's inner explode).
+  */
+object TextKernels {
+  private[plans] val M = TextHash.M
+  private[plans] val pow31: Array[Long] = TextHash.pow31.toArray
+  private[plans] val MaxLen = TextHash.MaxLen
+
+  /** Per-token polynomial hashes of a (pre-lowercased) text column,
+    * in token order: array<long>. */
+  def tokenHashes(text: Column): Column = column(TokenHashes(expression(text)))
+
+  /** Distinct word-3-gram shingle hashes of a token-hash array, in
+    * first-occurrence order (mirrors `array_distinct`). */
+  def shingleSet(hs: Column): Column = column(ShingleSet(expression(hs)))
+
+  /** 16 LSH band keys (4 minhash rows per band, 64 seeds) of a
+    * shingle-set array: array<long>, empty iff the input is empty. */
+  def minhashBands(sh: Column): Column = column(MinHashBands(expression(sh)))
+
+  /** 30-bit SimHash of a token-hash array (±1 per occurrence per bit,
+    * bit set iff the accumulator is positive). */
+  def simhash(hs: Column): Column = column(SimHash(expression(hs)))
+}
+
+/** text (lowercased by the caller — `lower()` stays the native Spark
+  * expression so collation/locale behavior is exactly Spark's) →
+  * array<long> of per-token hashes, token order preserved. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  def hashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var out = new Array[Long](8)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var acc = 0L
+        var cnt = 0
+        while (i < n && str.charAt(i) != ' ') {
+          val cp = str.codePointAt(i)
+          if (cnt < TextKernels.MaxLen) {
+            acc = (acc + cp.toLong * TextKernels.pow31(cnt)) % TextKernels.M
+            cnt += 1
+          }
+          i += Character.charCount(cp)
+        }
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+        out(m) = acc
+        m += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    hashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenHashes", this, classOf[TokenHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashes(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** array<long> token hashes → array<long> distinct 3-gram shingle
+  * hashes (h1·961 + h2·31 + h3 mod M), first-occurrence order. */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  def shingles(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    def at(i: Int): Long = if (in.isNullAt(i)) 0L else in.getLong(i)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + 2 < n) {
+      seen.add((at(i) * 961 + at(i + 1) * 31 + at(i + 2)) % TextKernels.M)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    shingles(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", this, classOf[ShingleSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.shingles(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** array<long> shingle set → array<long> of `nBands` LSH band keys:
+  * 64 minhashes m_s = min_h (h·(ABase·s mod M) + 7919·s) mod M, band
+  * b's key = ((m_{4b+1}·31 + m_{4b+2})·31 + m_{4b+3})·31 + m_{4b+4}
+  * folded mod M — bit-identical to the relational formulation in
+  * `LlmText.lshPairs` rounds 3–5 and to the oracle's minhashSql. */
+case class MinHashBands(child: Expression, nSeeds: Int = 64, nBands: Int = 16)
+    extends UnaryExpression {
+  require(nSeeds == 4 * nBands, s"nSeeds=$nSeeds must be 4*nBands=$nBands")
+
+  private val mulA: Array[Long] =
+    (1 to nSeeds).map(s => TextHash.ABase * s % TextKernels.M).toArray
+  private val addB: Array[Long] = (1 to nSeeds).map(s => 7919L * s).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  def bands(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val mins = new Array[Long](nSeeds)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = if (in.isNullAt(i)) 0L else in.getLong(i)
+      var s = 0
+      while (s < nSeeds) {
+        val v = (h * mulA(s) + addB(s)) % TextKernels.M
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      out(b) = (((mins(4 * b) * 31 + mins(4 * b + 1)) % TextKernels.M * 31
+        + mins(4 * b + 2)) % TextKernels.M * 31
+        + mins(4 * b + 3)) % TextKernels.M
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    bands(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashBands", this, classOf[MinHashBands].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bands(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** array<long> token hashes → 30-bit SimHash (long): per occurrence,
+  * bit k accumulates +1 if (h >> k) & 1 else −1; output bit k is set
+  * iff the accumulator is > 0. Identical to the relational 30
+  * conditional-sum formulation (Σ_h tf(h)·sign_k(h) = Σ_tokens sign_k). */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash30"
+
+  def hash(in: ArrayData): Long = {
+    val acc = new Array[Long](30)
+    val n = in.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (in.isNullAt(i)) 0L else in.getLong(i)
+      var k = 0
+      while (k < 30) {
+        acc(k) += ((h >> k) & 1L) * 2 - 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 30) {
+      if (acc(k) > 0) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hash(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}

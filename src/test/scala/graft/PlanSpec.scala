@@ -50,6 +50,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"bucket assignment joins:\n$p")
   }
 
+  test("LSH signatures: zero exchanges from documents scan to band keys (map-only kernels)") {
+    // rounds 3-5 computed signatures relationally (dictionary join +
+    // explode + 64 min-aggregates): three shuffles before the first
+    // band key existed. The TextKernels composition must keep the
+    // whole sketch inside the scan stage — at 100 TB the ONLY shuffle
+    // in candidate generation is the bucket join itself.
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextKernels
+    val p = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), posexplode(TextKernels.minhashBands(
+        TextKernels.shingleSet(TextKernels.tokenHashes(lower(col("text")))))))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature pipeline shuffles:\n$p")
+    assert(!p.contains("Join"), s"signature pipeline joins:\n$p")
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan

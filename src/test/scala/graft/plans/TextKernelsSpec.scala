@@ -1,0 +1,145 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.llm.{LlmText, TextHash}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential validation of the native text kernels against the
+  * declarative formulations they replaced: the kernels must be
+  * BIT-IDENTICAL to the HOF/relational paths (which are themselves
+  * oracle-validated against DuckDB), on the fixture corpus AND on
+  * adversarial strings the fixture doesn't contain. */
+class TextKernelsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Edge strings: empties, space runs, >24-cp tokens, non-ASCII
+    * (ascii() returns full code points), a surrogate pair (split("")
+    * is code-point aware), repeated tokens/shingles. */
+  private def edgeDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      "",
+      " ",
+      "   ",
+      "one",
+      "one two",
+      "a b a b a b a b",
+      "x " * 50 + "x",
+      "the quick brown fox jumps over the lazy dog",
+      "supercalifragilisticexpialidocious antidisestablishmentarianism",
+      "éclair über straße ß",
+      "😀 emoji 😀x mixed",
+      "a  b   c    d",
+      " leading and trailing ",
+      ("tok" * 20) + " short"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def hofTokenHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      transform(LlmText.tokens(lower(col("text"))), w => TextHash.wordHash(w)).as("hs"))
+
+  test("TokenHashes kernel == HOF tokens+wordHash formula on fixture and edge strings") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    for (df <- Seq(docs, edgeDf)) {
+      val kernel = df.select(col("doc_id"),
+        TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+      val hof = hofTokenHashes(df)
+      assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+        "kernel token hashes diverge from the HOF formulation")
+    }
+  }
+
+  test("TokenHashes kernel == dictionary-join relational path (the rounds-2-5 formulation)") {
+    val (plan, dict) = LlmText.tokenHashArrPlan(spark, dir, Long.MaxValue)
+    val rel = plan.select(col("doc_id"), col("hs"))
+    val kernel = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "kernel token hashes diverge from the dictionary-join path")
+    dict.unpersist()
+  }
+
+  test("ShingleSet kernel == array_distinct HOF formulation (order included)") {
+    val base = hofTokenHashes(edgeDf.union(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")))
+      .filter(size(col("hs")) >= 3) // HOF path's sequence(1,0) is degenerate below 3 tokens
+    val hof = base.select(col("doc_id"), array_distinct(transform(
+      sequence(lit(1), greatest(size(col("hs")) - 2, lit(0))),
+      i => TextHash.shingleHash(element_at(col("hs"), i), element_at(col("hs"), i + 1),
+        element_at(col("hs"), i + 2)))).as("sh"))
+    val kernel = base.select(col("doc_id"), TextKernels.shingleSet(col("hs")).as("sh"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+      "kernel shingle sets diverge from the HOF formulation")
+  }
+
+  test("ShingleSet kernel: < 3 tokens yields an empty set (matches oracle's no-shingle rows)") {
+    import spark.implicits._
+    val out = Seq((1L, "one two"), (2L, "one"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextKernels.shingleSet(TextKernels.tokenHashes(lower(col("text")))).as("sh"))
+      .collect()
+    assert(out.forall(_.getSeq[Long](1).isEmpty))
+  }
+
+  test("MinHashBands kernel == relational explode + 64 min-aggregates + band fold") {
+    import TextHash.{ABase, M}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        TextKernels.shingleSet(TextKernels.tokenHashes(lower(col("text")))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val sigCols = (1 to 64).map(sd =>
+      min((col("h") * (ABase * sd % M) + 7919L * sd) % M).as(s"m$sd"))
+    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until 16).map { b =>
+      ((((col(s"m${4 * b + 1}") * 31
+        + col(s"m${4 * b + 2}")) % M * 31
+        + col(s"m${4 * b + 3}")) % M * 31
+        + col(s"m${4 * b + 4}")) % M)
+    }
+    val rel = sig.select(col("doc_id"), array(bandKeys: _*).as("bands"))
+    val kernel = docs.select(col("doc_id"),
+      TextKernels.minhashBands(col("sh")).as("bands"))
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "kernel band keys diverge from the relational formulation")
+  }
+
+  test("SimHash kernel == relational 30-conditional-sum formulation") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val bitAccs = (0 until 30).map(k =>
+      sum(shiftright(col("h"), k) % 2 * 2 - 1).as(s"acc$k"))
+    val rel = base.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("doc_id")
+      .agg(bitAccs.head, bitAccs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 30).map(k => when(col(s"acc$k") > 0, LlmText.pow2(k)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val kernel = base.select(col("doc_id"), TextKernels.simhash(col("hs")).as("simhash"))
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "kernel simhash diverges from the relational formulation")
+  }
+
+  test("null text/arrays propagate null; null array elements hash as 0 (total, no crash)") {
+    import spark.implicits._
+    val withNullText = Seq((1L, null: String), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+      .collect().sortBy(_.getLong(0))
+    assert(withNullText.head.isNullAt(1))
+    assert(withNullText(1).getSeq[Long](1).size == 3)
+    val nullElems = spark.sql(
+      "SELECT array(1::BIGINT, NULL, 2::BIGINT, NULL, 3::BIGINT) AS hs")
+    assert(nullElems.select(TextKernels.shingleSet(col("hs"))).collect()
+      .head.getSeq[Long](0).nonEmpty)
+    assert(nullElems.select(TextKernels.minhashBands(col("hs"))).collect()
+      .head.getSeq[Long](0).size == 16)
+    nullElems.select(TextKernels.simhash(col("hs"))).collect()
+  }
+}
