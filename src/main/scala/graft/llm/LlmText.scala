@@ -132,11 +132,15 @@ object LlmText {
   /** Token hashes (doc_id, hs: array<long>, token order), persisted
     * once per (session, dir). The hashing itself is the
     * [[graft.plans.TextKernels.tokenHashes]] native kernel — a compiled
-    * per-row loop inside whole-stage codegen — so this frame is a
-    * MAP-ONLY projection of the corpus scan: zero shuffles before the
-    * first signature exists (PlanSpec pins it). Docs with no tokens are
-    * dropped, matching the relational path (inner explode) and the
-    * oracle (no `wh` rows).
+    * per-row loop inside whole-stage codegen — so the hashing adds ZERO
+    * shuffles of its own. (The one Exchange on this path is the
+    * fixture-only `repartition(doc_id)` inserted by [[docs]] to spread
+    * a single tiny parquet split; at 100 TB the scan has natural splits
+    * and that repartition is removed. PlanSpec pins the kernel
+    * composition scan→hash→shingle→bands itself Exchange-free against
+    * a direct parquet read.) Docs with no tokens are dropped, matching
+    * the relational path (inner explode) and the oracle (no `wh`
+    * rows).
     *
     * Rounds 2–5 computed this via the DICTIONARY pattern (hash each
     * distinct token once, broadcast-join it back) because higher-order
@@ -160,11 +164,12 @@ object LlmText {
     * unpersists `_2`. Kept as the differential cross-check of the
     * native kernel (TextKernelsSpec pins all three paths equal) and to
     * document the open-vocabulary trade-off: the dictionary join is
-    * broadcast only under `vocabCap` distinct tokens; a web-scale
-    * corpus (billions of distinct tokens) falls back to a shuffle hash
-    * join on `w`, bounded at any vocabulary size. */
+    * broadcast only under `vocabCap` distinct tokens (default
+    * [[BroadcastVocabCap]]); a web-scale corpus (billions of distinct
+    * tokens) falls back to a shuffle hash join on `w`, bounded at any
+    * vocabulary size. */
   private[graft] def tokenHashArrPlan(s: SparkSession, dir: String,
-                                    vocabCap: Long): (DataFrame, DataFrame) = {
+                                    vocabCap: Long = BroadcastVocabCap): (DataFrame, DataFrame) = {
     val toks = docs(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
     val dict = toks.select("w").distinct()

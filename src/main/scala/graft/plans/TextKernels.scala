@@ -119,7 +119,13 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
 }
 
 /** array<long> token hashes → array<long> distinct 3-gram shingle
-  * hashes (h1·961 + h2·31 + h3 mod M), first-occurrence order. */
+  * hashes (h1·961 + h2·31 + h3 mod M), first-occurrence order.
+  *
+  * Null ELEMENTS hash as 0 (total function) — this diverges from the
+  * retained HOF/relational formulations, where a null element
+  * propagates null through `shingleHash`. Unreachable from the
+  * pipeline ([[TokenHashes]] emits containsNull=false), so the
+  * bit-identical claim is scoped to null-free inputs. */
 case class ShingleSet(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -160,10 +166,13 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
   * 64 minhashes m_s = min_h (h·(ABase·s mod M) + 7919·s) mod M, band
   * b's key = ((m_{4b+1}·31 + m_{4b+2})·31 + m_{4b+3})·31 + m_{4b+4}
   * folded mod M — bit-identical to the relational formulation in
-  * `LlmText.lshPairs` rounds 3–5 and to the oracle's minhashSql. */
+  * `LlmText.lshPairs` rounds 3–5 and to the oracle's minhashSql
+  * (on null-free inputs: null ELEMENTS hash as 0 here, whereas the
+  * relational min-aggregate would skip them — unreachable from the
+  * pipeline, [[ShingleSet]] emits containsNull=false). */
 case class MinHashBands(child: Expression, nSeeds: Int = 64, nBands: Int = 16)
     extends UnaryExpression {
-  require(nSeeds == 4 * nBands, s"nSeeds=$nSeeds must be 4*nBands=$nBands")
+  require(nSeeds == 4 * nBands, s"nSeeds=$nSeeds must be 4*nBands=${4 * nBands}")
 
   private val mulA: Array[Long] =
     (1 to nSeeds).map(s => TextHash.ABase * s % TextKernels.M).toArray
@@ -217,7 +226,10 @@ case class MinHashBands(child: Expression, nSeeds: Int = 64, nBands: Int = 16)
 /** array<long> token hashes → 30-bit SimHash (long): per occurrence,
   * bit k accumulates +1 if (h >> k) & 1 else −1; output bit k is set
   * iff the accumulator is > 0. Identical to the relational 30
-  * conditional-sum formulation (Σ_h tf(h)·sign_k(h) = Σ_tokens sign_k). */
+  * conditional-sum formulation (Σ_h tf(h)·sign_k(h) = Σ_tokens sign_k)
+  * on null-free inputs; a null ELEMENT counts as hash 0 here (−1 on
+  * every bit) rather than being dropped — unreachable from the
+  * pipeline, [[TokenHashes]] emits containsNull=false. */
 case class SimHash(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
