@@ -472,6 +472,118 @@ object LlmText {
         .orderBy("doc_id", "rk")
     },
 
+    // ---- benchmark-contamination screen: fraction of a doc's
+    // shingles that appear in a (small) benchmark set — the standard
+    // eval-decontamination pass over training data. The benchmark here
+    // is the fixture docs with doc_id % 20 = 0; at 100 TB the
+    // benchmark side is genuinely small (eval suites), so its distinct
+    // shingles BROADCAST and the corpus side is one map + one
+    // partial-agg shuffle — the corpus is never joined big-to-big.
+    Q("q62_text_contamination",
+      s"""$sqlPrelude,
+         |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 20 = 0),
+         |hits AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
+         |         FROM dsh d LEFT JOIN bench b USING (sh)
+         |         WHERE d.doc_id % 20 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_sh::BIGINT AS n_sh, n_hit::BIGINT AS n_hit,
+         |       (2 * n_hit >= n_sh) AS contaminated
+         |FROM hits ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = docShingles(s, dir)
+      val bench = sh.filter(col("doc_id") % 20 === 0)
+        .select(explode(col("sh")).as("sh")).distinct()
+        .withColumn("mark", lit(1))
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("sh"))
+        .join(broadcast(bench), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), count(col("mark")).as("n_hit"))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          (col("n_hit") * 2 >= col("n_sh")).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // ---- repetition scoring (Gopher-style): per-doc duplicate
+    // bigram/trigram fractions as integer numerators/denominators.
+    // The stats are the [[graft.plans.TextKernels.repetitionStats]]
+    // native kernel — one compiled pass per row over the token-hash
+    // array, so the whole query is the corpus scan + a projection:
+    // ZERO shuffles at any scale. Trigram hashes are the shingle
+    // family, so the oracle reuses the dsh/ssize CTEs for distincts.
+    Q("q63_text_repetition",
+      s"""$sqlPrelude,
+         |b2 AS (SELECT a.doc_id, (a.h * 31 + b.h) % ${M} AS bh
+         |       FROM wh a JOIN wh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |c2 AS (SELECT doc_id, bh, count(*) AS c FROM b2 GROUP BY 1, 2),
+         |s2 AS (SELECT doc_id, sum(c) AS n2_total, count(*) AS n2_distinct,
+         |              max(c) AS top2_cnt FROM c2 GROUP BY doc_id),
+         |base AS (SELECT doc_id, count(*) AS n_tokens FROM wh GROUP BY doc_id)
+         |SELECT base.doc_id AS doc_id, n_tokens::BIGINT AS n_tokens,
+         |       coalesce(n2_total, 0)::BIGINT AS n2_total,
+         |       coalesce(n2_distinct, 0)::BIGINT AS n2_distinct,
+         |       coalesce(top2_cnt, 0)::BIGINT AS top2_cnt,
+         |       greatest(n_tokens - 2, 0)::BIGINT AS n3_total,
+         |       coalesce(ssize.n, 0)::BIGINT AS n3_distinct
+         |FROM base LEFT JOIN s2 ON s2.doc_id = base.doc_id
+         |          LEFT JOIN ssize ON ssize.doc_id = base.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val st = graft.plans.TextKernels.repetitionStats(col("hs"))
+      tokenHashArr(s, dir)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_tokens"), st.as("st"))
+        .select(col("doc_id"), col("n_tokens"),
+          element_at(col("st"), 1).as("n2_total"),
+          element_at(col("st"), 2).as("n2_distinct"),
+          element_at(col("st"), 3).as("top2_cnt"),
+          element_at(col("st"), 4).as("n3_total"),
+          element_at(col("st"), 5).as("n3_distinct"))
+        .orderBy("doc_id")
+    },
+
+    // ---- passage-level dedup (CCNet line-dedup at chunk granularity —
+    // the fixture text has no newlines, so the unit is a 10-token
+    // chunk): per doc, how many of its chunks occur more than once
+    // CORPUS-WIDE. The fixture has no cross-doc chunk repeats, so the
+    // corpus is unioned with a re-keyed copy of its first 50 docs —
+    // those (and only those) docs' chunks become duplicates, a
+    // deterministic non-degenerate fixture. Chunk hashes are the
+    // [[graft.plans.TextKernels.chunkHashes]] kernel (map-only); the
+    // shuffles are the corpus-wide occurrence count and the per-doc
+    // re-aggregation — the same two exchanges a 100 TB line-dedup
+    // needs (count by line hash, then re-join to docs).
+    Q("q64_dedup_passages",
+      s"""WITH un AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+         |toks AS (
+         |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS tl
+         |        FROM un)),
+         |wh AS (SELECT doc_id, pos, ${wordHashSql("w")} AS h FROM toks),
+         |ch AS (SELECT doc_id, (pos - 1) // 10 AS chunk,
+         |              sum((h * (${TextHash.pow31Sql})[(pos - 1) % 10 + 1]) % ${M}) % ${M} AS chash
+         |       FROM wh GROUP BY 1, 2),
+         |occ AS (SELECT chash, count(*) AS n FROM ch GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+         |FROM ch JOIN occ USING (chash)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = T.df(s, dir, "documents")
+      val un = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val ch = un
+        .select(col("doc_id"),
+          graft.plans.TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          explode(graft.plans.TextKernels.chunkHashes(col("hs"))).as("chash"))
+      val occ = ch.groupBy("chash").agg(count(lit(1)).as("n"))
+      ch.join(occ, "chash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .orderBy("doc_id")
+    },
+
     // ---- document fingerprint: order-sensitive positional hash over
     // token hashes (content-defined identity for shard-level dedup).
     Q("q48_text_fingerprint",

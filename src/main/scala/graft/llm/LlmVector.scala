@@ -7,7 +7,11 @@ import graft.core.{Q, T}
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-d).
   *
-  * Two surfaces:
+  * Three surfaces: top-k QUERIES (q43 exact baseline, q44 IVF scale
+  * path), and corpus×corpus near-dup SWEEPS (q50/q65 via the blocked
+  * exact kernel [[blockedPairs]] — see its doc for why hyperplane LSH
+  * cannot prune at mid-cosine thresholds).
+  *
   *  - q43 brute-force cosine top-k: the correctness baseline. Dot
   *    products are `aggregate(zip_with(...))` column arithmetic —
   *    codegen'd, no UDF; the query×corpus cross join broadcasts the
@@ -214,10 +218,60 @@ object LlmVector {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Near-dup cosine threshold shared by q50/q65 (and their oracles).
+    * Chosen far from any fixture pair: measured min |cos − 0.45| is
+    * 5.5e-4 (sf0.01) / 1.1e-4 (sf0.1) — 11 orders of magnitude above
+    * double-summation rounding, so the ≥ test is engine-stable. */
+  private val DupThreshold = 0.45
+  private val NBlocks = 8
+
+  /** BLOCKED exact all-pairs cosine ≥ [[DupThreshold]] over the whole
+    * corpus — the 100 TB shape for mid-threshold embedding near-dup.
+    *
+    * WHY exact and not LSH: the fixture's true pairs sit at cosine
+    * 0.45–0.60 (θ ≈ 53–63°) while unrelated 64-d vectors are near-
+    * orthogonal. Sign-random-projection agreement is 1 − θ/π ≈ 0.65
+    * per bit for a true pair vs 0.5 background — banding cannot
+    * separate that: bands short enough to catch every true pair admit
+    * ~all background pairs (16×4-bit bands: 98% of random pairs
+    * collide), and longer bands lose true pairs. Hyperplane LSH only
+    * prunes at high cosine (≥ ~0.8); at mid thresholds the scalable
+    * design is BLOCKED EXACT all-pairs: group vectors into B blocks,
+    * join the B(B+1)/2 block combinations, and run the dot-product
+    * triangle of each combination as one compiled kernel
+    * ([[graft.plans.PairCosine]]). Work is exactly n²/2 dots — nothing
+    * hidden — but it parallelizes over block pairs with zero
+    * intermediate blowup (the relational formulation shuffles dim×
+    * the corpus and materializes |candidate|·dim rows; this plan's
+    * only exchange is the one groupBy that forms the blocks). At
+    * 100 TB, B is sized so two blocks fit in a task; probing-based
+    * IVF (q44) remains the shape for top-k QUERIES, while this is the
+    * shape for corpus×corpus sweeps.
+    *
+    * Memoized per (session, dir): q50 (capped listing — cap via
+    * filter, no recompute) and q65 (full listing) share one
+    * materialization. */
+  private val blockCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def blockedPairs(s: SparkSession, dir: String): DataFrame =
+    blockCache.computeIfAbsent((s, dir), _ => {
+      val blocks = T.df(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(NBlocks)).as("g"),
+          struct(col("vec_id"), col("embedding")).as("ve"))
+        .groupBy("g").agg(collect_list(col("ve")).as("vs"))
+      blocks.as("x").join(blocks.as("y"), col("x.g") <= col("y.g"))
+        .select(explode(graft.plans.PairCosine.pairs(
+          col("x.vs"), col("y.vs"), col("x.g") === col("y.g"), DupThreshold)).as("p"))
+        .select(col("p.vec_a"), col("p.vec_b"))
+        .persist()
+    })
+
   /** Drop every cached frame/pivot fit owned by `s` (see [[graft.Caches]]):
-    * unpersists the brute-force baseline and forgets the pivot fits. */
+    * unpersists the brute-force baseline, the blocked pair table, and
+    * forgets the pivot fits. */
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(bruteCache, s)(_.unpersist())
+    graft.Caches.dropSession(blockCache, s)(_.unpersist())
     graft.Caches.dropSession(pivotCache, s)(_ => ())
   }
 
@@ -243,24 +297,15 @@ object LlmVector {
         |  JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
         |WHERE d / (na.n * nb.n) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      // brute-force all-pairs is the capped baseline (cap is a no-op at
-      // the sf0.01 gate); IVF/LSH are the uncapped scale paths. The dot
-      // products are computed RELATIONALLY (posexplode → position join →
-      // codegen'd sum): 3× faster than a nested-loop join evaluating an
-      // interpreted fold per pair. Mirrors the oracle's formulation, so
-      // summation order matches too.
-      val e = T.df(s, dir, "embeddings").filter(col("vec_id") < 1000)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
-      val nrm = e.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
-      e.as("a").join(e.as("b"),
-          col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .agg(sum(col("a.v") * col("b.v")).as("d"))
-        .join(nrm.select(col("vec_id").as("vec_a"), col("n").as("na")), "vec_a")
-        .join(nrm.select(col("vec_id").as("vec_b"), col("n").as("nb")), "vec_b")
-        .filter(col("d") / (col("na") * col("nb")) >= 0.45)
-        .select("vec_a", "vec_b")
+      // A filtered view of the memoized blocked all-pairs sweep
+      // ([[blockedPairs]]): the oracle keeps its historical <1000 id
+      // cap, so restrict the full pair table to it (pairs with both
+      // ids under the cap are exactly the capped run's output). The
+      // rounds-2–6 relational formulation (posexplode → position join
+      // → codegen'd sum) is retained in LlmVectorSpec as the
+      // differential cross-check of the kernel.
+      blockedPairs(s, dir)
+        .filter(col("vec_a") < 1000 && col("vec_b") < 1000)
         .orderBy("vec_a", "vec_b")
     },
 
@@ -284,6 +329,24 @@ object LlmVector {
         .select(col("query_id"), lit(K.toLong).as("k"),
           (coalesce(col("hits"), lit(0L)) >= lit(math.ceil(RecallBound * K).toLong)).as("recall_ok"))
         .orderBy("query_id")
+    },
+
+    // ---- blocked exact all-pairs near-dup over the FULL corpus (no
+    // cap): the corpus×corpus scale path — see [[blockedPairs]] for
+    // the design (and why LSH is inapplicable at this threshold).
+    // Oracle recomputes uncapped brute force relationally.
+    Q("q65_dedup_embedding_blocked",
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v::DOUBLE * b.v::DOUBLE) AS d
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2)
+        |SELECT vec_a, vec_b FROM dots
+        |  JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+        |WHERE d / (na.n * nb.n) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      blockedPairs(s, dir).orderBy("vec_a", "vec_b")
     }
   )
 }

@@ -67,6 +67,16 @@ object TextKernels {
   /** 30-bit SimHash of a token-hash array (±1 per occurrence per bit,
     * bit set iff the accumulator is positive). */
   def simhash(hs: Column): Column = column(SimHash(expression(hs)))
+
+  /** Per-document repetition statistics over a token-hash array:
+    * array<long> [n2_total, n2_distinct, top2_cnt, n3_total,
+    * n3_distinct] (bigram/trigram totals, distincts, modal bigram
+    * count). */
+  def repetitionStats(hs: Column): Column = column(RepetitionStats(expression(hs)))
+
+  /** Non-overlapping fixed-length chunk hashes of a token-hash array
+    * (trailing partial chunk included): array<long>. */
+  def chunkHashes(hs: Column): Column = column(ChunkHashes(expression(hs)))
 }
 
 /** text (lowercased by the caller — `lower()` stays the native Spark
@@ -221,6 +231,134 @@ case class MinHashBands(child: Expression, nSeeds: Int = 64, nBands: Int = 16)
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
+}
+
+/** array<long> token hashes → array<long> of 5 repetition statistics:
+  *
+  *   [0] n2_total    = max(n−1, 0)   word-bigram occurrences
+  *   [1] n2_distinct                 distinct bigram hashes
+  *   [2] top2_cnt                    occurrences of the modal bigram
+  *   [3] n3_total    = max(n−2, 0)   word-trigram occurrences
+  *   [4] n3_distinct                 distinct trigram hashes
+  *
+  * (the Gopher-style "fraction of duplicated n-grams" inputs — the
+  * ratio itself is left to the caller so the outputs stay
+  * integer-exact for cross-engine hashing). Bigram hash =
+  * (h1·31 + h2) mod M; trigram hash = (h1·961 + h2·31 + h3) mod M —
+  * the same family as [[ShingleSet]], so n3_distinct equals the
+  * shingle-set size and the oracle can reuse its `dsh`/`ssize` CTEs.
+  * Distinct/modal counts are computed by sorting a scratch copy and
+  * counting runs — no per-row hash map, O(n log n), allocation-light.
+  * Null ELEMENTS hash as 0 (unreachable from the pipeline —
+  * [[TokenHashes]] emits containsNull=false). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  /** (distinct values, max run length) of a sorted scratch array. */
+  private def runStats(a: Array[Long]): (Long, Long) = {
+    if (a.length == 0) return (0L, 0L)
+    java.util.Arrays.sort(a)
+    var distinct = 1L
+    var top = 1L
+    var run = 1L
+    var i = 1
+    while (i < a.length) {
+      if (a(i) == a(i - 1)) { run += 1; if (run > top) top = run }
+      else { distinct += 1; run = 1 }
+      i += 1
+    }
+    (distinct, top)
+  }
+
+  def stats(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    def at(i: Int): Long = if (in.isNullAt(i)) 0L else in.getLong(i)
+    val n2 = math.max(n - 1, 0)
+    val n3 = math.max(n - 2, 0)
+    val b2 = new Array[Long](n2)
+    var i = 0
+    while (i < n2) { b2(i) = (at(i) * 31 + at(i + 1)) % TextKernels.M; i += 1 }
+    val b3 = new Array[Long](n3)
+    i = 0
+    while (i < n3) {
+      b3(i) = (at(i) * 961 + at(i + 1) * 31 + at(i + 2)) % TextKernels.M
+      i += 1
+    }
+    val (d2, top2) = runStats(b2)
+    val (d3, _) = runStats(b3)
+    new GenericArrayData(Array(n2.toLong, d2, top2, n3.toLong, d3))
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    stats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetitionStats", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.stats(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** array<long> token hashes → array<long> of per-chunk positional
+  * hashes: chunk c covers tokens [c·len, (c+1)·len); its hash is
+  * Σ_j h_{c·len+j} · 31^j mod M (j = local 0-based index, the
+  * [[TextHash.pow31]] table). The trailing PARTIAL chunk is included,
+  * so every non-empty document contributes ⌈n/len⌉ chunks — the
+  * passage-level (CCNet line-level) dedup granularity. Null ELEMENTS
+  * hash as 0 (unreachable from the pipeline — [[TokenHashes]] emits
+  * containsNull=false). */
+case class ChunkHashes(child: Expression, chunkLen: Int = ChunkHashes.DefaultLen)
+    extends UnaryExpression {
+  require(chunkLen >= 1 && chunkLen <= TextKernels.pow31.length,
+    s"chunkLen=$chunkLen out of range 1..${TextKernels.pow31.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chunk_hashes"
+
+  def chunks(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val m = (n + chunkLen - 1) / chunkLen
+    val out = new Array[Long](m)
+    var c = 0
+    while (c < m) {
+      val end = math.min((c + 1) * chunkLen, n)
+      var acc = 0L
+      var i = c * chunkLen
+      while (i < end) {
+        val h = if (in.isNullAt(i)) 0L else in.getLong(i)
+        acc = (acc + h * TextKernels.pow31(i - c * chunkLen)) % TextKernels.M
+        i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    chunks(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chunkHashes", this, classOf[ChunkHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.chunks(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
+object ChunkHashes {
+  val DefaultLen = 10
 }
 
 /** array<long> token hashes → 30-bit SimHash (long): per occurrence,

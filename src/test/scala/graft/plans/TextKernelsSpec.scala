@@ -126,6 +126,84 @@ class TextKernelsSpec extends SparkSpec {
       "kernel simhash diverges from the relational formulation")
   }
 
+  /** edgeDf with ids shifted clear of the fixture's — the relational
+    * reference paths below group by doc_id, so a collision would merge
+    * two different texts into one "document". */
+  private def edgeDfShifted: DataFrame =
+    edgeDf.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+
+  test("RepetitionStats kernel == relational bigram-join + shingle-distinct formulation") {
+    import TextHash.M
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .union(edgeDfShifted)
+      .select(col("doc_id"), TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val tok = base.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val s2 = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        ((col("a.h") * 31 + col("b.h")) % M).as("bh"))
+      .groupBy("doc_id", "bh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n2_total"), count(lit(1)).as("n2_distinct"), max("c").as("top2_cnt"))
+    val rel = base
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        size(TextKernels.shingleSet(col("hs"))).cast("long").as("n3_distinct"))
+      .join(s2, Seq("doc_id"), "left")
+      .select(col("doc_id"), array(
+        coalesce(col("n2_total"), lit(0L)),
+        coalesce(col("n2_distinct"), lit(0L)),
+        coalesce(col("top2_cnt"), lit(0L)),
+        greatest(col("n") - 2, lit(0)).cast("long"),
+        col("n3_distinct")).as("st"))
+    val kernel = base.select(col("doc_id"), TextKernels.repetitionStats(col("hs")).as("st"))
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "kernel repetition stats diverge from the relational formulation")
+  }
+
+  test("ChunkHashes kernel == relational chunk-grouped positional-sum formulation") {
+    import TextHash.M
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .union(edgeDfShifted)
+      .select(col("doc_id"), TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val rel = base
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .groupBy(col("doc_id"), (col("pos") / 10).cast("int").as("chunk"))
+      .agg((sum((col("h") * element_at(typedLit(TextHash.pow31.toArray),
+        (col("pos") % 10).cast("int") + 1)) % M) % M).as("chash"))
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("chunk"), col("chash")))),
+        p => p.getField("chash")).as("chs"))
+    val kernel = base.select(col("doc_id"), TextKernels.chunkHashes(col("hs")).as("chs"))
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "kernel chunk hashes diverge from the relational formulation")
+  }
+
+  test("RepetitionStats/ChunkHashes edges: empty, single, repeated, partial chunks") {
+    import spark.implicits._
+    def stats(text: String): Seq[Long] =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextKernels.repetitionStats(
+          TextKernels.tokenHashes(lower(col("text")))).as("st"))
+        .collect().head.getSeq[Long](0)
+    assert(stats("") == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(stats("one") == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(stats("one two") == Seq(1L, 1L, 1L, 0L, 0L))
+    // "a b a b a b": bigrams ab,ba,ab,ba,ab -> total 5, distinct 2, top 3
+    assert(stats("a b a b a b") == Seq(5L, 2L, 3L, 4L, 2L))
+    def chunks(text: String): Seq[Long] =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextKernels.chunkHashes(
+          TextKernels.tokenHashes(lower(col("text")))).as("chs"))
+        .collect().head.getSeq[Long](0)
+    assert(chunks("") == Seq.empty)
+    assert(chunks("a b c").size == 1)                       // one partial chunk
+    assert(chunks(("w " * 10).trim).size == 1)              // exactly one full chunk
+    assert(chunks(("w " * 11).trim).size == 2)              // full + partial
+    assert(chunks(("w " * 20).trim).distinct.size == 1)     // identical chunks hash equal
+  }
+
   test("null text/arrays propagate null; null array elements hash as 0 (total, no crash)") {
     import spark.implicits._
     val withNullText = Seq((1L, null: String), (2L, "a b c"))
@@ -141,5 +219,9 @@ class TextKernelsSpec extends SparkSpec {
     assert(nullElems.select(TextKernels.minhashBands(col("hs"))).collect()
       .head.getSeq[Long](0).size == 16)
     nullElems.select(TextKernels.simhash(col("hs"))).collect()
+    assert(nullElems.select(TextKernels.repetitionStats(col("hs"))).collect()
+      .head.getSeq[Long](0).head == 4L) // 5 elements -> 4 bigrams, nulls as 0
+    assert(nullElems.select(TextKernels.chunkHashes(col("hs"))).collect()
+      .head.getSeq[Long](0).size == 1)
   }
 }
