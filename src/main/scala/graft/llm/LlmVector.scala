@@ -253,17 +253,26 @@ object LlmVector {
     * materialization. */
   private val blockCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[llm] def blockedPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def blockedPairs(s: SparkSession, dir: String): DataFrame =
     blockCache.computeIfAbsent((s, dir), _ => {
+      // materialize the block table ONCE before the self-join — an
+      // unpersisted self-join re-scans and re-shuffles the corpus for
+      // each side (PlanSpec pins the single-shuffle shape). The 100 TB
+      // analogue is writing the blocked corpus out, then joining the
+      // block manifest to itself.
       val blocks = T.df(s, dir, "embeddings")
         .select(pmod(col("vec_id"), lit(NBlocks)).as("g"),
           struct(col("vec_id"), col("embedding")).as("ve"))
         .groupBy("g").agg(collect_list(col("ve")).as("vs"))
-      blocks.as("x").join(blocks.as("y"), col("x.g") <= col("y.g"))
+        .persist()
+      val pairs = blocks.as("x").join(blocks.as("y"), col("x.g") <= col("y.g"))
         .select(explode(graft.plans.PairCosine.pairs(
           col("x.vs"), col("y.vs"), col("x.g") === col("y.g"), DupThreshold)).as("p"))
         .select(col("p.vec_a"), col("p.vec_b"))
         .persist()
+      pairs.count() // materialize, then drop the intermediate block table
+      blocks.unpersist()
+      pairs
     })
 
   /** Drop every cached frame/pivot fit owned by `s` (see [[graft.Caches]]):

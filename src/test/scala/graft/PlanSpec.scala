@@ -66,6 +66,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"signature pipeline joins:\n$p")
   }
 
+  test("q63 repetition: zero exchanges from documents scan to stats (map-only kernel)") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextKernels
+    val p = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextKernels.repetitionStats(
+        TextKernels.tokenHashes(lower(col("text")))).as("st"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"repetition stats shuffle:\n$p")
+    assert(!p.contains("Join"), s"repetition stats join:\n$p")
+  }
+
+  test("q62 contamination: benchmark side broadcasts — corpus never joins big-to-big") {
+    val p = plan("q62_text_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark-shingle join no longer broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join appeared")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q65 blocked all-pairs: block table materialized ONCE, self-join reads the cache") {
+    // an unpersisted self-join re-scans and re-shuffles the corpus for
+    // each side — at 100 TB that doubles the only expensive exchange.
+    // Mirror the blockedPairs shape and pin that both join sides are
+    // the SAME InMemoryRelation (one materialization), and that the
+    // tiny block-pair join never becomes a shuffle join.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val blocks = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(pmod(col("vec_id"), lit(8)).as("g"),
+        struct(col("vec_id"), col("embedding")).as("ve"))
+      .groupBy("g").agg(collect_list(col("ve")).as("vs"))
+      .persist()
+    try {
+      blocks.count()
+      val joined = blocks.as("x").join(blocks.as("y"), col("x.g") <= col("y.g"))
+        .select(explode(graft.plans.PairCosine.pairs(
+          col("x.vs"), col("y.vs"), col("x.g") === col("y.g"), 0.45)).as("p"))
+      val qe = joined.queryExecution
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size == 2, s"self-join does not read the cached block table:\n${qe.optimizedPlan}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        "block-pair join degenerated to a shuffle join")
+    } finally blocks.unpersist()
+    // and the production path is memoized end-to-end: second call is
+    // the same cached frame
+    assert(llm.LlmVector.blockedPairs(spark, dir) eq llm.LlmVector.blockedPairs(spark, dir))
+    llm.LlmVector.release(spark)
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan
