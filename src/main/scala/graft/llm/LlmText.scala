@@ -237,12 +237,36 @@ object LlmText {
         .filter(size(col("sh")) > 0)
         .persist())
 
+  /** Brute-force exact-Jaccard pairs over the capped corpus — the
+    * blocked-kernel baseline ([[graft.plans.PairJaccard]]; same
+    * materialize-blocks-once shape as `LlmVector.blockedPairs`),
+    * memoized + persisted per (session, dir). */
+  private val bruteJacCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bruteJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    bruteJacCache.computeIfAbsent((s, dir), _ => {
+      val blocks = docShingles(s, dir).filter(col("doc_id") < BruteCap)
+        .select(pmod(col("doc_id"), lit(8)).as("g"),
+          struct(col("doc_id"), sort_array(col("sh"))).as("ds"))
+        .groupBy("g").agg(collect_list(col("ds")).as("vs"))
+        .persist()
+      val pairs = blocks.as("x").join(blocks.as("y"), col("x.g") <= col("y.g"))
+        .select(explode(graft.plans.PairJaccard.pairs(
+          col("x.vs"), col("y.vs"), col("x.g") === col("y.g"), 1, 2)).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.inter").as("inter"), col("p.uni").as("uni"))
+        .persist()
+      pairs.count() // materialize, then drop the intermediate block table
+      blocks.unpersist()
+      pairs
+    })
+
   /** Drop every memoized frame owned by `s` (see [[graft.Caches]]):
     * unpersists the token-hash, shingle, and verified-pair frames.
     * Within a sweep the text-dedup family shares them; after the
     * family's last consumer they are dead weight in the storage tier. */
   def release(s: SparkSession): Unit =
-    Seq(hashCache, shingleCache, pairCache).foreach(
+    Seq(hashCache, shingleCache, pairCache, bruteJacCache).foreach(
       graft.Caches.dropSession(_, s)(_.unpersist()))
 
   /** 2^k for k = 0..29 (SimHash bit weights). */
@@ -279,16 +303,16 @@ object LlmText {
         .orderBy("kept_doc_id")
     },
 
-    // ---- n-gram Jaccard near-dup, brute force over shared shingles
-    // (capped baseline; the LSH path below is the uncapped scale path).
+    // ---- n-gram Jaccard near-dup, brute force (capped baseline; the
+    // LSH path below is the uncapped scale path). Blocked-kernel
+    // formulation ([[graft.plans.PairJaccard]], same block-pair shape
+    // as q65): rounds 2–6 generated candidates by self-joining the
+    // exploded shingle stream — worst-case quadratic in docs-per-
+    // shingle ANYWAY (it is brute force by intent) plus a shuffle of
+    // every (doc, shingle) row; the kernel runs the same n²/2 sorted-
+    // merge intersections compiled, with one collect_list shuffle.
     Q("q39_dedup_ngram_jaccard", jaccardPairsSqlCapped) { (s, dir) =>
-      val docs = docShingles(s, dir).filter(col("doc_id") < BruteCap)
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
-      val cands = ex.as("x").join(ex.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      verifiedPairs(docs, cands)
+      bruteJaccardPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
     // ---- MinHash signature matrix (8 seeds) — the sketch itself is
