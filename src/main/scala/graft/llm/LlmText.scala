@@ -496,6 +496,57 @@ object LlmText {
         .orderBy("doc_id", "rk")
     },
 
+    // ---- SimHash-bucketed near-dup JOIN (Manku-style web dedup):
+    // candidates from 3 bands of 10 bits, verified with exact Hamming
+    // distance ≤ 2. Recall is EXACT by pigeonhole — ≤ 2 differing bits
+    // touch at most 2 of the 3 bands, so every qualifying pair shares
+    // at least one band key verbatim (the oracle recomputes brute-force
+    // all-pairs and must hash-match). Same LSH shape as q41: sketches
+    // are map-only (q42's kernel), the only shuffle is the band-bucket
+    // join. Fixture note: the 40-word vocabulary makes tf profiles —
+    // and hence 30-bit SimHashes — weakly selective (≈1% of pairs pass
+    // at sf0.01, measured); on a real open-vocabulary corpus the same
+    // plan is sparse. Hot buckets are the skew risk, handled by AQE
+    // plus the candidate-distinct step, exactly as in q41.
+    Q("q66_dedup_simhash_ham",
+      s"""$sqlPrelude,
+         |tf AS (SELECT doc_id, h, count(*) AS tf FROM wh GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, k,
+         |         sum(tf * (2 * ((h // (${pow2Sql})[k+1]) % 2) - 1)) AS acc
+         |  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS k)
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN acc > 0 THEN (${pow2Sql})[k+1] ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sims a JOIN sims b
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sims = tokenHashArr(s, dir)
+        .select(col("doc_id"),
+          graft.plans.TextKernels.simhash(col("hs")).as("simhash"))
+      val bands = sims.select(col("doc_id"), col("simhash"),
+        posexplode(array(
+          col("simhash").bitwiseAND(1023),
+          shiftright(col("simhash"), 10).bitwiseAND(1023),
+          shiftright(col("simhash"), 20))).as(Seq("band", "bkey")))
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+        .join(sims.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- benchmark-contamination screen: fraction of a doc's
     // shingles that appear in a (small) benchmark set — the standard
     // eval-decontamination pass over training data. The benchmark here

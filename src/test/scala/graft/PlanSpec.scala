@@ -66,6 +66,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"signature pipeline joins:\n$p")
   }
 
+  test("q66 SimHash-Hamming dedup: no cartesian/nested-loop join (band buckets only)") {
+    val p = plan("q66_dedup_simhash_ham")
+    assert(!p.contains("CartesianProduct"), "SimHash dedup degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "SimHash dedup degenerated to nested loop")
+    llm.LlmText.release(spark)
+  }
+
   test("q63 repetition: zero exchanges from documents scan to stats (map-only kernel)") {
     import org.apache.spark.sql.functions._
     import graft.plans.TextKernels
