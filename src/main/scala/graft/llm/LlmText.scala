@@ -395,21 +395,23 @@ object LlmText {
          |    WHEN len(list_filter(t, w -> w IN ('el','la','y','los','que'))) THEN 'es'
          |    ELSE 'fr' END AS best_lang
          |FROM tl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // relational scoring in ONE pass: explode tokens (outer, so
-      // token-less docs keep a row), then conditional-count aggregates —
-      // a single shuffle, all codegen, no interpreted array filters.
+      // MAP-ONLY scoring: the [[graft.plans.TextKernels.langScores]]
+      // kernel counts all four profiles in one compiled pass per row —
+      // zero exchanges at any scale. (Rounds 2–6 exploded the token
+      // stream into a conditional-count aggregate: same values, one
+      // full-corpus shuffle; TextKernelsSpec pins both paths equal.)
       val profiles = Seq(
         "en" -> Seq("the", "a", "of", "and", "in"),
         "de" -> Seq("der", "die", "und", "das", "ist"),
         "es" -> Seq("el", "la", "y", "los", "que"),
         "fr" -> Seq("le", "les", "et", "des", "un"))
-      val aggs = profiles.map { case (l, ws) =>
-        sum(when(col("w").isin(ws: _*), 1L).otherwise(0L)).as(s"n_$l")
-      }
+      val sc = graft.plans.TextKernels.langScores(
+        lower(col("text")), profiles.map(_._2))
       val scored = docs(s, dir)
-        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
-        .groupBy("doc_id")
-        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), sc.as("sc"))
+        .select(Seq(col("doc_id")) ++ profiles.zipWithIndex.map {
+          case ((l, _), i) => element_at(col("sc"), i + 1).as(s"n_$l")
+        }: _*)
       val best = when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_en"), "en")
         .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_de"), "de")
         .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_es"), "es")

@@ -51,10 +51,11 @@ import graft.core.{Q, T}
   */
 object LlmVector {
 
-  /** Deterministic left-fold dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, x) => acc + x)
+  /** Deterministic left-fold dot product of two float arrays — the
+    * [[graft.plans.VectorKernels.dot]] compiled kernel (the HOF
+    * `aggregate(zip_with(...))` fold evaluates interpreted; the kernel
+    * is bit-identical — same accumulation order — and spec-pinned). */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorKernels.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -77,6 +77,11 @@ object TextKernels {
   /** Non-overlapping fixed-length chunk hashes of a token-hash array
     * (trailing partial chunk included): array<long>. */
   def chunkHashes(hs: Column): Column = column(ChunkHashes(expression(hs)))
+
+  /** Per-profile stopword-occurrence counts of a (pre-lowercased)
+    * text: array<long>, one count per profile, in profile order. */
+  def langScores(text: Column, profiles: Seq[Seq[String]]): Column =
+    column(LangScores(expression(text), profiles.map(_.toArray).toArray))
 }
 
 /** text (lowercased by the caller — `lower()` stays the native Spark
@@ -359,6 +364,65 @@ case class ChunkHashes(child: Expression, chunkLen: Int = ChunkHashes.DefaultLen
 
 object ChunkHashes {
   val DefaultLen = 10
+}
+
+/** (pre-lowercased) text → array<long> of per-profile stopword
+  * occurrence counts — the language-ID scoring loop as one compiled
+  * pass (tokenization identical to [[TokenHashes]]: maximal non-space
+  * runs). The declarative form (explode_outer + conditional-count
+  * aggregates) shuffles the whole token stream to count ~5 words per
+  * profile; this is a pure map — at 100 TB language-ID adds zero
+  * exchanges. Token-less text scores all-zero (matching the
+  * explode_outer formulation's kept row). */
+case class LangScores(child: Expression, profiles: Array[Array[String]])
+    extends UnaryExpression {
+  require(profiles.nonEmpty, "at least one profile")
+
+  // one hash set per profile, built once per executor instance
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { ws =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+
+  def scores(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new Array[Long](profiles.length)
+    var i = 0
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && str.charAt(i) != ' ') i += 1
+        val w = str.substring(start, i)
+        var p = 0
+        while (p < sets.length) {
+          if (sets(p).contains(w)) out(p) += 1
+          p += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    scores(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langScores", this, classOf[LangScores].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.scores(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
 }
 
 /** array<long> token hashes → 30-bit SimHash (long): per occurrence,

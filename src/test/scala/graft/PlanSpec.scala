@@ -73,15 +73,21 @@ class PlanSpec extends SparkSpec {
     llm.LlmText.release(spark)
   }
 
-  test("q63 repetition: zero exchanges from documents scan to stats (map-only kernel)") {
+  test("q63 repetition / q45 langid: zero exchanges scan→result (map-only kernels)") {
     import org.apache.spark.sql.functions._
     import graft.plans.TextKernels
-    val p = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), TextKernels.repetitionStats(
-        TextKernels.tokenHashes(lower(col("text")))).as("st"))
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"repetition stats shuffle:\n$p")
-    assert(!p.contains("Join"), s"repetition stats join:\n$p")
+    val reads = Seq(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextKernels.repetitionStats(
+          TextKernels.tokenHashes(lower(col("text")))).as("st")),
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextKernels.langScores(
+          lower(col("text")), Seq(Seq("the"), Seq("der"))).as("sc")))
+    for (df <- reads) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"map-only kernel plan shuffles:\n$p")
+      assert(!p.contains("Join"), s"map-only kernel plan joins:\n$p")
+    }
   }
 
   test("q62 contamination: benchmark side broadcasts — corpus never joins big-to-big") {

@@ -180,6 +180,27 @@ class TextKernelsSpec extends SparkSpec {
       "kernel chunk hashes diverge from the relational formulation")
   }
 
+  test("LangScores kernel == explode_outer + conditional-count formulation") {
+    val profiles = Seq(
+      Seq("the", "a", "of", "and", "in"),
+      Seq("der", "die", "und", "das", "ist"),
+      Seq("el", "la", "y", "los", "que"),
+      Seq("le", "les", "et", "des", "un"))
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .union(edgeDfShifted)
+    val aggs = profiles.zipWithIndex.map { case (ws, i) =>
+      sum(when(col("w").isin(ws: _*), 1L).otherwise(0L)).as(s"n$i")
+    }
+    val rel = base
+      .select(col("doc_id"), explode_outer(LlmText.tokens(col("text"))).as("w"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until 4).map(i => col(s"n$i")): _*).as("sc"))
+    val kernel = base.select(col("doc_id"),
+      TextKernels.langScores(lower(col("text")), profiles).as("sc"))
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "kernel language scores diverge from the relational formulation")
+  }
+
   test("RepetitionStats/ChunkHashes edges: empty, single, repeated, partial chunks") {
     import spark.implicits._
     def stats(text: String): Seq[Long] =
