@@ -47,10 +47,16 @@ object Bench {
       q.name -> dt
     }
     Caches.releaseAll(spark) // backstop against consumer-set drift
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The consumer keeps only the LAST ~2000 chars of output, so the
+    // line must stay well under that or the {"metric":...} prefix is
+    // truncated away (rounds 1-6 all lost the headline number this
+    // way). Short qNN keys (unique — full names in COVERAGE.md) +
+    // 3-decimal seconds keep 66 queries near ~900 chars.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
