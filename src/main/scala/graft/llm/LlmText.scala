@@ -32,6 +32,16 @@ object LlmText {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
+  /** Heavy-hitter parameters for q67: capacity 64 over the top-20 ask
+    * keeps the exactness precondition (k-th count > N/65) loose. */
+  val MgCapacity = 64
+  val TopK = 20
+
+  /** q69 patterns — the RE2 ∩ Java dialect (no backrefs, no
+    * lookaround): emails, then NANP-style nnn-nnnn after a boundary. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
   /** Per-token hashes, order preserved. */
   def tokenHashes(text: Column): Column =
     transform(tokens(text), w => wordHash(w))
@@ -679,7 +689,123 @@ object LlmText {
       tokenHashArr(s, dir)
         .select(col("doc_id"), fp.as("fingerprint"), size(col("hs")).as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // ---- corpus-wide exact top-k tokens (vocabulary heavy hitters) —
+    // the two-phase sketch-then-recount pattern: phase 1 runs a
+    // Misra–Gries summary of capacity [[MgCapacity]] per partition
+    // (map-only, bounded memory) and unions the surviving keys into a
+    // CANDIDATE set; phase 2 recounts ONLY candidate tokens exactly
+    // (broadcast semi-join filter + partial-agg groupBy) and takes the
+    // top k. Exactness: a token with global count > N/(cap+1) exceeds
+    // the local threshold n_p/(cap+1) in at least one partition
+    // (averaging), so it survives phase 1 — the result is exact
+    // whenever the true k-th token clears that bound (TopKProps pins
+    // the guarantee on adversarial streams; trivially exact on the
+    // 40-word fixture vocabulary). The naive plan shuffles the FULL
+    // vocabulary (billions of keys on web text); here the shuffle
+    // carries ≤ cap·partitions candidate keys.
+    Q("q67_topk_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        |rk AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM cnt)
+        |SELECT rk, w AS term, n FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
+      val cands = toks.as[String].mapPartitions(MisraGries.summarize(_, MgCapacity))
+        .toDF("w").distinct()
+      toks.join(broadcast(cands), "w")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(TopK)
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))
+        .select(col("rk"), col("w").as("term"), col("n"))
+        .orderBy("rk")
+    },
+
+    // ---- deterministic stratified sampling: fixed-n per stratum via
+    // a Lehmer-hash rank (reproducible across runs AND engines —
+    // unlike rand()-seeded sampling), plus the rate-based map-only
+    // variant as a flag column. The window sorts only within strata on
+    // the hash key; at 100 TB the rate-based `in_10pct` filter is the
+    // zero-shuffle path and the fixed-n rank runs on the ~rate-sized
+    // survivor set, not the corpus.
+    Q("q68_sample_stratified",
+      """WITH h AS (SELECT doc_id, lang, (doc_id * 48271) % 2147483647 AS hk FROM documents),
+        |r AS (SELECT doc_id, lang, hk, (hk % 100 < 10) AS in_10pct,
+        |             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang, rk, doc_id, hk, in_10pct FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val hk = (col("doc_id") * 48271L) % 2147483647L
+      T.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), hk.as("hk"))
+        .withColumn("in_10pct", col("hk") % 100 < 10)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select("lang", "rk", "doc_id", "hk", "in_10pct")
+        .orderBy("lang", "rk")
+    },
+
+    // ---- PII redaction (training-data scrubbing): regex-replace
+    // emails and phone-shaped numbers, counting the hits. Pure per-row
+    // string work — ZERO shuffles at any scale (PlanSpec pins it). The
+    // fixture vocabulary contains no PII, so each doc is first
+    // augmented with a deterministic synthetic contact line (same
+    // expression on both engines) — every row then exercises both
+    // patterns non-trivially on top of the natural text. Patterns stay
+    // in the RE2 ∩ java.util.regex common dialect.
+    Q("q69_text_pii_redact",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         concat(text, 'contact user', CAST(doc_id AS VARCHAR),
+         |                '@mail.example.com or 555-',
+         |                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(t, '$EmailRe', '[EMAIL]', 'g'),
+         |                 '$PhoneRe', '[PHONE]', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"), lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      T.df(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]").as("redacted"))
+        .orderBy("doc_id")
     }
   )
+}
 
+/** Misra–Gries frequent-items summary: the per-partition candidate
+  * generator for q67. Not an approximate COUNT — only the surviving
+  * KEYS are used; counts are recomputed exactly downstream. */
+object MisraGries {
+  /** Keys surviving a capacity-`cap` Misra–Gries pass over `it` —
+    * guaranteed to include every item with frequency > n/(cap+1). */
+  def summarize(it: Iterator[String], cap: Int): Iterator[String] = {
+    val m = new java.util.HashMap[String, Long](cap * 2)
+    while (it.hasNext) {
+      val w = it.next()
+      val cur = m.getOrDefault(w, 0L)
+      if (cur != 0L || m.size < cap) m.put(w, cur + 1L)
+      else { // full and w absent: decrement all, drop zeros (w dropped too)
+        val e = m.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    m.keySet().iterator().asScala
+  }
 }

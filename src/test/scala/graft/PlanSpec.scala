@@ -90,6 +90,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q69 PII redaction: zero exchanges scan→redacted (pure per-row strings)") {
+    val p = plan("q69_text_pii_redact")
+    assert(!p.contains("Join"), s"PII redaction joins:\n$p")
+    // the only permissible exchange is the final presentation sort's
+    // range partitioning — the redaction itself is map-only
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      s"PII redaction shuffles beyond the final sort:\n$p")
+  }
+
+  test("q67 heavy hitters: candidate set broadcasts — token stream never shuffle-joins") {
+    val p = plan("q67_topk_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "candidate filter no longer broadcast")
+    assert(!p.contains("SortMergeJoin"), "token-stream shuffle join appeared")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q62 contamination: benchmark side broadcasts — corpus never joins big-to-big") {
     val p = plan("q62_text_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark-shingle join no longer broadcast")
