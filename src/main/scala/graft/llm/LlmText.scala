@@ -42,6 +42,9 @@ object LlmText {
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
 
+  /** q70 training-sequence length (tokens per packed bin). */
+  val PackBin = 512
+
   /** Per-token hashes, order preserved. */
   def tokenHashes(text: Column): Column =
     transform(tokens(text), w => wordHash(w))
@@ -780,6 +783,55 @@ object LlmText {
           size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
           regexp_replace(regexp_replace(col("t"), EmailRe, "[EMAIL]"),
             PhoneRe, "[PHONE]").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- sequence packing (concat-and-chunk, the LLM-pretraining
+    // batching step): each doc gets its global token OFFSET in
+    // doc_id-order corpus concatenation, and the [[PackBin]]-token
+    // training sequences it lands in. The global running sum is a
+    // DISTRIBUTED prefix-sum — per-bucket window sums plus a
+    // driver-side prefix over the ~shuffle-partitions bucket totals
+    // rebroadcast as a literal map — NOT a single-partition window
+    // (DuckDB's `OVER (ORDER BY ...)` form; at 100 TB that serializes
+    // the corpus through one task — PlanSpec pins SinglePartition out
+    // of the plan). Bucketing is deterministic doc_id ranges, so the
+    // result is reproducible regardless of parallelism.
+    Q("q70_pack_sequences",
+      s"""WITH d AS (
+         |  SELECT doc_id, len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         |      FROM d)
+         |SELECT doc_id, n_tokens::BIGINT AS n_tokens, tok_offset::BIGINT AS tok_offset,
+         |       (tok_offset // $PackBin)::BIGINT AS bin_first,
+         |       ((tok_offset + greatest(n_tokens, 1) - 1) // $PackBin)::BIGINT AS bin_last
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      // deterministic range buckets ≈ one per shuffle partition; the
+      // max(doc_id) probe reads only the doc_id column
+      val nBuckets = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+      val maxId = d.agg(max("doc_id")).first().getLong(0)
+      val width = (maxId / nBuckets + 1).max(1L)
+      val bucketed = d.withColumn("bucket", expr(s"doc_id DIV $width"))
+      // tiny: one row per bucket → exclusive prefix on the driver
+      val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("tot"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+        .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }.toMap
+      val cum = sum("n_tokens").over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      bucketed
+        .withColumn("tok_offset",
+          coalesce(element_at(typedLit(offsets), col("bucket")), lit(0L))
+            + cum - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          expr(s"tok_offset DIV $PackBin").as("bin_first"),
+          expr(s"(tok_offset + greatest(n_tokens, 1) - 1) DIV $PackBin").as("bin_last"))
         .orderBy("doc_id")
     }
   )

@@ -357,6 +357,39 @@ object LlmVector {
         |WHERE d / (na.n * nb.n) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
       blockedPairs(s, dir).orderBy("vec_a", "vec_b")
+    },
+
+    // ---- int8 scalar quantization (the ANN memory-compression step:
+    // 4× smaller vectors for the candidate scan, full-precision only
+    // for the final re-rank). Per-vector scale = max |x|; quantized
+    // value = floor(x·127/scale) — floor, not round, so the math is a
+    // pure IEEE-double expression with no tie-breaking semantics to
+    // diverge between engines. Map-only at any scale (PlanSpec);
+    // exploded to (vec_id, pos) rows so the oracle hash-compares
+    // scalars, not list encodings. All-zero vectors quantize to zero
+    // with scale 0 (guarded division).
+    Q("q71_embed_quantize",
+      """WITH m AS (SELECT vec_id, embedding,
+        |                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, maxabs,
+        |             unnest(list_transform(embedding,
+        |               x -> CASE WHEN maxabs > 0 THEN floor(x::DOUBLE * 127.0 / maxabs) ELSE 0 END)) AS qv,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM m)
+        |SELECT vec_id, pos::INTEGER AS pos, qv::BIGINT AS qv, maxabs FROM q
+        |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      T.df(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+        .select(col("vec_id"), col("maxabs"),
+          posexplode(transform(col("embedding"),
+            x => when(col("maxabs") > 0,
+              floor(x.cast("double") * 127.0 / col("maxabs"))).otherwise(0L)))
+            .as(Seq("pos0", "qv")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("int").as("pos"),
+          col("qv").cast("long").as("qv"), col("maxabs"))
+        .orderBy("vec_id", "pos")
     }
   )
 }

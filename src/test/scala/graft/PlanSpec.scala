@@ -106,6 +106,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q70 packing: distributed prefix-sum — no single-partition stage anywhere") {
+    // the naive global running sum (Window over ORDER BY with no
+    // partition) plans Exchange SinglePartition and serializes the
+    // corpus through one task at 100 TB
+    val p = plan("q70_pack_sequences")
+    assert(!p.contains("SinglePartition"), s"packing collapsed to one partition:\n$p")
+    assert(!p.contains("Join"), s"packing joins:\n$p")
+  }
+
+  test("q71 quantization: map-only — the only exchange is the final sort") {
+    val p = plan("q71_embed_quantize")
+    assert(!p.contains("Join"), s"quantization joins:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      s"quantization shuffles beyond the final sort:\n$p")
+  }
+
   test("q62 contamination: benchmark side broadcasts — corpus never joins big-to-big") {
     val p = plan("q62_text_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark-shingle join no longer broadcast")
