@@ -16,7 +16,16 @@ object Bench {
     // family's memoization caches are released right after its last
     // consumer — accumulated persisted frames across the whole sweep
     // were the prime suspect for round 4's diffuse 2-8x regressions.
-    val order = SparkEntry.all.map(_.name)
+    // SPARK_GRAFT_ONLY=q58,q1 -> bench only the named queries (qNN
+    // prefixes or full names); local-iteration knob, unset in driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ns) => SparkEntry.all.filter(q =>
+        ns(q.name) || ns(q.name.takeWhile(_ != '_')))
+      case None => SparkEntry.all
+    }
+    val order = selected.map(_.name)
     val hooks = Caches.releaseHooks(order)
     // untimed warmup: the first jobs in a fresh JVM pay several seconds
     // of one-time classloading/codegen-infrastructure cost (parquet
@@ -35,7 +44,7 @@ object Bench {
         .withColumn("rk", row_number().over(Window.partitionBy("r_name").orderBy("s")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.all.map { q =>
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Catalyst prune the projections away and

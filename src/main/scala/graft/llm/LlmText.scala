@@ -499,7 +499,12 @@ object LlmText {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      // df is derivable from tf (one row per (doc_id, w)), so count
+      // the AGGREGATED frame instead of re-tokenizing the corpus with
+      // countDistinct — drops a second corpus scan plus the distinct
+      // expand, and ReuseExchange shares tf's shuffle between the join
+      // branch and this one.
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).count()
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
       tf.join(df, "w")
