@@ -816,30 +816,43 @@ object LlmText {
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      // deterministic range buckets ≈ one per shuffle partition; the
-      // max(doc_id) probe reads only the doc_id column
       val nBuckets = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
-      val maxId = d.agg(max("doc_id")).first().getLong(0)
-      val width = (maxId / nBuckets + 1).max(1L)
-      val bucketed = d.withColumn("bucket", expr(s"doc_id DIV $width"))
-      // tiny: one row per bucket → exclusive prefix on the driver
-      val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("tot"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
-        .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }.toMap
-      val cum = sum("n_tokens").over(
-        Window.partitionBy("bucket").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      bucketed
-        .withColumn("tok_offset",
-          coalesce(element_at(typedLit(offsets), col("bucket")), lit(0L))
-            + cum - col("n_tokens"))
+      globalOffsets(d, nBuckets)
         .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
           expr(s"tok_offset DIV $PackBin").as("bin_first"),
           expr(s"(tok_offset + greatest(n_tokens, 1) - 1) DIV $PackBin").as("bin_last"))
         .orderBy("doc_id")
     }
   )
+
+  /** Distributed exclusive prefix-sum of `n_tokens` in `doc_id` order
+    * (q70's core): per-bucket window sums over deterministic doc_id
+    * ranges, plus a driver-side prefix over the ~nBuckets bucket
+    * totals rebroadcast as a literal map. Equals the single-partition
+    * `sum OVER (ORDER BY doc_id ROWS ... 1 PRECEDING)` for any frame
+    * with non-negative unique doc_ids — PackingSpec pins the
+    * equivalence on sparse/degenerate frames at several bucket counts.
+    * Input: (doc_id, n_tokens); output adds `tok_offset`. */
+  private[llm] def globalOffsets(d: DataFrame, nBuckets: Int): DataFrame = {
+    // the max(doc_id) probe reads only that column
+    val maxId = Option(d.agg(max("doc_id")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val width = (maxId / nBuckets.max(1) + 1).max(1L)
+    val bucketed = d.withColumn("bucket", expr(s"doc_id DIV $width"))
+    // tiny: one row per bucket → exclusive prefix on the driver
+    val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }.toMap
+    val cum = sum("n_tokens").over(
+      Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bucketed
+      .withColumn("tok_offset",
+        coalesce(element_at(typedLit(offsets), col("bucket")), lit(0L))
+          + cum - col("n_tokens"))
+      .drop("bucket")
+  }
 }
 
 /** Misra–Gries frequent-items summary: the per-partition candidate

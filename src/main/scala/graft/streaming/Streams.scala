@@ -67,6 +67,56 @@ object Streams {
         .select(col("window.start").cast("date").cast("string").as("day"),
           col("event_type"), col("count").as("n"))
         .orderBy("day", "event_type")
+    },
+
+    // ---- stream-static join (production enrichment shape): the event
+    // stream joins a STATIC dimension (customer → nation) that Spark
+    // re-plans per micro-batch and BROADCASTS — the stream side never
+    // shuffles for the join; the only stateful exchange is the
+    // windowed aggregation. At 100 TB/day this is the standard
+    // "enrich-then-aggregate" topology: dims broadcast, state is one
+    // row per (window, nation).
+    Q("q72_stream_static_join",
+      """SELECT cast(date_trunc('day', ts) as date)::VARCHAR AS day, n_name AS nation,
+        |       count(*) AS n,
+        |       cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY day, nation""".stripMargin) { (s, dir) =>
+      val landing = java.nio.file.Paths.get(
+        "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode))
+      java.nio.file.Files.createDirectories(landing)
+      val dst = landing.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = s.readStream.schema(schema).parquet(landing.toString)
+      val withTs =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else stream
+      val dim = broadcast(T.df(s, dir, "customer")
+        .join(broadcast(T.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+      val q = withTs
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 day"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(T.dec(col("value"))).as("sum_value_dec"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").cast("date").cast("string").as("day"),
+          col("n_name").as("nation"), col("n"),
+          T.dbl(col("sum_value_dec")).as("sum_value"))
+        .orderBy("day", "nation")
     }
   )
 }
