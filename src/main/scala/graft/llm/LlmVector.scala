@@ -65,6 +65,9 @@ object LlmVector {
   private val NProbe = 3
   private val KMeansSample = 256
   private val KMeansIters = 5
+  // q73 distributed trainer: clusters + Lloyd rounds over the FULL corpus
+  private val TrainK = 8
+  private val TrainIters = 4
 
   /** Per-query recall floor graded by q44 (and pinned by LlmVectorSpec).
     * See the class doc for why this is 0.5 on the unclustered fixture. */
@@ -390,6 +393,84 @@ object LlmVector {
         .select(col("vec_id"), (col("pos0") + 1).cast("int").as("pos"),
           col("qv").cast("long").as("qv"), col("maxabs"))
         .orderBy("vec_id", "pos")
+    },
+
+    // ---- distributed spherical k-means TRAINING over the full corpus
+    // (semantic clustering for curation / IVF index fitting at scale —
+    // unlike [[pivots]], which fits on a driver-side sample, this is
+    // the 100 TB shape: per iteration, assignment is the map-only
+    // [[graft.plans.NearestPivots]] projection with the centroids
+    // embedded as literals, and the mean step is ONE partial-agg
+    // shuffle of k·(dim+2) cells; only the k×dim centroid matrix ever
+    // visits the driver, MLlib-style). Oracle is a self-asserting
+    // envelope (the q44/q60 pattern): Lloyd's objective Σ cos(x, c) is
+    // non-decreasing per round BY THEOREM (reassignment and the
+    // normalized-mean step each improve it; emptied clusters keep
+    // their centroid), and every row is assigned every round — the
+    // query emits those booleans per iteration and the oracle pins
+    // them TRUE, so any regression in kernel, assignment, or the mean
+    // step flips the hash compare red. A 1e-6 tolerance absorbs
+    // partition-order float-summation drift (values are O(100)).
+    Q("q73_kmeans_train",
+      s"""SELECT unnest(generate_series(1, ${TrainIters}))::BIGINT AS iter,
+         |       true AS monotone_ok, true AS all_assigned
+         |ORDER BY iter""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val n = T.df(s, dir, "embeddings").count()
+      val iters = trainKmeans(s, dir)
+      val rows = iters.zipWithIndex.map { case ((assigned, obj), i) =>
+        val monotone = i == 0 || obj >= iters(i - 1)._2 - 1e-6
+        ((i + 1).toLong, monotone, assigned == n)
+      }
+      rows.toDF("iter", "monotone_ok", "all_assigned").orderBy("iter")
     }
   )
+
+  /** q73's Lloyd loop: per iteration (rows assigned, Σ cos(x, c)).
+    * Factored out so LlmVectorSpec can assert REAL convergence — a
+    * strict objective increase on the fixture — beyond the oracle's
+    * tolerance booleans. */
+  private[llm] def trainKmeans(s: SparkSession, dir: String): Seq[(Long, Double)] = {
+    import s.implicits._
+    val e = T.df(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      if (nn == 0) v else v.map(_ / nn)
+    }
+    // deterministic init: first k vectors by vec_id, unit-normalized
+    var cents = e.orderBy("vec_id").limit(TrainK).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).map(unit)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val centSchema = Seq.empty[(Int, Array[Float])].toDF("cl", "cent").schema
+    (1 to TrainIters).map { _ =>
+      val centDf = s.createDataFrame(
+        s.sparkContext.parallelize(
+          cents.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.Row(i, c.map(_.toFloat).toSeq) }.toSeq, 1),
+        centSchema)
+      val nrm = norm(col("embedding"))
+      val dimSums = (0 until dim).map(i =>
+        sum(when(nrm > 0, element_at(col("embedding"), i + 1) / nrm)
+          .otherwise(0d)).as(s"s$i"))
+      val aggs = Seq(count(lit(1)).as("cnt"),
+        sum(when(nrm > 0, dot(col("embedding"), col("cent")) / nrm)
+          .otherwise(0d)).as("obj")) ++ dimSums
+      // kernel pivot ids are 0-based, matching centDf
+      val perCl = e
+        .select(col("embedding"),
+          element_at(nearestPivotsCol(col("embedding"), cents, 1), 1).as("cl"))
+        .join(broadcast(centDf), "cl")
+        .groupBy("cl").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val assigned = perCl.map(_.getLong(1)).sum
+      val obj = perCl.map(_.getDouble(2)).sum
+      val next = cents.clone()
+      perCl.foreach { r =>
+        val m = unit(Array.tabulate(dim)(i => r.getDouble(3 + i)))
+        if (m.exists(_ != 0)) next(r.getInt(0)) = m
+      }
+      cents = next
+      (assigned, obj)
+    }
+  }
 }

@@ -102,4 +102,19 @@ class LlmVectorSpec extends SparkSpec {
     // frame 0 = bytes [1,9) of "hello world..." = "ello wor"
     assert(frames(0).fragHex == "ello wor".getBytes("UTF-8").map("%02X".format(_)).mkString)
   }
+  test("q73 k-means training really converges: strict objective gain, full assignment") {
+    val iters = LlmVector.trainKmeans(spark, dir)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    iters.foreach { case (assigned, obj) =>
+      assert(assigned == n, s"$assigned of $n rows assigned")
+      assert(obj <= n + 1e-6, s"objective $obj exceeds the cos<=1 bound $n")
+    }
+    // beyond the oracle's tolerance booleans: Lloyd must actually move
+    // on the fixture, not sit at the init within 1e-6
+    assert(iters.last._2 > iters.head._2 + 1e-3,
+      s"objective flat: ${iters.map(_._2).mkString(", ")}")
+    val objs = iters.map(_._2)
+    objs.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 1e-6) case _ => }
+  }
+
 }
