@@ -553,17 +553,17 @@ object LlmText {
           col("simhash").bitwiseAND(1023),
           shiftright(col("simhash"), 10).bitwiseAND(1023),
           shiftright(col("simhash"), 20))).as(Seq("band", "bkey")))
-      val cands = bands.as("x").join(bands.as("y"),
+      // sketches ride along through the bucket join (simhash is
+      // functional in doc_id, so the pair-distinct is unchanged) —
+      // verifying Hamming needs NO join back to the sketch table,
+      // where the earlier shape re-shuffled sims twice
+      bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cands
-        .join(sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
-        .join(sims.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 2)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 
