@@ -45,6 +45,10 @@ object LlmText {
   /** q70 training-sequence length (tokens per packed bin). */
   val PackBin = 512
 
+  /** q74 sliding-passage shape: 10-token windows every 5 tokens. */
+  val SlideLen = 10
+  val SlideStride = 5
+
   /** Per-token hashes, order preserved. */
   def tokenHashes(text: Column): Column =
     transform(tokens(text), w => wordHash(w))
@@ -822,6 +826,39 @@ object LlmText {
           expr(s"tok_offset DIV $PackBin").as("bin_first"),
           expr(s"(tok_offset + greatest(n_tokens, 1) - 1) DIV $PackBin").as("bin_last"))
         .orderBy("doc_id")
+    },
+
+    // ---- overlapping passage extraction (RAG-style chunking):
+    // [[SlideLen]]-token windows every [[SlideStride]] tokens, each
+    // with its positional hash — the retrieval-index unit. The window
+    // enumeration + hashing is the [[graft.plans.TextKernels
+    // .slidingChunkHashes]] kernel (q64's chunker generalized with a
+    // stride), so the whole query is scan → project → posexplode:
+    // map-only at any scale, where the relational form joins the
+    // token table against a per-doc window series — a corpus-sized
+    // shuffle per stride step (that formulation is the oracle below).
+    Q("q74_chunk_sliding",
+      s"""$sqlPrelude,
+         |base AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
+         |ks AS (SELECT doc_id, unnest(generate_series(0, (n - 1) // $SlideStride)) AS k
+         |       FROM base),
+         |wm AS (SELECT ks.doc_id, k, h, wh.pos - k * $SlideStride AS rel
+         |       FROM ks JOIN wh ON wh.doc_id = ks.doc_id
+         |        AND wh.pos > k * $SlideStride AND wh.pos <= k * $SlideStride + $SlideLen),
+         |ch AS (SELECT doc_id, k, sum((h * (${TextHash.pow31Sql})[rel]) % ${M}) % ${M} AS chash,
+         |              count(*) AS n_tok
+         |       FROM wm GROUP BY 1, 2)
+         |SELECT doc_id, k::BIGINT AS chunk, chash::BIGINT AS chash, n_tok::BIGINT AS n_tok
+         |FROM ch ORDER BY doc_id, chunk""".stripMargin) { (s, dir) =>
+      tokenHashArr(s, dir)
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), size(col("hs")).as("n"),
+          posexplode(graft.plans.TextKernels.slidingChunkHashes(
+            col("hs"), SlideLen, SlideStride)).as(Seq("chunk", "chash")))
+        .select(col("doc_id"), col("chunk").cast("long").as("chunk"), col("chash"),
+          least(lit(SlideLen), col("n") - col("chunk") * SlideStride)
+            .cast("long").as("n_tok"))
+        .orderBy("doc_id", "chunk")
     }
   )
 

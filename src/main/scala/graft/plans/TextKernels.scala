@@ -78,6 +78,11 @@ object TextKernels {
     * (trailing partial chunk included): array<long>. */
   def chunkHashes(hs: Column): Column = column(ChunkHashes(expression(hs)))
 
+  /** Overlapping sliding-window chunk hashes (window c starts at
+    * c·stride): array<long>, one hash per window. */
+  def slidingChunkHashes(hs: Column, len: Int, stride: Int): Column =
+    column(ChunkHashes(expression(hs), len, stride))
+
   /** Per-profile stopword-occurrence counts of a (pre-lowercased)
     * text: array<long>, one count per profile, in profile order. */
   def langScores(text: Column, profiles: Seq[Seq[String]]): Column =
@@ -318,10 +323,13 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   * passage-level (CCNet line-level) dedup granularity. Null ELEMENTS
   * hash as 0 (unreachable from the pipeline — [[TokenHashes]] emits
   * containsNull=false). */
-case class ChunkHashes(child: Expression, chunkLen: Int = ChunkHashes.DefaultLen)
+case class ChunkHashes(child: Expression, chunkLen: Int = ChunkHashes.DefaultLen,
+    stride: Int = ChunkHashes.DefaultLen)
     extends UnaryExpression {
   require(chunkLen >= 1 && chunkLen <= TextKernels.pow31.length,
     s"chunkLen=$chunkLen out of range 1..${TextKernels.pow31.length}")
+  require(stride >= 1 && stride <= chunkLen,
+    s"stride=$stride must be in 1..chunkLen=$chunkLen")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -331,19 +339,23 @@ case class ChunkHashes(child: Expression, chunkLen: Int = ChunkHashes.DefaultLen
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "chunk_hashes"
 
+  /** Window c covers token indices [c·stride, c·stride+chunkLen) ∩
+    * [0, n); windows exist while c·stride < n (trailing partials
+    * included). stride == chunkLen is the non-overlapping q64 shape. */
   def chunks(in: ArrayData): ArrayData = {
     val n = in.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
-    val m = (n + chunkLen - 1) / chunkLen
+    val m = (n + stride - 1) / stride
     val out = new Array[Long](m)
     var c = 0
     while (c < m) {
-      val end = math.min((c + 1) * chunkLen, n)
+      val start = c * stride
+      val end = math.min(start + chunkLen, n)
       var acc = 0L
-      var i = c * chunkLen
+      var i = start
       while (i < end) {
         val h = if (in.isNullAt(i)) 0L else in.getLong(i)
-        acc = (acc + h * TextKernels.pow31(i - c * chunkLen)) % TextKernels.M
+        acc = (acc + h * TextKernels.pow31(i - start)) % TextKernels.M
         i += 1
       }
       out(c) = acc

@@ -180,6 +180,54 @@ class TextKernelsSpec extends SparkSpec {
       "kernel chunk hashes diverge from the relational formulation")
   }
 
+  test("sliding ChunkHashes == relational window-join formulation (stride 5, len 10)") {
+    import TextHash.M
+    val (len, stride) = (10, 5)
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .union(edgeDfShifted)
+      .select(col("doc_id"), TextKernels.tokenHashes(lower(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val tok = base.select(col("doc_id"), size(col("hs")).as("n"),
+      posexplode(col("hs")).as(Seq("pos", "h")))
+    val ks = base.select(col("doc_id"),
+      explode(sequence(lit(0), ((size(col("hs")) - 1) / stride).cast("int"))).as("k"))
+    val rel = ks.join(tok, "doc_id")
+      .filter(col("pos") >= col("k") * stride && col("pos") < col("k") * stride + len)
+      .groupBy("doc_id", "k")
+      .agg((sum((col("h") * element_at(typedLit(TextHash.pow31.toArray),
+        (col("pos") - col("k") * stride).cast("int") + 1)) % M) % M).as("chash"))
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("k"), col("chash")))),
+        p => p.getField("chash")).as("chs"))
+    val kernel = base.select(col("doc_id"),
+      TextKernels.slidingChunkHashes(col("hs"), len, stride).as("chs"))
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "sliding kernel diverges from the relational window-join formulation")
+  }
+
+  test("sliding ChunkHashes edges: stride==len is q64's chunker; partial tails; bad stride rejected") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3L, 5L, 7L, 11L, 13L)), (2L, Seq(17L)), (3L, Seq.empty[Long]))
+      .toDF("doc_id", "hs")
+    val same = df.select(col("doc_id"), TextKernels.chunkHashes(col("hs")).as("a"),
+        TextKernels.slidingChunkHashes(col("hs"), 10, 10).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(same == 0, "stride==len must reproduce the non-overlapping chunker")
+    // len 3, stride 2 over 5 tokens -> windows at 0,2,4 (last is 1 token)
+    val got = df.filter(col("doc_id") === 1)
+      .select(TextKernels.slidingChunkHashes(col("hs"), 3, 2))
+      .collect()(0).getSeq[Long](0)
+    import TextHash.{M => m}
+    val p = TextHash.pow31
+    assert(got == Seq(
+      (3 * p(0) + 5 * p(1) + 7 * p(2)) % m,
+      (7 * p(0) + 11 * p(1) + 13 * p(2)) % m,
+      (13 * p(0)) % m))
+    intercept[IllegalArgumentException] {
+      graft.plans.ChunkHashes(null, 5, 6)
+    }
+  }
+
   test("LangScores kernel == explode_outer + conditional-count formulation") {
     val profiles = Seq(
       Seq("the", "a", "of", "and", "in"),
