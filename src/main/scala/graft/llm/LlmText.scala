@@ -49,6 +49,21 @@ object LlmText {
   val SlideLen = 10
   val SlideStride = 5
 
+  /** Deterministic per-doc sampling hash (q68/q75): three MINSTD
+    * steps, x → x·48271 mod (2³¹−1) iterated — ONE step does not wrap
+    * for doc_id < 44k (the product stays below the modulus), leaving
+    * the "hash" monotone in doc_id; three steps mix at any id scale.
+    * Intermediate products stay < (2³¹−1)·48271 ≈ 1e14, overflow-free
+    * in 64-bit on both engines. */
+  val LehmerP = 2147483647L
+  def lehmer3(c: Column): Column = {
+    val h1 = (c * 48271L) % LehmerP
+    val h2 = (h1 * 48271L) % LehmerP
+    (h2 * 48271L) % LehmerP
+  }
+  def lehmer3Sql(e: String): String =
+    s"((($e * 48271) % $LehmerP) * 48271 % $LehmerP) * 48271 % $LehmerP"
+
   /** Per-token hashes, order preserved. */
   def tokenHashes(text: Column): Column =
     transform(tokens(text), w => wordHash(w))
@@ -744,13 +759,13 @@ object LlmText {
     // zero-shuffle path and the fixed-n rank runs on the ~rate-sized
     // survivor set, not the corpus.
     Q("q68_sample_stratified",
-      """WITH h AS (SELECT doc_id, lang, (doc_id * 48271) % 2147483647 AS hk FROM documents),
-        |r AS (SELECT doc_id, lang, hk, (hk % 100 < 10) AS in_10pct,
-        |             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
-        |      FROM h)
-        |SELECT lang, rk, doc_id, hk, in_10pct FROM r WHERE rk <= 5
-        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
-      val hk = (col("doc_id") * 48271L) % 2147483647L
+      s"""WITH h AS (SELECT doc_id, lang, ${lehmer3Sql("doc_id")} AS hk FROM documents),
+         |r AS (SELECT doc_id, lang, hk, (hk % 100 < 10) AS in_10pct,
+         |             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+         |      FROM h)
+         |SELECT lang, rk, doc_id, hk, in_10pct FROM r WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val hk = lehmer3(col("doc_id"))
       T.df(s, dir, "documents")
         .select(col("doc_id"), col("lang"), hk.as("hk"))
         .withColumn("in_10pct", col("hk") % 100 < 10)
@@ -859,6 +874,45 @@ object LlmText {
           least(lit(SlideLen), col("n") - col("chunk") * SlideStride)
             .cast("long").as("n_tok"))
         .orderBy("doc_id", "chunk")
+    },
+
+    // ---- mixture sampling (source reweighting for training-data
+    // curation): downsample every source to the SMALLEST source's
+    // token budget via a per-doc Lehmer-hash threshold — the same doc
+    // set is selected on every run and every engine (rand()-seeded
+    // samplers are neither). Per-source totals are one partial-agg
+    // shuffle of |sources| keys; the budget min is a driver scalar off
+    // that tiny frame; the accept/reject pass is map-only behind a
+    // broadcast join with the |sources|-row rate table. Expected kept
+    // tokens per source ≈ the min budget (hash-proportional).
+    Q("q75_mixture_sample",
+      s"""WITH d AS (SELECT doc_id, source,
+         |                  len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_tokens
+         |           FROM documents),
+         |tot AS (SELECT source, sum(n_tokens) AS total FROM d GROUP BY source),
+         |r AS (SELECT source, total,
+         |             least(1.0, (SELECT min(total) FROM tot)::DOUBLE / total) AS rate
+         |      FROM tot),
+         |k AS (SELECT d.source, r.total, r.rate, d.n_tokens,
+         |             (${lehmer3Sql("d.doc_id")})::DOUBLE < r.rate * 2147483647.0 AS keep
+         |      FROM d JOIN r USING (source))
+         |SELECT source, total::BIGINT AS total_tokens,
+         |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+         |       sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+         |FROM k GROUP BY source, total ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val tot = d.groupBy("source").agg(sum("n_tokens").as("total"))
+      val minTotal = tot.agg(min("total")).first().getLong(0)
+      val r = tot.withColumn("rate",
+        least(lit(1.0), lit(minTotal.toDouble) / col("total")))
+      val hk = lehmer3(col("doc_id"))
+      d.join(broadcast(r), "source")
+        .withColumn("keep", hk.cast("double") < col("rate") * 2147483647.0)
+        .groupBy(col("source"), col("total").as("total_tokens"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
     }
   )
 
