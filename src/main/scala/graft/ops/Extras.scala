@@ -179,6 +179,41 @@ object Extras {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), T.dbl(sum(T.dec(col("l_quantity")))).as("sum_qty"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- batch sessionization over the event stream's table form:
+    // Spark's native session_window (one shuffle keyed by user — the
+    // same operator Structured Streaming runs stateful, here state-
+    // free in batch). A session closes at a gap >= 30 min: Spark
+    // merges an event iff it lands strictly inside the previous
+    // window's [start, last+gap) extent, so the oracle's lag-diff
+    // formulation uses >= for the session break. The fixture's
+    // timestamps are microsecond-round, so the TIMESTAMP(NANOS) →
+    // micros truncation on the Spark side moves no gap across the
+    // boundary.
+    Q("q76_sessionize",
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM l),
+        |g AS (SELECT user_id, sess, count(*) AS ev FROM s GROUP BY 1, 2)
+        |SELECT user_id, sum(ev)::BIGINT AS n_events, count(*)::BIGINT AS n_sessions,
+        |       max(ev)::BIGINT AS longest_session
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      T.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("ev"))
+        .groupBy("user_id")
+        .agg(sum("ev").as("n_events"), count(lit(1)).as("n_sessions"),
+          max("ev").as("longest_session"))
+        .orderBy("user_id")
     }
   )
 }
