@@ -214,6 +214,62 @@ object Extras {
         .agg(sum("ev").as("n_events"), count(lit(1)).as("n_sessions"),
           max("ev").as("longest_session"))
         .orderBy("user_id")
+    },
+
+    // ---- ordered funnel (view → click → purchase, strictly after the
+    // previous stage's FIRST completion): each stage is a per-user min
+    // over the event scan joined to the previous stage's survivors —
+    // per-stage the join is keyed by user on already-aggregated frames
+    // (one row per user), so the chain is three partial-agg shuffles
+    // of user-sized frames, never event×event.
+    Q("q77_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT 1 AS stage, count(*)::BIGINT AS n_users FROM v
+        |  UNION ALL SELECT 2, count(*)::BIGINT FROM c
+        |  UNION ALL SELECT 3, count(*)::BIGINT FROM p)
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val e = T.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users")).select(lit(2).as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit(3).as("stage"), col("n_users")))
+        .orderBy("stage")
+    },
+
+    // ---- retention cohorts: users grouped by first-activity day,
+    // counted on each of the next 7 days they return. Two partial-agg
+    // shuffles (first-day per user; distinct user-days) and one
+    // user-keyed join — the standard cohort triangle at any scale.
+    Q("q78_retention",
+      """WITH f AS (SELECT user_id, min(cast(date_trunc('day', ts) as date)) AS d0
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) as date) AS d FROM events),
+        |r AS (SELECT f.d0, (a.d - f.d0) AS k, a.user_id
+        |      FROM a JOIN f USING (user_id) WHERE a.d - f.d0 BETWEEN 0 AND 7)
+        |SELECT d0::VARCHAR AS cohort, k::BIGINT AS k, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM r GROUP BY d0, k ORDER BY cohort, k""".stripMargin) { (s, dir) =>
+      val e = T.events(s, dir).select(col("user_id"), col("ts").cast("date").as("d"))
+      val f = e.groupBy("user_id").agg(min("d").as("d0"))
+      val a = e.distinct()
+      a.join(f, "user_id")
+        .withColumn("k", datediff(col("d"), col("d0")).cast("long"))
+        .filter(col("k").between(0, 7))
+        .groupBy(col("d0").cast("string").as("cohort"), col("k"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "k")
     }
   )
 }
