@@ -122,6 +122,27 @@ class PlanSpec extends SparkSpec {
       s"quantization shuffles beyond the final sort:\n$p")
   }
 
+  test("q75 mixture sampling: rate table broadcasts — corpus never shuffle-joins") {
+    val p = plan("q75_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), "rate-table join no longer broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join appeared")
+  }
+
+  test("q76 sessionization: exactly one user-keyed exchange before the final sort") {
+    val p = plan("q76_sessionize")
+    assert(!p.contains("Join"), s"sessionization joins:\n$p")
+    // session_window agg re-sorts within user partitions but must not
+    // add extra exchanges: one hashpartitioning + the presentation sort
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 3,
+      s"sessionization exchanges exceed window+agg+sort:\n$p")
+  }
+
+  test("q77 funnel: stage joins stay user-keyed — no cartesian/nested-loop") {
+    val p = plan("q77_funnel")
+    assert(!p.contains("CartesianProduct"), s"funnel went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"funnel nested-loop:\n$p")
+  }
+
   test("q62 contamination: benchmark side broadcasts — corpus never joins big-to-big") {
     val p = plan("q62_text_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark-shingle join no longer broadcast")
