@@ -270,6 +270,53 @@ object Extras {
         .groupBy(col("d0").cast("string").as("cohort"), col("k"))
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort", "k")
+    },
+
+    // ---- pivot: priority columns per order status. With the value
+    // list given explicitly, Spark plans ONE pass of conditional
+    // aggregates (same plan as the oracle's CASE sums) — omitting the
+    // list costs an extra distinct-collect job at scale, so the
+    // operator takes it as part of the signature.
+    Q("q79_pivot",
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS urgent,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS high,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS medium,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS unspecified,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val cols = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low")
+      val pivoted = T.df(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", cols.map(_._1))
+        .agg(count(lit(1)))
+      cols.foldLeft(pivoted) { case (df, (v, a)) =>
+          df.withColumn(a, coalesce(col(s"`$v`"), lit(0L))).drop(v)
+        }
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- unpivot (melt): the wide flag columns back to long form —
+    // Spark's native unpivot (ids/values/variable/value), a zero-
+    // shuffle generator projection. Oracle is the UNION ALL per
+    // column formulation.
+    Q("q80_unpivot",
+      """WITH w AS (SELECT o_orderstatus,
+        |                  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS urgent,
+        |                  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS low
+        |           FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, prio, n FROM (
+        |  SELECT o_orderstatus, 'urgent' AS prio, urgent AS n FROM w
+        |  UNION ALL SELECT o_orderstatus, 'low', low FROM w)
+        |ORDER BY o_orderstatus, prio""".stripMargin) { (s, dir) =>
+      T.df(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("urgent"),
+          sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("low"))
+        .unpivot(Array(col("o_orderstatus")), Array(col("urgent"), col("low")),
+          "prio", "n")
+        .orderBy("o_orderstatus", "prio")
     }
   )
 }
