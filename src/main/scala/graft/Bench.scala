@@ -60,7 +60,7 @@ object Bench {
     // line must stay well under that or the {"metric":...} prefix is
     // truncated away (rounds 1-6 all lost the headline number this
     // way). Short qNN keys (unique — full names in COVERAGE.md) +
-    // 3-decimal seconds keep 66 queries near ~900 chars.
+    // 3-decimal seconds keep ~80 queries near ~1000 chars.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
