@@ -466,12 +466,14 @@ object LlmText {
         |   + CASE WHEN 10 * n_distinct >= 3 * n_tokens THEN 1 ELSE 0 END
         |   + CASE WHEN max_tok_len <= 15 THEN 1 ELSE 0 END) AS quality
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val t = tokens(col("text"))
-      val nTok = size(t)
-      val nDis = size(array_distinct(t))
-      val maxLen = array_max(transform(t, w => length(w)))
-      val nLong = size(filter(t, w => length(w) > 6))
+      // one compiled pass via [[graft.plans.TextKernels.qualityStats]]
+      // (the four-HOF formulation evaluated interpreted per row;
+      // TextKernelsSpec pins both paths equal, null max included)
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val Seq(nTok, nDis, maxLen, nLong) =
+        (1 to 4).map(i => element_at(col("st"), i))
       docs(s, dir)
+        .select(col("doc_id"), st.as("st"))
         .select(col("doc_id"), nTok.as("n_tokens"), nDis.as("n_distinct"),
           maxLen.as("max_tok_len"), nLong.as("n_long"),
           (when(nTok.between(20, 1000), 1).otherwise(0)

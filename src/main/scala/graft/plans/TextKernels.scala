@@ -87,6 +87,11 @@ object TextKernels {
     * text: array<long>, one count per profile, in profile order. */
   def langScores(text: Column, profiles: Seq[Seq[String]]): Column =
     column(LangScores(expression(text), profiles.map(_.toArray).toArray))
+
+  /** Per-row quality stats of a (pre-lowercased) text: array<long>
+    * [n_tokens, n_distinct, max_tok_len (null when token-less),
+    * n_long (len > 6)]. */
+  def qualityStats(text: Column): Column = column(QualityStats(expression(text)))
 }
 
 /** text (lowercased by the caller — `lower()` stays the native Spark
@@ -386,6 +391,56 @@ object ChunkHashes {
   * profile; this is a pure map — at 100 TB language-ID adds zero
   * exchanges. Token-less text scores all-zero (matching the
   * explode_outer formulation's kept row). */
+/** (pre-lowercased) text → [n_tokens, n_distinct, max_tok_len, n_long]
+  * as one compiled pass (tokenization identical to [[TokenHashes]]:
+  * maximal non-space runs; token length in chars, ASCII-safe vs both
+  * engines' code-point length). The declarative form runs four
+  * interpreted higher-order lambdas per row; this is a map projection
+  * inside whole-stage codegen. max_tok_len is NULL for token-less
+  * text, matching `array_max(empty)` / `list_max(empty)`. */
+case class QualityStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "quality_stats"
+
+  def stats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val seen = new java.util.HashSet[String]()
+    var nTok = 0L
+    var maxLen = 0L
+    var nLong = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && str.charAt(i) != ' ') i += 1
+        nTok += 1
+        val len = i - start
+        if (len > maxLen) maxLen = len
+        if (len > 6) nLong += 1
+        seen.add(str.substring(start, i))
+      }
+    }
+    new GenericArrayData(Array[Any](
+      nTok, seen.size.toLong, if (nTok == 0) null else maxLen, nLong))
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityStats", this, classOf[QualityStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.stats(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityStats =
+    copy(child = newChild)
+}
+
 case class LangScores(child: Expression, profiles: Array[Array[String]])
     extends UnaryExpression {
   require(profiles.nonEmpty, "at least one profile")

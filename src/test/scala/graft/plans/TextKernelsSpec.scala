@@ -228,6 +228,21 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("QualityStats kernel == four-HOF formulation (null max on token-less text)") {
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .union(edgeDfShifted)
+    val t = LlmText.tokens(col("text"))
+    val rel = base.select(col("doc_id"), array(
+      size(t).cast("long"),
+      size(array_distinct(t)).cast("long"),
+      array_max(transform(t, w => length(w))).cast("long"),
+      size(filter(t, w => length(w) > 6)).cast("long")).as("st"))
+    val kernel = base.select(col("doc_id"),
+      TextKernels.qualityStats(lower(col("text"))).as("st"))
+    assert(kernel.exceptAll(rel).isEmpty && rel.exceptAll(kernel).isEmpty,
+      "kernel quality stats diverge from the HOF formulation")
+  }
+
   test("LangScores kernel == explode_outer + conditional-count formulation") {
     val profiles = Seq(
       Seq("the", "a", "of", "and", "in"),
