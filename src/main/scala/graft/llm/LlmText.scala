@@ -259,6 +259,20 @@ object LlmText {
       pairs
     })
 
+  /** (doc_id, w1, bh) bigram stream for q82, straight off the
+    * token-hash arrays: a generator projection (posexplode is 0-based,
+    * element_at 1-based, so the successor is hs[pos+2]) — zero
+    * shuffles to form bigrams, and a doc's bigrams stay inside one
+    * partition, so downstream per-doc aggregation pre-combines to one
+    * row per doc before any exchange. Bigram-hash family matches q63
+    * / the oracle prelude: (h1*31 + h2) mod M. */
+  private[llm] def bigrams(tha: DataFrame): DataFrame =
+    tha
+      .select(col("doc_id"), col("hs"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .filter(col("pos") < size(col("hs")) - 1)
+      .select(col("doc_id"), col("h").as("w1"),
+        ((col("h") * 31 + element_at(col("hs"), col("pos") + 2)) % M).as("bh"))
+
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -915,8 +929,104 @@ object LlmText {
         .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
           sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
         .orderBy("source")
+    },
+
+    // ---- bloom-filter decontamination: same contamination semantics
+    // as q62 (fraction of a doc's shingles in the benchmark set,
+    // flagged at >= 1/2), restructured for a corpus that must never
+    // join big-to-big OR big-to-broadcast: the benchmark shingles are
+    // folded into a ~1.2 MB/1M-key bloom sketch, so the corpus pass is
+    // a map-only projection ([[graft.plans.BloomKernels.bloomHits]],
+    // PlanSpec pins zero Exchange scan -> candidate filter) and only
+    // the CANDIDATES that clear the threshold against the (over-
+    // counting) bloom reach the exact verify join. Bloom hit counts
+    // never undercount, so candidates are a superset of the truth and
+    // the exact pass makes the final answer independent of the bloom's
+    // false positives — the oracle is plain exact SQL, no envelope.
+    // Building the sketch runs two jobs on the BENCHMARK side only
+    // (count + treeAggregate fold); that side is eval suites, small at
+    // any corpus scale.
+    Q("q81_decontaminate_bloom",
+      s"""$sqlPrelude,
+         |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 20 = 0),
+         |hits AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
+         |         FROM dsh d LEFT JOIN bench b USING (sh)
+         |         WHERE d.doc_id % 20 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_sh::BIGINT AS n_sh, n_hit::BIGINT AS n_hit
+         |FROM hits WHERE 2 * n_hit >= n_sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = docShingles(s, dir)
+      val bench = sh.filter(col("doc_id") % 20 === 0)
+        .select(explode(col("sh")).as("sh")).distinct()
+      val bloom = graft.plans.BloomKernels.buildBroadcast(
+        s, bench, "sh", bench.count(), 0.01)
+      val cand = sh.filter(col("doc_id") % 20 =!= 0)
+        .filter(graft.plans.BloomKernels.bloomHits(col("sh"), bloom) * 2 >= size(col("sh")))
+      cand.select(col("doc_id"), explode(col("sh")).as("sh"))
+        .join(broadcast(bench.withColumn("mark", lit(1))), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), count(col("mark")).as("n_hit"))
+        .filter(col("n_hit") * 2 >= col("n_sh"))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"))
+        .orderBy("doc_id")
+    },
+
+    // ---- bigram-LM perplexity scoring (CCNet-style quality signal):
+    // train add-one-smoothed bigram counts on the 80% split
+    // (doc_id % 5 <> 0), score EVERY doc's mean negative log-likelihood
+    // -ln p(w2|w1) = ln((c(w1)+V)/(c(w1,w2)+1)). Bigrams come straight
+    // off the token-hash ARRAY (posexplode + element_at(hs, pos+2), a
+    // generator projection — no window, no self-join: forming bigrams
+    // shuffles NOTHING). Every exchange left on the path is bounded
+    // below corpus size by partial aggregation: the count tables
+    // collapse to distinct-bigram/vocab rows map-side and then
+    // BROADCAST back onto the stream, so scoring is map-side and the
+    // per-doc mean pre-combines to one row per doc (a doc's bigrams
+    // are generated inside one partition) before its exchange. A
+    // web-scale vocabulary falls back to shuffle hash joins, same
+    // trade as [[BroadcastVocabCap]]. The mean is rounded through
+    // decimal(12,2) (T.dec rule) so cross-engine ln()/summation-order
+    // noise (~1e-13 relative) cannot flip the hash compare.
+    Q("q82_lm_perplexity",
+      s"""$sqlPrelude,
+         |big AS (SELECT a.doc_id, a.h AS w1, (a.h * 31 + b.h) % ${M} AS bh
+         |        FROM wh a JOIN wh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |c1 AS (SELECT w1, count(*) AS n_w1 FROM big WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |c2 AS (SELECT bh, count(*) AS n_bh FROM big WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT h) AS vocab FROM wh WHERE doc_id % 5 <> 0),
+         |nll AS (SELECT big.doc_id,
+         |               ln((coalesce(c1.n_w1, 0) + v.vocab)::DOUBLE
+         |                  / (coalesce(c2.n_bh, 0) + 1)) AS t
+         |        FROM big LEFT JOIN c1 USING (w1) LEFT JOIN c2 USING (bh) CROSS JOIN v)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |       (sum(t) / count(*))::DECIMAL(12,2)::DOUBLE AS avg_nll
+         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      lmScore(tokenHashArr(s, dir))
     }
   )
+
+  /** q82's LM scoring over any (doc_id, hs: array<long>) token-hash
+    * frame — factored out so LmBloomSpec can drive it with a
+    * hand-computable fixture. Train split = doc_id % 5 <> 0. */
+  private[llm] def lmScore(tha: DataFrame): DataFrame = {
+    val big = bigrams(tha)
+    val train = big.filter(col("doc_id") % 5 =!= 0)
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("n_w1"))
+    val c2 = train.groupBy("bh").agg(count(lit(1)).as("n_bh"))
+    val v = tha.filter(col("doc_id") % 5 =!= 0)
+      .select(explode(col("hs")).as("h"))
+      .agg(countDistinct(col("h")).as("vocab"))
+    big
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(c2), Seq("bh"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("t",
+        log((coalesce(col("n_w1"), lit(0L)) + col("vocab")).cast("double")
+          / (coalesce(col("n_bh"), lit(0L)) + 1)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        T.dbl(T.dec(sum(col("t")) / count(lit(1)))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
 
   /** Distributed exclusive prefix-sum of `n_tokens` in `doc_id` order
     * (q70's core): per-bucket window sums over deterministic doc_id
