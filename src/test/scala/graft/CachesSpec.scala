@@ -14,7 +14,9 @@ class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
     // consumers; no earlier consumer carries a hook
     val textConsumers = Seq("q39_dedup_ngram_jaccard", "q40_dedup_minhash_sig",
       "q41_dedup_minhash_lsh", "q42_dedup_simhash", "q48_text_fingerprint",
-      "q57_dedup_clusters", "q74_chunk_sliding").filter(order.contains)
+      "q57_dedup_clusters", "q62_text_contamination", "q63_text_repetition",
+      "q66_dedup_simhash_ham", "q74_chunk_sliding", "q81_decontaminate_bloom",
+      "q82_lm_perplexity").filter(order.contains)
     val last = textConsumers.maxBy(order.indexOf)
     assert(hooks.contains(last))
     textConsumers.filter(_ != last).foreach(q => assert(!hooks.contains(q)))
