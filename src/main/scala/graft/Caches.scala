@@ -36,7 +36,8 @@ object Caches {
       "q74_chunk_sliding", "q81_decontaminate_bloom", "q82_lm_perplexity"),
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
-      "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked"),
+      "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
+      "q83_dedup_semantic"),
       llm.LlmVector.release))
 
   /** query-name → release actions to fire AFTER that query, for a

@@ -68,6 +68,8 @@ object LlmVector {
   // q73 distributed trainer: clusters + Lloyd rounds over the FULL corpus
   private val TrainK = 8
   private val TrainIters = 4
+  // q83 semantic-dedup cluster count (SQL-replicable first-K pivots)
+  private val SemK = 8
 
   /** Per-query recall floor graded by q44 (and pinned by LlmVectorSpec).
     * See the class doc for why this is 0.5 on the unclustered fixture. */
@@ -285,6 +287,7 @@ object LlmVector {
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(bruteCache, s)(_.unpersist())
     graft.Caches.dropSession(blockCache, s)(_.unpersist())
+    graft.Caches.dropSession(semCache, s)(_.unpersist())
     graft.Caches.dropSession(pivotCache, s)(_ => ())
   }
 
@@ -423,8 +426,107 @@ object LlmVector {
         ((i + 1).toLong, monotone, assigned == n)
       }
       rows.toDF("iter", "monotone_ok", "all_assigned").orderBy("iter")
+    },
+
+    // ---- SemDeDup-style semantic dedup: cluster the corpus, then
+    // near-dup only WITHIN clusters — the standard way to make
+    // embedding dedup sub-quadratic when the corpus has semantic
+    // structure (pairs across clusters are by construction far).
+    // Cluster assignment is the same map-only [[NearestPivots]]
+    // projection as q44 (zero exchanges scan → cluster column), but
+    // over a SQL-replicable pivot set — the first [[SemK]] vectors
+    // unit-normalized, no k-means — so the whole query has an exact
+    // DuckDB oracle (assignment argmax: measured best-vs-second pivot
+    // cosine gap ≥ 4.7e-5 on both fixtures, 10 orders above cross-
+    // engine float noise; dup threshold reuses [[DupThreshold]] and
+    // its measured margin). Within-cluster pairs run on the
+    // [[graft.plans.PairCosine]] compiled kernel with clusters as
+    // blocks — same-cluster triangles only, so work is Σ|cluster|²/2,
+    // not n²/2; the only exchanges are the cluster groupBy and the
+    // final verdict join. Verdict: greedy keep-first — drop a vector
+    // iff a LOWER-id vector in its cluster is within the threshold
+    // (deterministic, order-free, one pass; the transitive-closure
+    // variant is q57's connected components). At 100 TB: pivots come
+    // from the q73 distributed trainer, k scales with corpus size so
+    // cluster cardinality stays bounded, and skewed clusters split by
+    // salting the triangle — the quadratic term is capped by design.
+    Q("q83_dedup_semantic",
+      s"""WITH e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |           FROM embeddings),
+         |nrm AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM e GROUP BY vec_id),
+         |pd AS (SELECT c.vec_id, p.vec_id AS pid, sum(c.v::DOUBLE * p.v::DOUBLE) AS d
+         |       FROM e c JOIN e p ON c.i = p.i WHERE p.vec_id < ${SemK}
+         |       GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, pid AS cluster FROM (
+         |          SELECT pd.vec_id, pd.pid,
+         |                 row_number() OVER (PARTITION BY pd.vec_id
+         |                   ORDER BY pd.d / np.n DESC, pd.pid) AS rk
+         |          FROM pd JOIN nrm np ON np.vec_id = pd.pid) WHERE rk = 1),
+         |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |                sum(ea.v::DOUBLE * eb.v::DOUBLE) AS d
+         |         FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |         JOIN e ea ON ea.vec_id = a.vec_id
+         |         JOIN e eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+         |         GROUP BY 1, 2),
+         |dups AS (SELECT DISTINCT vb FROM dots
+         |         JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+         |         WHERE d / (na.n * nb.n) >= ${DupThreshold})
+         |SELECT asg.vec_id, asg.cluster::BIGINT AS cluster,
+         |       (dups.vb IS NULL) AS keep
+         |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vb
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      semanticDedup(s, dir)
     }
   )
+
+  /** q83's clustered dedup verdict, memoized per (session, dir) like
+    * [[blockedPairs]] (the within-cluster triangle is the expensive
+    * part; the sweep must not run it twice if a later consumer
+    * appears). Released via [[release]]. */
+  private val semCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semCache.computeIfAbsent((s, dir), _ => {
+      val ps = semPivots(s, dir)
+      val asg = T.df(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          bucketCol(col("embedding"), ps).as("cluster"))
+      // materialize the cluster table ONCE before the self-join
+      // (blockedPairs' single-shuffle shape, clusters as the blocks)
+      val clusters = asg
+        .select(col("cluster"), struct(col("vec_id"), col("embedding")).as("ve"))
+        .groupBy("cluster").agg(collect_list(col("ve")).as("vs"))
+        .persist()
+      val dups = clusters.as("x").join(clusters.as("y"), col("x.cluster") === col("y.cluster"))
+        .select(explode(graft.plans.PairCosine.pairs(
+          col("x.vs"), col("y.vs"), lit(true), DupThreshold)).as("p"))
+        .select(col("p.vec_b").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      val out = asg.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          coalesce(!col("dup"), lit(true)).as("keep"))
+        .orderBy("vec_id")
+        .persist()
+      out.count() // materialize, then drop the intermediate cluster table
+      clusters.unpersist()
+      out
+    })
+
+  /** q83's cluster centers: the first [[SemK]] corpus vectors by
+    * vec_id, unit-normalized — deterministic AND exactly replicable in
+    * the SQL oracle (unlike the k-means [[pivots]]). Unit norm makes
+    * the kernel's raw-dot argmax equal cosine argmax. */
+  private def semPivots(s: SparkSession, dir: String): Array[Array[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    T.df(s, dir, "embeddings")
+      .orderBy("vec_id").limit(SemK)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(unit)
+  }
 
   /** q73's Lloyd loop: per iteration (rows assigned, Σ cos(x, c)).
     * Factored out so LlmVectorSpec can assert REAL convergence — a

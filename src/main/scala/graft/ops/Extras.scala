@@ -317,6 +317,84 @@ object Extras {
         .unpivot(Array(col("o_orderstatus")), Array(col("urgent"), col("low")),
           "prio", "n")
         .orderBy("o_orderstatus", "prio")
+    },
+
+    // ---- CDC snapshot diff (dataset versioning): classify every key
+    // as added/removed/changed between two corpus snapshots. The "new"
+    // snapshot is derived deterministically from the base (drop
+    // id%17=3, revise text on id%13=5, add id%19=7 under shifted ids)
+    // so the diff is oracle-able with no extra fixture. One full-outer
+    // sort-merge join keyed by the pk — at 100 TB both snapshots live
+    // pk-bucketed (sinks/Sinks.bucketed), which makes this diff
+    // SHUFFLE-FREE on both sides (BucketedSpec pins that plan shape);
+    // unchanged keys are filtered before the join output is ever
+    // widened, so the result is |delta|, not |corpus|.
+    Q("q84_snapshot_diff",
+      """WITH nw AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 7)
+        |SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN b.doc_id IS NULL THEN 'added'
+        |            ELSE 'changed' END AS change
+        |FROM documents b FULL OUTER JOIN nw n ON b.doc_id = n.doc_id
+        |WHERE n.doc_id IS NULL OR b.doc_id IS NULL OR b.text <> n.text
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = T.df(s, dir, "documents").select(col("doc_id"), col("text"))
+      val revised = base.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      val added = base.filter(col("doc_id") % 19 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val nw = revised.unionAll(added)
+      base.as("b").join(nw.as("n"), col("b.doc_id") === col("n.doc_id"), "full_outer")
+        .filter(col("n.doc_id").isNull || col("b.doc_id").isNull
+          || col("b.text") =!= col("n.text"))
+        .select(coalesce(col("b.doc_id"), col("n.doc_id")).as("doc_id"),
+          when(col("n.doc_id").isNull, "removed")
+            .when(col("b.doc_id").isNull, "added")
+            .otherwise("changed").as("change"))
+        .orderBy("doc_id")
+    },
+
+    // ---- SCD-2 interval build (dimension history): collapse each
+    // user's event_type sequence into validity intervals
+    // [valid_from, valid_to) — the standard warehouse history-table
+    // shape. Two windows over the SAME (user_id, ts, event_id)
+    // ordering, so Catalyst plans ONE exchange keyed by user_id and
+    // sorts once; run heads found via lag, interval ends via lead —
+    // no self-join, no range scan, holds at any per-user history
+    // length. Timestamps exported as epoch micros (unix_micros /
+    // epoch_us agree exactly — events.ts is micros in both engines);
+    // run_event_id (the run's first event) makes row order total even
+    // if two runs of one user share a timestamp.
+    Q("q85_scd2_intervals",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE pv IS NULL OR pv <> event_type)
+        |SELECT user_id, event_id AS run_event_id, event_type,
+        |       epoch_us(ts) AS valid_from_us,
+        |       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+        |FROM runs ORDER BY user_id, valid_from_us, run_event_id""".stripMargin) { (s, dir) =>
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = T.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("pv", lag(col("event_type"), 1).over(ord))
+        .filter(col("pv").isNull || col("pv") =!= col("event_type"))
+        .drop("pv")
+      runs
+        .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(ord)))
+        .select(col("user_id"), col("event_id").as("run_event_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "valid_from_us", "run_event_id")
     }
   )
 }

@@ -32,28 +32,33 @@ object Streams {
     in.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stage `events.parquet` into a per-sf landing DIRECTORY (the file
+    * streaming source consumes a dir, files arriving over time) and
+    * open it as a micro-second-timestamped event stream — the shared
+    * front of every streaming query here. Each call returns a FRESH
+    * readStream (required for stream-stream self-joins: each side
+    * tracks its own offsets). */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val landing = java.nio.file.Paths.get(
+      "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(landing)
+    val dst = landing.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+    // schema from the batch reader (ts arrives as raw nano longs)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(landing.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q55_stream_window",
       """SELECT cast(date_trunc('day', ts) as date)::VARCHAR AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, dir) =>
-      // the file streaming source requires a DIRECTORY: stage the table
-      // file into a per-sf landing dir (the same shape a production
-      // stream consumes: one dir, files arriving over time)
-      val landing = java.nio.file.Paths.get(
-        "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode))
-      java.nio.file.Files.createDirectories(landing)
-      val dst = landing.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(dst))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
-      // schema from the batch reader (ts arrives as raw nano longs)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name = "stream_window_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val stream = s.readStream.schema(schema).parquet(landing.toString)
-      val withTs =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else stream
-      val q = withTs
+      val q = eventStream(s, dir)
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .count()
         .writeStream
@@ -83,19 +88,8 @@ object Streams {
         |FROM events JOIN customer ON user_id = c_custkey
         |            JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY day, nation""".stripMargin) { (s, dir) =>
-      val landing = java.nio.file.Paths.get(
-        "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode))
-      java.nio.file.Files.createDirectories(landing)
-      val dst = landing.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(dst))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val stream = s.readStream.schema(schema).parquet(landing.toString)
-      val withTs =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else stream
+      val withTs = eventStream(s, dir)
       val dim = broadcast(T.df(s, dir, "customer")
         .join(broadcast(T.df(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -117,6 +111,57 @@ object Streams {
           col("n_name").as("nation"), col("n"),
           T.dbl(col("sum_value_dec")).as("sum_value"))
         .orderBy("day", "nation")
+    },
+
+    // ---- stream-STREAM interval join (funnel attribution, online):
+    // clicks and purchases arrive as two independent streams; emit
+    // every (click, purchase-by-same-user-within-30-min) pair. Both
+    // sides carry a 1 h watermark and the join condition bounds
+    // purchase.ts to [click.ts, click.ts + 30 min], which is exactly
+    // what lets Spark EXPIRE state: a click older than watermark+30min
+    // can never match a future purchase and is evicted, so state is
+    // (rate × horizon), not the whole history — the property that
+    // makes this run forever at 100 TB/day. Append mode: rows emit
+    // once the watermark passes their match window (exactly-once with
+    // checkpointing). The oracle is the equivalent batch interval
+    // join; timestamps compare and export in micros, where the two
+    // engines' ns→µs truncation agrees exactly.
+    Q("q86_stream_stream_join",
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+        |       epoch_us(a.ts) AS click_ts_us, epoch_us(b.ts) AS purchase_ts_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val clicks = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val q = clicks
+        .join(purchases,
+          col("user_id") === col("p_user")
+            && col("p_ts") >= col("c_ts")
+            && col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("click_ts_us"),
+          unix_micros(col("p_ts")).as("purchase_ts_us"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 }

@@ -180,6 +180,36 @@ class PlanSpec extends SparkSpec {
     llm.LlmVector.release(spark)
   }
 
+  test("q84 snapshot diff: one full-outer pk join, no nested-loop blowup") {
+    val p = plan("q84_snapshot_diff")
+    assert(p.contains("FullOuter"), s"snapshot diff lost its full-outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"snapshot diff degenerated to nested-loop:\n$p")
+  }
+
+  test("q85 SCD2: both windows share one user-keyed exchange — no join, no re-shuffle") {
+    // lag (run heads) and lead (interval ends) partition by the same
+    // key and order: Catalyst must plan ONE hashpartitioning(user_id)
+    // exchange + the presentation sort, nothing else — a second
+    // exchange between the windows re-shuffles the whole history table
+    val p = plan("q85_scd2_intervals")
+    assert(!p.contains("Join"), s"SCD2 interval build joins:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"SCD2 shuffles beyond user window + final sort ($exchanges):\n$p")
+  }
+
+  test("q83 semantic dedup: no cartesian, cluster triangle via the compiled kernel") {
+    // assignment is the same map-only NearestPivots projection q44
+    // pins; here pin the WITHIN-cluster pair stage — the self-join
+    // must stay keyed on the cluster id (tiny, broadcastable), never
+    // an all-pairs product, and the pair triangle runs inside the
+    // pair_cosine kernel, not a relational explode-join.
+    val p = plan("q83_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"semantic dedup went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"semantic dedup nested-loop:\n$p")
+    llm.LlmVector.release(spark)
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan
