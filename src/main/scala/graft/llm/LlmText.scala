@@ -84,6 +84,11 @@ object LlmText {
     * path at scale is LSH (q41) / IVF (q44). */
   val BruteCap = 2000
 
+  /** q87 per-source token budget: sized so the curation keeps a real
+    * prefix (not everything, not nothing) of every source at all three
+    * fixture scales (~1.2k–14k tokens/source). */
+  val CurationBudget = 800L
+
   /** WITH-clauses giving (doc_id, pos, h) word hashes and
     * (doc_id, sh) distinct shingle hashes on the documents table. */
   def sqlPreludeWhere(where: String): String =
@@ -1001,6 +1006,137 @@ object LlmText {
          |       (sum(t) / count(*))::DECIMAL(12,2)::DOUBLE AS avg_nll
          |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       lmScore(tokenHashArr(s, dir))
+    },
+
+    // ---- corpus curation under a per-source token budget: rank each
+    // source's documents by the q46 quality score (ties → doc_id),
+    // keep documents while the source's running token total stays
+    // within budget — the "assemble the best N tokens per source"
+    // step every pretraining mix ends with. Stats come from the same
+    // compiled [[graft.plans.TextKernels.qualityStats]] pass (map-
+    // only); the ONLY exchange is the per-source window. This window
+    // formulation is the exact-semantics reference: it holds when
+    // sources are numerous (partition count ∝ sources); for a corpus
+    // of FEW huge sources the 100 TB shape is a sampled per-source
+    // quality-threshold (map-only filter) plus an exact prefix-sum
+    // trim of the single boundary quality class (the q70
+    // [[globalOffsets]] two-level pattern) — same answer, no
+    // single-source serialization. Budget is integer tokens; every
+    // output column is integer-exact.
+    Q("q87_corpus_curation",
+      s"""WITH tl AS (SELECT doc_id, source,
+         |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         |            FROM documents),
+         |m AS (SELECT doc_id, source, len(t) AS n_tokens,
+         |        len(list_distinct(t)) AS n_distinct,
+         |        list_max(list_transform(t, w -> length(w))) AS max_tok_len
+         |      FROM tl),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |        (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         |         + CASE WHEN 10 * n_distinct >= 3 * n_tokens THEN 1 ELSE 0 END
+         |         + CASE WHEN max_tok_len <= 15 THEN 1 ELSE 0 END) AS quality
+         |      FROM m),
+         |r AS (SELECT source, doc_id, quality, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      FROM q)
+         |SELECT source, doc_id, quality::BIGINT AS quality,
+         |       n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
+         |FROM r WHERE cum_tokens <= ${CurationBudget}
+         |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val Seq(nTok, nDis, maxLen) = (1 to 3).map(i => element_at(col("st"), i))
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("source"), st.as("st"))
+        .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+          (when(nTok.between(20, 1000), 1).otherwise(0)
+            + when(nDis * 10 >= nTok * 3, 1).otherwise(0)
+            + when(maxLen <= 15, 1).otherwise(0)).as("quality"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+        .filter(col("cum_tokens") <= CurationBudget)
+        .select(col("source"), col("doc_id"), col("quality").cast("long").as("quality"),
+          col("n_tokens").cast("long").as("n_tokens"), col("cum_tokens"))
+        .orderBy("source", "doc_id")
+    },
+
+    // ---- Unicode NFC normalization (ingest canonicalization): every
+    // dedup/fingerprint operator in this engine is byte-exact, so
+    // "café" in precomposed vs combining-mark form MUST canonicalize
+    // at ingest or identical text hashes apart. The fixture corpus is
+    // ASCII, so the query grafts a decomposed suffix (e + U+0301 and
+    // a Latin-1 å as a + U+030A) onto each document and normalizes —
+    // exercising real composition, not the identity path. Map-only:
+    // the [[graft.plans.UnicodeNorm]] kernel runs inside whole-stage
+    // codegen with an isNormalized fast path (already-NFC text — the
+    // overwhelming real-world case — is returned without allocation).
+    // NFKC (ligature/fullwidth folding) is the same kernel,
+    // spec-pinned in UnicodeNormSpec since DuckDB exposes no NFKC.
+    Q("q88_unicode_nfc",
+      """SELECT doc_id,
+        |       nfc_normalize(text || ' cafe' || chr(769) || ' a' || chr(778)) AS norm_text,
+        |       length(text || ' cafe' || chr(769) || ' a' || chr(778)) AS raw_len,
+        |       length(nfc_normalize(text || ' cafe' || chr(769) || ' a' || chr(778))) AS nfc_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // decomposed on purpose (\\u0301 combining acute, \\u030A combining
+      // ring) mirroring the oracle's chr(769)/chr(778); NFC composes both
+      val raw = concat(col("text"), lit(" cafe\u0301 a\u030A"))
+      T.df(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.UnicodeNorm.nfcCol(raw).as("norm_text"),
+          length(raw).cast("long").as("raw_len"),
+          length(graft.plans.UnicodeNorm.nfcCol(raw)).cast("long").as("nfc_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- INCREMENTAL near-dup: a delta batch (doc_id % 10 = 0)
+    // probes the EXISTING corpus index (% 10 <> 0) — the production
+    // ingest shape, where yesterday's corpus is already banded and
+    // only the delta pays signature + probe cost. Delta bands join
+    // index bands on (band, key); candidates dedup; exact Jaccard
+    // verification makes the answer LSH-FP-independent (q41's
+    // verify-the-candidates discipline). Work scales with
+    // |delta| × collision rate, NOT |corpus|² and not even |corpus| —
+    // at 100 TB/day the index side is a bucketed band table on disk
+    // and the probe is a bucket-pruned join. Oracle = exact
+    // brute-force cross-side Jaccard (the same recall-is-exact
+    // argument as q41: no fixture pair sits in the LSH dead zone,
+    // verified at both gate scales).
+    Q("q89_dedup_incremental",
+      s"""${sqlPrelude},
+         |inter AS (SELECT x.doc_id AS delta_id, y.doc_id AS index_id, count(*) AS inter
+         |          FROM dsh x JOIN dsh y ON x.sh = y.sh
+         |           AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+         |          GROUP BY 1, 2)
+         |SELECT delta_id, index_id, inter, sa.n + sb.n - inter AS uni
+         |FROM inter JOIN ssize sa ON sa.doc_id = delta_id
+         |           JOIN ssize sb ON sb.doc_id = index_id
+         |WHERE 2 * inter >= sa.n + sb.n - inter
+         |ORDER BY delta_id, index_id""".stripMargin) { (s, dir) =>
+      val sh = docShingles(s, dir)
+      val bands = sh
+        .select(col("doc_id"),
+          posexplode(graft.plans.TextKernels.minhashBands(col("sh"))))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      val idx = bands.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("index_id"), col("band"), col("bkey"))
+      val delta = bands.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))
+      val cands = delta.join(idx, Seq("band", "bkey"))
+        .select("delta_id", "index_id").distinct()
+      val a = sh.select(col("doc_id").as("delta_id"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("index_id"), col("sh").as("sh_b"))
+      cands
+        .join(a, "delta_id").join(b, "index_id")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select("delta_id", "index_id", "inter", "uni")
+        .orderBy("delta_id", "index_id")
     }
   )
 

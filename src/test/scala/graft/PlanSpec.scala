@@ -210,6 +210,21 @@ class PlanSpec extends SparkSpec {
     llm.LlmVector.release(spark)
   }
 
+  test("q87 curation: stats map-only — the only exchanges are the source window + sort") {
+    val p = plan("q87_corpus_curation")
+    assert(!p.contains("Join"), s"curation joins:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // docs() adds a fixture-only repartition(doc_id); window + sort = 2 more
+    assert(exchanges <= 3, s"curation shuffles beyond window+sort ($exchanges):\n$p")
+  }
+
+  test("q89 incremental dedup: band probe is an equi-join — no cartesian/nested-loop") {
+    val p = plan("q89_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), s"incremental probe went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"incremental probe nested-loop:\n$p")
+    llm.LlmText.release(spark)
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan
