@@ -264,6 +264,24 @@ object LlmText {
       pairs
     })
 
+  /** The at-scale index artifact behind q89: persist the corpus band
+    * table BUCKETED on the band key, so tomorrow's delta probe
+    * shuffles only the delta — the (huge) index side reads
+    * bucket-aligned with ZERO exchange (BandIndexSpec pins that plan),
+    * and yesterday's signature work is never recomputed. Rebuild is
+    * incremental too: append-only corpora append band rows. The q89
+    * query itself computes both sides in-plan (the correctness gate
+    * has no catalog); a deployment calls this once per ingest cycle. */
+  def writeBandIndex(s: SparkSession, dir: String, table: String,
+                     buckets: Int = 32): Unit =
+    docShingles(s, dir)
+      .select(col("doc_id").as("index_id"),
+        posexplode(graft.plans.TextKernels.minhashBands(col("sh"))))
+      .select(col("index_id"), col("pos").as("band"), col("col").as("bkey"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(table)
+
   /** (doc_id, w1, bh) bigram stream for q82, straight off the
     * token-hash arrays: a generator projection (posexplode is 0-based,
     * element_at 1-based, so the successor is hs[pos+2]) — zero

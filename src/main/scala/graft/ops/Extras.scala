@@ -395,6 +395,41 @@ object Extras {
         .select(col("user_id"), col("event_id").as("run_event_id"), col("event_type"),
           unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"))
         .orderBy("user_id", "valid_from_us", "run_event_id")
+    },
+
+    // ---- parquet schema evolution (long-lived datasets): a corpus
+    // written over months drifts — columns get ADDED (v2 gains lang2)
+    // and DROPPED (v2 loses source). `mergeSchema` reconciles all
+    // file footers to the union schema, absent columns read as null —
+    // no rewrite of old files, the property that matters when "old
+    // files" is 100 TB. Snapshots are staged once per sf into /tmp
+    // (same pattern as the streaming landing dirs); both derive
+    // deterministically from `documents`, so the oracle expresses the
+    // merged read exactly over the base table. Footer merging is
+    // driver-side metadata work ∝ file count (and prunable via
+    // explicit schemas at extreme file counts); the data scan itself
+    // stays map-only.
+    Q("q90_schema_evolution",
+      """SELECT doc_id, lang,
+        |       CASE WHEN doc_id < 250 THEN source END AS source,
+        |       CASE WHEN doc_id >= 250 THEN upper(lang) END AS lang2
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Paths.get(
+        "/tmp/graft/schema_evo_" + Integer.toHexString(dir.hashCode))
+      val v1 = base.resolve("v1").toString
+      val v2 = base.resolve("v2").toString
+      if (!java.nio.file.Files.exists(base)) {
+        val d = T.df(s, dir, "documents")
+        d.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(v1)
+        d.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("lang"), upper(col("lang")).as("lang2"))
+          .write.mode("overwrite").parquet(v2)
+      }
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .select(col("doc_id"), col("lang"), col("source"), col("lang2"))
+        .orderBy("doc_id")
     }
   )
 }
