@@ -43,6 +43,13 @@ object Bench {
         .join(broadcast(r.select(col("r_name"))), "r_name")
         .withColumn("rk", row_number().over(Window.partitionBy("r_name").orderBy("s")))
         .write.format("noop").mode("overwrite").save()
+      // also fault the table FILES into the OS page cache (all columns,
+      // not count() — count satisfies from footers): the first query to
+      // touch each table otherwise gets billed its cold read (q1
+      // measured 4.9 s cold vs 1.9 s warm on an identical plan)
+      graft.core.T.names.foreach { t =>
+        graft.core.T.df(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      }
     } catch { case _: Throwable => () }
     val results = selected.map { q =>
       val t0 = System.nanoTime()
