@@ -136,6 +136,16 @@ object Streams {
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
       val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // stream-stream joins keep FOUR state stores per shuffle
+      // partition (left/right × rows/keyToNumValues); state-store
+      // partitioning is a per-checkpoint choice, sized to state
+      // volume, not to the batch compute parallelism — at fixture
+      // scale 8 partitions cuts store setup/commit 4× with identical
+      // results (restored after the run; a real deployment sets this
+      // once per stream job)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val clicks = eventStream(s, dir)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
@@ -162,6 +172,7 @@ object Streams {
           unix_micros(col("c_ts")).as("click_ts_us"),
           unix_micros(col("p_ts")).as("purchase_ts_us"))
         .orderBy("click_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
   )
 }
