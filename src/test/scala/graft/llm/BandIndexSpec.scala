@@ -19,7 +19,10 @@ class BandIndexSpec extends SparkSpec {
       // on a fixture-sized delta
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val idx = spark.table("band_index_test")
-      val delta = idx.limit(50) // stand-in delta band frame
+      // q89's deterministic delta split — known to band-collide with
+      // the index side at sf0.001 (limit(N) would sample arbitrary
+      // rows and could miss every collision)
+      val delta = idx.filter(col("index_id") % 10 === 0)
         .select(col("index_id").as("delta_id"), col("band"), col("bkey"))
       val probe = delta.join(idx, Seq("bkey"))
         .filter(col("delta_id") =!= col("index_id"))
