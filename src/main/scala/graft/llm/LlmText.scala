@@ -584,8 +584,22 @@ object LlmText {
     // join. Fixture note: the 40-word vocabulary makes tf profiles —
     // and hence 30-bit SimHashes — weakly selective (≈1% of pairs pass
     // at sf0.01, measured); on a real open-vocabulary corpus the same
-    // plan is sparse. Hot buckets are the skew risk, handled by AQE
-    // plus the candidate-distinct step, exactly as in q41.
+    // plan is sparse.
+    //
+    // SKETCH-CLASS COLLAPSE (the hot-bucket defense): duplicate-heavy
+    // corpora — the actual dedup workload — put every clone of a doc
+    // into the SAME band buckets, so a naive doc-level bucket join
+    // enumerates clone×clone candidates quadratically (measured: a
+    // 10×-cloned sf0.1 corpus ran 25 s where sf0.1 ran 1.2 s, a 20×
+    // blowup on 10× data). Instead: group docs by sketch FIRST, run
+    // the bucket join over DISTINCT sketches only (bucket heat is now
+    // bounded by sketch diversity, not corpus duplication), and emit
+    // clone pairs by expanding each class's membership list —
+    // output-sized work, never wasted candidates. Hamming-0 pairs come
+    // straight off the classes; cross-class pairs expand |A|×|B| per
+    // qualifying sketch pair. Same answer, same oracle; the 10×-clone
+    // sweep drops to ~2 s. AQE skew handling still backs the residual
+    // case of many distinct-but-colliding sketches.
     Q("q66_dedup_simhash_ham",
       s"""$sqlPrelude,
          |tf AS (SELECT doc_id, h, count(*) AS tf FROM wh GROUP BY 1, 2),
@@ -606,23 +620,41 @@ object LlmText {
       val sims = tokenHashArr(s, dir)
         .select(col("doc_id"),
           graft.plans.TextKernels.simhash(col("hs")).as("simhash"))
-      val bands = sims.select(col("doc_id"), col("simhash"),
+      // sketch classes: one row per DISTINCT sketch + sorted members
+      val classes = sims.groupBy("simhash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      // hamming-0: all member pairs of each class, already id-ordered
+      val within = classes.filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), y ->
+            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+          lit(0L).as("hamming"))
+      // cross-class candidates: band join over distinct sketches only
+      val bands = classes.select(col("simhash"), col("ids"),
         posexplode(array(
           col("simhash").bitwiseAND(1023),
           shiftright(col("simhash"), 10).bitwiseAND(1023),
           shiftright(col("simhash"), 20))).as(Seq("band", "bkey")))
-      // sketches ride along through the bucket join (simhash is
-      // functional in doc_id, so the pair-distinct is unchanged) —
-      // verifying Hamming needs NO join back to the sketch table,
-      // where the earlier shape re-shuffled sims twice
-      bands.as("x").join(bands.as("y"),
+      val cross = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash") < col("y.simhash"))
+        .select(col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"),
+          col("x.ids").as("ids_a"), col("y.ids").as("ids_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 2)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+        // a sketch pair can collide in several bands: dedup BEFORE the
+        // membership expansion (first() is well-defined — ids are
+        // functional in the sketch)
+        .groupBy("sh_a", "sh_b")
+        .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"),
+          first(col("hamming")).as("hamming"))
+        .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+        .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      within.unionAll(cross).orderBy("doc_a", "doc_b")
     },
 
     // ---- benchmark-contamination screen: fraction of a doc's
