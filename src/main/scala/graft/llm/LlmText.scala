@@ -146,7 +146,7 @@ object LlmText {
   /** Spark plan shared by q39 (all candidate pairs from a shingle join)
     * and q41 (candidates from LSH buckets): verify candidates with
     * exact Jaccard via array_intersect on the distinct-shingle arrays. */
-  private def verifiedPairs(docs: DataFrame, candidates: DataFrame): DataFrame = {
+  private[llm] def verifiedPairs(docs: DataFrame, candidates: DataFrame): DataFrame = {
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates
@@ -244,25 +244,94 @@ object LlmText {
     * re-running candidate generation per downstream consumer. */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Duplication ratio below which [[classPairs]] (shingle-class
+    * collapse) beats the doc-level band join: the collapse pays one
+    * wide array-keyed shuffle up front, which only amortizes when
+    * clone mass is substantial. Fixtures measure 0.79–0.89 distinct,
+    * a 10×-cloned corpus 0.08 — 0.5 separates the regimes with a wide
+    * margin on both sides. */
+  private val CollapseBelow = 0.5
+
   private[llm] def lshPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), _ => {
       val docs = docShingles(s, dir)
-      val bands = docs
-        .select(col("doc_id"),
-          posexplode(graft.plans.TextKernels.minhashBands(col("sh"))))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-        .persist()
-      val pairs = verifiedPairs(docs,
-        bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct())
-        .persist()
-      pairs.count() // materialize, then drop the intermediate band table
-      bands.unpersist()
+      // ADAPTIVE strategy pick (the AQE spirit: plan from data stats):
+      // probe duplication with one cheap aggregate — the hash is a
+      // statistic only, never a correctness input; both paths are
+      // spec-pinned identical (LshCollapseSpec)
+      val st = docs.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("sh"))).as("c")).first()
+      val distinctRatio = st.getLong(1).toDouble / math.max(1L, st.getLong(0))
+      val pairs = (if (distinctRatio < CollapseBelow) classPairs(docs)
+                   else docLevelPairs(docs)).persist()
+      pairs.count() // materialize before downstream consumers fan out
       pairs
     })
+
+  /** The doc-level band join + per-pair verify — the right shape when
+    * content is mostly distinct (no wide class shuffle); quadratic in
+    * bucket heat under heavy duplication, where [[classPairs]] takes
+    * over. */
+  private[llm] def docLevelPairs(docs: DataFrame): DataFrame = {
+    val bands = docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.TextKernels.minhashBands(col("sh"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    verifiedPairs(docs,
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
+  }
+
+  /** Verified near-dup pairs via SHINGLE-CLASS COLLAPSE (same
+    * hot-bucket defense as q66, same measured motivation: clones share
+    * all 16 band keys, so a doc-level bucket join enumerates
+    * clone-pair candidates quadratically AND runs the exact-Jaccard
+    * verify per doc pair instead of per distinct-content pair). Docs
+    * group by their sorted shingle set; the band join and the verify
+    * run over ONE representative per class (minhash is
+    * order-independent, so sort_array changes no band key), and member
+    * lists expand to doc pairs only at output. Within-class pairs are
+    * exact dups: inter = uni = |sh| by definition, no verify needed.
+    * LshCollapseSpec pins ≡ the doc-level formulation
+    * ([[verifiedPairs]], kept as the reference shape) on both the
+    * fixture and a synthetic clone-heavy corpus. */
+  private[llm] def classPairs(docs: DataFrame): DataFrame = {
+    val classes = docs
+      .groupBy(sort_array(col("sh")).as("shs"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("cid", element_at(col("ids"), 1))
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(size(col("shs")).as("n"), explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("n").as("inter"), col("n").as("uni"))
+    val bands = classes
+      .select(col("cid"),
+        posexplode(graft.plans.TextKernels.minhashBands(col("shs"))))
+      .select(col("cid"), col("pos").as("band"), col("col").as("bkey"))
+    val candClasses = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.cid") < col("y.cid"))
+      .select(col("x.cid").as("cid_a"), col("y.cid").as("cid_b"))
+      .distinct()
+    val a = classes.select(col("cid").as("cid_a"), col("shs").as("sh_a"), col("ids").as("ids_a"))
+    val b = classes.select(col("cid").as("cid_b"), col("shs").as("sh_b"), col("ids").as("ids_b"))
+    val cross = candClasses
+      .join(a, "cid_a").join(b, "cid_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni")) // jaccard >= 0.5, integer-exact
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("inter"), col("uni"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("inter"), col("uni"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("inter"), col("uni"))
+    within.unionAll(cross).orderBy("doc_a", "doc_b")
+  }
 
   /** The at-scale index artifact behind q89: persist the corpus band
     * table BUCKETED on the band key, so tomorrow's delta probe
@@ -298,7 +367,7 @@ object LlmText {
 
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[llm] def docShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s, dir), _ =>
       tokenHashArr(s, dir)
         .select(col("doc_id"),
