@@ -70,6 +70,8 @@ object LlmVector {
   private val TrainIters = 4
   // q83 semantic-dedup cluster count (SQL-replicable first-K pivots)
   private val SemK = 8
+  // q83 skew cap: max vectors a within-cluster triangle task holds
+  private[llm] val SemSubCap = 512
 
   /** Per-query recall floor graded by q44 (and pinned by LlmVectorSpec).
     * See the class doc for why this is 0.5 on the unclustered fixture. */
@@ -487,19 +489,22 @@ object LlmVector {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def semanticDedup(s: SparkSession, dir: String): DataFrame =
     semCache.computeIfAbsent((s, dir), _ => {
-      val ps = semPivots(s, dir)
-      val asg = T.df(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          bucketCol(col("embedding"), ps).as("cluster"))
-      // materialize the cluster table ONCE before the self-join
-      // (blockedPairs' single-shuffle shape, clusters as the blocks)
-      val clusters = asg
-        .select(col("cluster"), struct(col("vec_id"), col("embedding")).as("ve"))
-        .groupBy("cluster").agg(collect_list(col("ve")).as("vs"))
-        .persist()
-      val dups = clusters.as("x").join(clusters.as("y"), col("x.cluster") === col("y.cluster"))
+      val asg = semanticAssign(s, dir)
+      // SKEW CAP: a hot cluster would hand one task |c|²/2 dots, so
+      // clusters larger than [[SemSubCap]] split into sub-blocks and
+      // the triangle runs over the per-cluster block-pair matrix
+      // (exactly the blockedPairs shape, nested inside each cluster) —
+      // a task never holds more than two sub-blocks. The per-cluster
+      // size table is k rows, broadcast. Fixture clusters are under
+      // the cap (nsub = 1), so the fixture plan is the plain
+      // per-cluster triangle; SemanticSkewSpec drives the multi-block
+      // path explicitly and pins it equal.
+      val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      val blocks = skewCappedBlocks(asg, sizes, SemSubCap)
+      val dups = blocks.as("x").join(blocks.as("y"),
+          col("x.cluster") === col("y.cluster") && col("x.sub") <= col("y.sub"))
         .select(explode(graft.plans.PairCosine.pairs(
-          col("x.vs"), col("y.vs"), lit(true), DupThreshold)).as("p"))
+          col("x.vs"), col("y.vs"), col("x.sub") === col("y.sub"), DupThreshold)).as("p"))
         .select(col("p.vec_b").as("vec_id")).distinct()
         .withColumn("dup", lit(true))
       val out = asg.join(dups, Seq("vec_id"), "left")
@@ -507,10 +512,33 @@ object LlmVector {
           coalesce(!col("dup"), lit(true)).as("keep"))
         .orderBy("vec_id")
         .persist()
-      out.count() // materialize, then drop the intermediate cluster table
-      clusters.unpersist()
+      out.count() // materialize, then drop the intermediate block table
+      blocks.unpersist()
       out
     })
+
+  /** q83's map-only cluster assignment (vec_id, embedding, cluster). */
+  private[llm] def semanticAssign(s: SparkSession, dir: String): DataFrame =
+    T.df(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        bucketCol(col("embedding"), semPivots(s, dir)).as("cluster"))
+
+  /** Per-cluster sub-blocking for the skew cap: clusters above `cap`
+    * split into ceil(|c|/cap) id-hashed sub-blocks, each materialized
+    * as one (cluster, sub, vs) row — the triangle then joins the
+    * per-cluster block-pair matrix (x.sub <= y.sub, same-flag on
+    * equality) and every unordered in-cluster pair is enumerated
+    * exactly once. `sizes` is one row per cluster (broadcast). */
+  private[llm] def skewCappedBlocks(asg: DataFrame, sizes: DataFrame,
+                                    cap: Int): DataFrame =
+    asg.join(broadcast(sizes), "cluster")
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("csize").cast("double") / cap)).cast("int"))
+      .withColumn("sub", pmod(col("vec_id"), col("nsub")).cast("int"))
+      .select(col("cluster"), col("sub"),
+        struct(col("vec_id"), col("embedding")).as("ve"))
+      .groupBy("cluster", "sub").agg(collect_list(col("ve")).as("vs"))
+      .persist()
 
   /** q83's cluster centers: the first [[SemK]] corpus vectors by
     * vec_id, unit-normalized — deterministic AND exactly replicable in
