@@ -139,4 +139,36 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("restart from checkpoint: state survives, committed files never re-read") {
+    // exactly-once on recovery — the property checkpointing exists for:
+    // a SECOND query started on the SAME checkpoint must resume the
+    // windowed counts from state and process only files the first run
+    // never committed. A double-read would show x -> 5 below.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart")
+    val landing = base.resolve("in"); java.nio.file.Files.createDirectories(landing)
+    val ckpt = base.resolve("ckpt").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def addFile(rows: Seq[(java.sql.Timestamp, String)]): Unit =
+      rows.toDF("ts", "k").coalesce(1)
+        .write.mode("append").parquet(landing.toString)
+    addFile(Seq((t(0), "x"), (t(1), "x"), (t(2), "y")))
+    val schema = spark.read.parquet(landing.toString).schema
+    def run(name: String): Map[String, Long] = {
+      val q = spark.readStream.schema(schema).parquet(landing.toString)
+        .groupBy(window(col("ts"), "1 hour"), col("k")).count()
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).select("k", "count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(run("restart_run1") == Map("x" -> 2L, "y" -> 1L))
+    addFile(Seq((t(5), "x"), (t(6), "z")))
+    // fresh query object, same checkpoint: x resumes from 2, not 4
+    assert(run("restart_run2") == Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
+  }
 }
