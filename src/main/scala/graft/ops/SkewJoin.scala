@@ -32,7 +32,7 @@ object SkewJoin {
                  build: DataFrame, buildKey: String,
                  nSalts: Int): DataFrame = {
     require(nSalts >= 1, s"nSalts must be positive, got $nSalts")
-    val saltOf: Column = pmod(xxhash64(probe.columns.map(col): _*), lit(nSalts))
+    val saltOf: Column = pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(nSalts))
     val saltedProbe = probe.withColumn("__salt", saltOf)
     val replicatedBuild = build
       .withColumn("__salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
