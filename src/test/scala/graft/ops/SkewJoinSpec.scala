@@ -38,7 +38,7 @@ class SkewJoinSpec extends SparkSpec {
     val probe = (1 to 1000).map(i => (42L, i)).toDF("k", "payload")
     val build = Seq((42L, "x")).toDF("bk", "v")
     val salts = probe
-      .withColumn("__salt", pmod(xxhash64(probe.columns.map(col): _*), lit(8)))
+      .withColumn("__salt", pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(8)))
       .select(countDistinct("__salt")).head().getLong(0)
     assert(salts == 8L, s"expected the hot key's rows on all 8 salts, got $salts")
     assert(SkewJoin.saltedJoin(probe, "k", build, "bk", 8).count() == 1000)
