@@ -129,9 +129,10 @@ object LlmText {
   val jaccardPairsSql: String = jaccardPairsSqlWhere("")
   val jaccardPairsSqlCapped: String = jaccardPairsSqlWhere(s"WHERE doc_id < $BruteCap")
 
-  /** Oracle for q57: connected components over the near-dup pair graph
-    * via a recursive transitive closure, representative = min doc_id. */
-  val clustersSql: String =
+  /** Shared CTE chain for q57/q91: connected components over the
+    * near-dup pair graph via a recursive transitive closure,
+    * representative = min doc_id, as `comp(doc_id, cluster_rep)`. */
+  private val clustersCore: String =
     s"""WITH RECURSIVE pairs AS (
        |${jaccardPairsCore("")}),
        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -139,9 +140,21 @@ object LlmText {
        |closure(a, b) AS (
        |  SELECT a, b FROM sym
        |  UNION
-       |  SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a)
-       |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
-       |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
+       |  SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+       |         FROM closure GROUP BY a)""".stripMargin
+
+  /** Oracle for q57. */
+  val clustersSql: String =
+    clustersCore + "\nSELECT doc_id, cluster_rep FROM comp ORDER BY doc_id"
+
+  /** Oracle for q91: the dup-cluster size histogram. */
+  val clusterSizesSql: String =
+    clustersCore + """,
+      |sz AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY 1)
+      |SELECT cluster_size, count(*) AS n_clusters,
+      |       (cluster_size * count(*))::BIGINT AS n_docs
+      |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
   /** Spark plan shared by q39 (all candidate pairs from a shingle join)
     * and q41 (candidates from LSH buckets): verify candidates with
@@ -404,8 +417,17 @@ object LlmText {
     * Within a sweep the text-dedup family shares them; after the
     * family's last consumer they are dead weight in the storage tier. */
   def release(s: SparkSession): Unit =
-    Seq(hashCache, shingleCache, pairCache, bruteJacCache).foreach(
+    Seq(hashCache, shingleCache, pairCache, bruteJacCache, compCache).foreach(
       graft.Caches.dropSession(_, s)(_.unpersist()))
+
+  /** Connected components over the memoized pair table, memoized
+    * themselves: q57 (listing) and q91 (size histogram) share ONE run
+    * of the iterative label-propagation loop. */
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def docComponents(s: SparkSession, dir: String): DataFrame =
+    compCache.computeIfAbsent((s, dir), _ =>
+      Dedup.components(lshPairs(s, dir), "doc_a", "doc_b").persist())
 
   /** 2^k for k = 0..29 (SimHash bit weights). */
   val pow2: Seq[Long] = (0 until 30).map(k => 1L << k)
@@ -482,9 +504,24 @@ object LlmText {
     // side is iterative min-label propagation (Dedup.components);
     // oracle recomputes via a recursive transitive closure.
     Q("q57_dedup_clusters", clustersSql) { (s, dir) =>
-      Dedup.components(lshPairs(s, dir), "doc_a", "doc_b")
+      docComponents(s, dir)
         .select(col("id").as("doc_id"), col("cluster_rep"))
         .orderBy("doc_id")
+    },
+
+    // ---- dup-cluster size histogram: the curation report every dedup
+    // run ends with ("how much is duplicated, in how big groups") —
+    // drives the keep/drop budget decision before deletion. Two tiny
+    // aggregations over the SAME memoized component table q57
+    // computes (clusters are size ≥ 2 by construction: every graph
+    // node has an edge); the second groupBy is histogram-sized.
+    Q("q91_dedup_cluster_sizes", clusterSizesSql) { (s, dir) =>
+      docComponents(s, dir)
+        .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
     },
 
     // ---- SimHash (30-bit, tf-weighted word hashes): near-dup sketch

@@ -16,7 +16,8 @@ class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q41_dedup_minhash_lsh", "q42_dedup_simhash", "q48_text_fingerprint",
       "q57_dedup_clusters", "q62_text_contamination", "q63_text_repetition",
       "q66_dedup_simhash_ham", "q74_chunk_sliding", "q81_decontaminate_bloom",
-      "q82_lm_perplexity", "q89_dedup_incremental").filter(order.contains)
+      "q82_lm_perplexity", "q89_dedup_incremental",
+      "q91_dedup_cluster_sizes").filter(order.contains)
     val last = textConsumers.maxBy(order.indexOf)
     assert(hooks.contains(last))
     textConsumers.filter(_ != last).foreach(q => assert(!hooks.contains(q)))
