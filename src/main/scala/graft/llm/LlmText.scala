@@ -89,6 +89,102 @@ object LlmText {
     * fixture scales (~1.2k–14k tokens/source). */
   val CurationBudget = 800L
 
+  /** q87's scoring pass: (doc_id, source, n_tokens, quality) via one
+    * compiled [[graft.plans.TextKernels.qualityStats]] projection. */
+  private[llm] def curationScored(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+    val Seq(nTok, nDis, maxLen) = (1 to 3).map(i => element_at(col("st"), i))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), st.as("st"))
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+        (when(nTok.between(20, 1000), 1).otherwise(0)
+          + when(nDis * 10 >= nTok * 3, 1).otherwise(0)
+          + when(maxLen <= 15, 1).otherwise(0)).as("quality"))
+  }
+
+  /** The exact-semantics reference shape for q87: ONE window per
+    * source over the full (quality DESC, doc_id) ordering. Holds when
+    * sources are numerous (window partition count ∝ sources); a
+    * single huge source serializes through one partition — that
+    * regime is [[curateScalable]]. */
+  private[llm] def curateWindow(scored: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("quality").cast("long").as("quality"),
+        col("n_tokens").cast("long").as("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** The few-huge-sources shape for q87, IDENTICAL output to
+    * [[curateWindow]] (CurateScalableSpec pins it on every fixture):
+    *
+    *  1. exact per-(source, quality-class) token totals — a tiny
+    *     aggregate (4 classes × sources), collected and walked
+    *     driver-side to find each source's BOUNDARY class (the first,
+    *     in quality-descending order, whose class total no longer
+    *     fits) and the tokens consumed above it;
+    *  2. classes above the boundary are kept whole, classes below are
+    *     dropped whole — a broadcast-literal map filter, MAP-ONLY
+    *     over the corpus (this is where the bulk of a huge source is
+    *     decided without any per-source serialization);
+    *  3. per-doc cum_tokens come from windows partitioned by
+    *     (source, quality) — each class ranks independently, offset
+    *     by the driver-computed higher-class totals, so no window
+    *     ever sees more than one class of one source (and a still-hot
+    *     boundary class would bucket by doc_id ranges exactly like
+    *     [[globalOffsets]]).
+    *
+    * Correctness: kept rows are a cum-prefix of the (quality DESC,
+    * doc_id) order; every doc below the boundary has
+    * cum ≥ tokens-through-boundary > budget, so dropping those
+    * classes whole loses nothing — the two formulations agree row
+    * for row, cum values included. */
+  private[llm] def curateScalable(scored: DataFrame, budget: Long): DataFrame = {
+    val classTotals = scored.groupBy("source", "quality")
+      .agg(sum(col("n_tokens").cast("long")).as("tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // per source: walk quality classes best-first, accumulating while
+    // the whole class still fits; record the boundary class and the
+    // tokens consumed strictly above it
+    val cuts: Map[String, (Int, Long)] = classTotals.groupBy(_._1).map {
+      case (src, rows) =>
+        val byQ = rows.map(t => t._2 -> t._3).sortBy(-_._1)
+        var consumed = 0L
+        var boundary = Int.MinValue // all classes fit -> keep everything
+        var above = 0L
+        byQ.foreach { case (q, tok) =>
+          if (boundary == Int.MinValue) {
+            if (consumed + tok > budget) { boundary = q; above = consumed }
+            else consumed += tok
+          }
+        }
+        src -> (boundary, above)
+    }
+    // per-(source, class) offsets: tokens in strictly-higher KEPT classes
+    val offsets: Map[String, Map[Int, Long]] = classTotals.groupBy(_._1).map {
+      case (src, rows) =>
+        val byQ = rows.map(t => t._2 -> t._3).sortBy(-_._1)
+        var cum = 0L
+        src -> byQ.map { case (q, tok) => val o = q -> cum; cum += tok; o }.toMap
+    }
+    val bqCol = element_at(typedLit(cuts.map { case (k, v) => k -> v._1 }), col("source"))
+    val offCol = element_at(element_at(typedLit(offsets), col("source")), col("quality"))
+    val wc = Window.partitionBy("source", "quality").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .filter(col("quality") >= bqCol) // map-only bulk decision
+      .withColumn("cum_tokens", offCol + sum(col("n_tokens").cast("long")).over(wc))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("quality").cast("long").as("quality"),
+        col("n_tokens").cast("long").as("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
   /** WITH-clauses giving (doc_id, pos, h) word hashes and
     * (doc_id, sh) distinct shingle hashes on the documents table. */
   def sqlPreludeWhere(where: String): String =
@@ -1170,15 +1266,13 @@ object LlmText {
     // within budget — the "assemble the best N tokens per source"
     // step every pretraining mix ends with. Stats come from the same
     // compiled [[graft.plans.TextKernels.qualityStats]] pass (map-
-    // only); the ONLY exchange is the per-source window. This window
-    // formulation is the exact-semantics reference: it holds when
-    // sources are numerous (partition count ∝ sources); for a corpus
-    // of FEW huge sources the 100 TB shape is a sampled per-source
-    // quality-threshold (map-only filter) plus an exact prefix-sum
-    // trim of the single boundary quality class (the q70
-    // [[globalOffsets]] two-level pattern) — same answer, no
-    // single-source serialization. Budget is integer tokens; every
-    // output column is integer-exact.
+    // only); the ONLY exchange is the per-source window
+    // ([[curateWindow]]) — right when sources are numerous. A corpus
+    // of FEW huge sources runs [[curateScalable]] instead: exact
+    // class-total walk on the driver, map-only keep/drop for the bulk,
+    // per-class windows only for ranking — IDENTICAL output, pinned by
+    // CurateScalableSpec on every fixture. Budget is integer tokens;
+    // every output column is integer-exact.
     Q("q87_corpus_curation",
       s"""WITH tl AS (SELECT doc_id, source,
          |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
@@ -1201,23 +1295,7 @@ object LlmText {
          |       n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
          |FROM r WHERE cum_tokens <= ${CurationBudget}
          |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
-      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
-      val Seq(nTok, nDis, maxLen) = (1 to 3).map(i => element_at(col("st"), i))
-      val scored = docs(s, dir)
-        .select(col("doc_id"), col("source"), st.as("st"))
-        .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
-          (when(nTok.between(20, 1000), 1).otherwise(0)
-            + when(nDis * 10 >= nTok * 3, 1).otherwise(0)
-            + when(maxLen <= 15, 1).otherwise(0)).as("quality"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored
-        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
-        .filter(col("cum_tokens") <= CurationBudget)
-        .select(col("source"), col("doc_id"), col("quality").cast("long").as("quality"),
-          col("n_tokens").cast("long").as("n_tokens"), col("cum_tokens"))
-        .orderBy("source", "doc_id")
+      curateWindow(curationScored(s, dir), CurationBudget)
     },
 
     // ---- Unicode NFC normalization (ingest canonicalization): every
