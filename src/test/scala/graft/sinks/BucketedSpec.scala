@@ -28,4 +28,23 @@ class BucketedSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("FULL OUTER join of pk-bucketed snapshots plans with NO exchange (q84's at-scale shape)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Sinks.bucketed(docs, "b_snap_base", "doc_id", buckets = 4)
+    Sinks.bucketed(docs.filter(col("doc_id") % 17 =!= 3), "b_snap_new", "doc_id", buckets = 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = spark.table("b_snap_base").as("b")
+        .join(spark.table("b_snap_new").as("n"),
+          col("b.doc_id") === col("n.doc_id"), "full_outer")
+        .filter(col("n.doc_id").isNull || col("b.doc_id").isNull)
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed snapshot diff still shuffles:\n$plan")
+      assert(diff.count() > 0) // the removed ids surface
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
