@@ -245,6 +245,26 @@ object Relational {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- distribution window functions (the remaining §2.5 scalar
+    // window fns): percent_rank/cume_dist per partition — per-group
+    // quantile normalization, e.g. calibrating quality scores within
+    // a source. Values are small-integer ratios computed as one IEEE
+    // division from identical inputs in both engines — bit-stable
+    // (no summation order involved). Same single user-keyed exchange
+    // as every per-user window.
+    Q("q92_window_distribution",
+      """SELECT user_id, event_id,
+        |  percent_rank() OVER (PARTITION BY user_id ORDER BY event_id) AS pr,
+        |  cume_dist() OVER (PARTITION BY user_id ORDER BY event_id) AS cd
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      T.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- §2.7: UNION (distinct).
     Q("q13_union",
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
