@@ -430,6 +430,53 @@ object Extras {
       s.read.option("mergeSchema", "true").parquet(v1, v2)
         .select(col("doc_id"), col("lang"), col("source"), col("lang2"))
         .orderBy("doc_id")
+    },
+
+    // ---- statistics aggregates (mean/variance/stddev/correlation):
+    // NOT the built-ins — those accumulate floating point in
+    // partition order, so their last bits differ run to run and
+    // engine to engine, which a hash compare cannot tolerate.
+    // Instead: the five raw moments accumulate EXACTLY (2-dp values
+    // through decimal, integer ids through bigint — partial-agg
+    // friendly, one shuffle of 5 cells per group), cast once to
+    // double, and the statistics derive through the SAME IEEE
+    // expression tree on both engines — deterministic to the last
+    // bit, no rounding envelope needed. This is also the at-scale
+    // shape: moments pre-combine map-side; the built-in's
+    // numerically-nicer Welford path matters for ill-conditioned
+    // data, not for bounded 2-dp measures.
+    Q("q93_stats_agg",
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |  sum(cast(value AS decimal(12,2)))::DOUBLE AS sx,
+        |  sum(cast(value AS decimal(12,2)) * cast(value AS decimal(12,2)))::DOUBLE AS sxx,
+        |  sum(cast(value AS decimal(12,2)) * user_id)::DOUBLE AS sxy,
+        |  sum(user_id)::DOUBLE AS sy,
+        |  sum(user_id * user_id)::DOUBLE AS syy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, sx / n AS mean_v,
+        |  (n * sxx - sx * sx) / (n * (n - 1)) AS var_v,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_v,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_vu
+        |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val x = T.dec(col("value"))
+      val m = T.df(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(x * col("user_id")).cast("double").as("sxy"),
+          sum(col("user_id")).cast("double").as("sy"),
+          sum(col("user_id") * col("user_id")).cast("double").as("syy"))
+      val Seq(n, sx, sxx, sxy, sy, syy) =
+        Seq("n", "sx", "sxx", "sxy", "sy", "syy").map(col)
+      m.select(col("event_type"), n,
+          (sx / n).as("mean_v"),
+          ((n * sxx - sx * sx) / (n * (n - 1))).as("var_v"),
+          sqrt((n * sxx - sx * sx) / (n * (n - 1))).as("stddev_v"),
+          ((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_vu"))
+        .orderBy("event_type")
     }
   )
 }
