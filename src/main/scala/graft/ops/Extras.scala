@@ -477,6 +477,31 @@ object Extras {
           ((n * sxy - sx * sy)
             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_vu"))
         .orderBy("event_type")
+    },
+
+    // ---- argmax/argmin aggregation (min_by/max_by): "the event with
+    // the highest value per user" without a window — ONE hash
+    // aggregate with map-side partials instead of a per-user sort
+    // (the q53 window form costs a sort inside each partition; this
+    // is the cheaper shape when only the extreme row is wanted).
+    // Determinism: both engines pick an ARBITRARY row on ties, so the
+    // ordering key packs (value-cents, event_id) into one bigint —
+    // exact integer arithmetic, totally ordered, tie-free in both.
+    Q("q94_argmax_agg",
+      """SELECT user_id,
+        |  max_by(event_id, cast(cast(value AS decimal(12,2)) * 100 AS BIGINT)
+        |                   * 10000000000 + event_id) AS top_event,
+        |  min_by(event_id, cast(cast(value AS decimal(12,2)) * 100 AS BIGINT)
+        |                   * 10000000000 + event_id) AS bottom_event,
+        |  cast(max(cast(value AS decimal(12,2))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val key = (T.dec(col("value")) * 100).cast("bigint") * 10000000000L + col("event_id")
+      T.df(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(col("event_id"), key).as("top_event"),
+          min_by(col("event_id"), key).as("bottom_event"),
+          T.dbl(max(T.dec(col("value")))).as("max_value"))
+        .orderBy("user_id")
     }
   )
 }
