@@ -265,6 +265,40 @@ object Relational {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- value window functions: first/last/nth over a running
+    // frame, plus the IGNORE NULLS variant (the as-of join's inner
+    // primitive — q52 builds on exactly this `last(_, ignoreNulls)`
+    // trick). The ordering key is unique (event_id), so every value
+    // is deterministic; running_last is the row's own value by frame
+    // definition and pins the frame semantics cross-engine.
+    Q("q95_window_value_fns",
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last,
+        |  nth_value(event_type, 2) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_type,
+        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+        |             IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonerr
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(run).as("running_last"),
+          nth_value(col("event_type"), 2).over(run).as("second_type"),
+          last(when(col("event_type") === "error", lit(null)).otherwise(col("event_type")),
+            ignoreNulls = true).over(run).as("last_nonerr"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- §2.7: UNION (distinct).
     Q("q13_union",
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
