@@ -543,17 +543,28 @@ object LlmVector {
   /** q83's cluster centers: the first [[SemK]] corpus vectors by
     * vec_id, unit-normalized — deterministic AND exactly replicable in
     * the SQL oracle (unlike the k-means [[pivots]]). Unit norm makes
-    * the kernel's raw-dot argmax equal cosine argmax. */
+    * the kernel's raw-dot argmax equal cosine argmax.
+    *
+    * The Spark side labels clusters by pivot-array INDEX while the
+    * oracle labels them by pivot vec_id (its pivot set is
+    * `vec_id < SemK`) — the two definitions coincide ONLY when the
+    * first SemK vec_ids are exactly 0..SemK-1, so that contract is
+    * ASSERTED here rather than assumed (ADVICE r7): a 1-based or
+    * gapped id space must fail loudly, not diverge silently. */
   private def semPivots(s: SparkSession, dir: String): Array[Array[Double]] = {
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    T.df(s, dir, "embeddings")
+    val rows = T.df(s, dir, "embeddings")
       .orderBy("vec_id").limit(SemK)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .map(unit)
+      .select("vec_id", "embedding").collect()
+    val ids = rows.map(_.getLong(0))
+    require(ids.sameElements(0L until SemK.toLong),
+      s"q83 pivot labels assume contiguous 0-based vec_ids; first $SemK ids = " +
+        ids.mkString("[", ",", "]") +
+        " — relabel the oracle's pivot set before trusting the compare")
+    rows.map(_.getSeq[Float](1).map(_.toDouble).toArray).map(unit)
   }
 
   /** q73's Lloyd loop: per iteration (rows assigned, Σ cos(x, c)).

@@ -414,20 +414,40 @@ object Extras {
         |       CASE WHEN doc_id < 250 THEN source END AS source,
         |       CASE WHEN doc_id >= 250 THEN upper(lang) END AS lang2
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = java.nio.file.Paths.get(
-        "/tmp/graft/schema_evo_" + Integer.toHexString(dir.hashCode))
-      val v1 = base.resolve("v1").toString
-      val v2 = base.resolve("v2").toString
-      if (!java.nio.file.Files.exists(base)) {
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      // Staging hygiene (ADVICE r7): the snapshot key derives from the
+      // SOURCE file's size+mtime — a regenerated fixture at the same
+      // path gets fresh snapshots, and distinct fixture dirs cannot
+      // collide the way String.hashCode could. Snapshots land via
+      // write-to-temp + atomic rename: an interrupted first run leaves
+      // only an orphaned .stage dir, never a half-staged `base` that a
+      // later run's bare Files.exists check would silently read.
+      val src = Paths.get(dir, "documents.parquet")
+      val stamp = Files.size(src) + "_" + Files.getLastModifiedTime(src).toMillis
+      val base = Paths.get(s"/tmp/graft/schema_evo_$stamp")
+      if (!Files.exists(base)) {
+        val stage = base.resolveSibling(
+          base.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
         val d = T.df(s, dir, "documents")
         d.filter(col("doc_id") < 250)
           .select(col("doc_id"), col("lang"), col("source"))
-          .write.mode("overwrite").parquet(v1)
+          .write.mode("overwrite").parquet(stage.resolve("v1").toString)
         d.filter(col("doc_id") >= 250)
           .select(col("doc_id"), col("lang"), upper(col("lang")).as("lang2"))
-          .write.mode("overwrite").parquet(v2)
+          .write.mode("overwrite").parquet(stage.resolve("v2").toString)
+        def rmTree(p: Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+        try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent run staged `base` first: its copy is identical
+          case _: java.nio.file.FileAlreadyExistsException => rmTree(stage)
+          case _: java.nio.file.DirectoryNotEmptyException => rmTree(stage)
+        }
       }
-      s.read.option("mergeSchema", "true").parquet(v1, v2)
+      s.read.option("mergeSchema", "true")
+        .parquet(base.resolve("v1").toString, base.resolve("v2").toString)
         .select(col("doc_id"), col("lang"), col("source"), col("lang2"))
         .orderBy("doc_id")
     },
@@ -454,10 +474,13 @@ object Extras {
         |  sum(user_id * user_id)::DOUBLE AS syy
         |  FROM events GROUP BY 1)
         |SELECT event_type, n, sx / n AS mean_v,
-        |  (n * sxx - sx * sx) / (n * (n - 1)) AS var_v,
-        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_v,
-        |  (n * sxy - sx * sy)
-        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_vu
+        |  CASE WHEN n > 1
+        |       THEN (n * sxx - sx * sx) / (n * (n - 1)) END AS var_v,
+        |  CASE WHEN n > 1
+        |       THEN sqrt((n * sxx - sx * sx) / (n * (n - 1))) END AS stddev_v,
+        |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN (n * sxy - sx * sy)
+        |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS corr_vu
         |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
       val x = T.dec(col("value"))
       val m = T.df(s, dir, "events")
@@ -470,36 +493,50 @@ object Extras {
           sum(col("user_id") * col("user_id")).cast("double").as("syy"))
       val Seq(n, sx, sxx, sxy, sy, syy) =
         Seq("n", "sx", "sxx", "sxy", "sy", "syy").map(col)
+      // degenerate-group guards (ADVICE r7): a singleton group's sample
+      // variance and a zero-variance group's correlation are 0/0 —
+      // Spark and DuckDB RENDER that differently (NaN vs NULL vs Inf),
+      // so both sides gate to NULL with identical CASE predicates;
+      // StatsAggSpec pins the guarded shapes on degenerate fixtures.
+      val varExpr = (n * sxx - sx * sx) / (n * (n - 1))
       m.select(col("event_type"), n,
           (sx / n).as("mean_v"),
-          ((n * sxx - sx * sx) / (n * (n - 1))).as("var_v"),
-          sqrt((n * sxx - sx * sx) / (n * (n - 1))).as("stddev_v"),
-          ((n * sxy - sx * sy)
-            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_vu"))
+          when(n > 1, varExpr).as("var_v"),
+          when(n > 1, sqrt(varExpr)).as("stddev_v"),
+          when(n > 1 && (n * sxx - sx * sx) > 0 && (n * syy - sy * sy) > 0,
+            (n * sxy - sx * sy)
+              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_vu"))
         .orderBy("event_type")
     },
 
-    // ---- argmax/argmin aggregation (min_by/max_by): "the event with
-    // the highest value per user" without a window — ONE hash
-    // aggregate with map-side partials instead of a per-user sort
-    // (the q53 window form costs a sort inside each partition; this
-    // is the cheaper shape when only the extreme row is wanted).
-    // Determinism: both engines pick an ARBITRARY row on ties, so the
-    // ordering key packs (value-cents, event_id) into one bigint —
-    // exact integer arithmetic, totally ordered, tie-free in both.
+    // ---- argmax/argmin aggregation: "the event with the highest
+    // value per user" without a window — ONE hash aggregate with
+    // map-side partials instead of a per-user sort (the q53 window
+    // form costs a sort inside each partition; this is the cheaper
+    // shape when only the extreme row is wanted). Determinism: both
+    // engines pick an ARBITRARY row on ties, so the ordering key is
+    // the STRUCT (value-cents, event_id) — lexicographic struct
+    // comparison is totally ordered and tie-free in both engines, and
+    // unlike round 7's packed bigint (cents * 1e10 + id, flagged by
+    // ADVICE r7) it cannot overflow for ANY decimal(12,2) value or
+    // event_id: Spark (non-ANSI) wraps int64 silently where DuckDB
+    // errors, so the packing envelope was a silent-divergence edge.
+    // max(struct).field is the max_by spelling both engines share
+    // (DuckDB's max_by doesn't take struct keys).
     Q("q94_argmax_agg",
       """SELECT user_id,
-        |  max_by(event_id, cast(cast(value AS decimal(12,2)) * 100 AS BIGINT)
-        |                   * 10000000000 + event_id) AS top_event,
-        |  min_by(event_id, cast(cast(value AS decimal(12,2)) * 100 AS BIGINT)
-        |                   * 10000000000 + event_id) AS bottom_event,
+        |  max(struct_pack(k := cast(cast(value AS decimal(12,2)) * 100 AS BIGINT),
+        |                  id := event_id)).id AS top_event,
+        |  min(struct_pack(k := cast(cast(value AS decimal(12,2)) * 100 AS BIGINT),
+        |                  id := event_id)).id AS bottom_event,
         |  cast(max(cast(value AS decimal(12,2))) AS DOUBLE) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val key = (T.dec(col("value")) * 100).cast("bigint") * 10000000000L + col("event_id")
+      val key = struct((T.dec(col("value")) * 100).cast("bigint").as("k"),
+        col("event_id").as("id"))
       T.df(s, dir, "events")
         .groupBy("user_id")
-        .agg(max_by(col("event_id"), key).as("top_event"),
-          min_by(col("event_id"), key).as("bottom_event"),
+        .agg(max(key).getField("id").as("top_event"),
+          min(key).getField("id").as("bottom_event"),
           T.dbl(max(T.dec(col("value")))).as("max_value"))
         .orderBy("user_id")
     }
