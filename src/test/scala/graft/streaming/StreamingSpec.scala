@@ -90,23 +90,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val path = SyntheticCorpus.ensure()
-
-    // batch-extracted records -> RecordIn (non-blank captures only)
-    val textFields = FieldSpec.trial
-    // columnar Extract path (kept as the cross-validation of the native
-    // ExtractRecord expression TrialMerge uses) needs normalized text
-    val recs = Corpus.records(spark, path)
-      .withColumn("rec", Corpus.normalize(col("rec")))
-      .select(col("record_seq") +: col("eudract_id") +: Extract.trialCols(col("rec")): _*)
-      .collect()
-      .map { r =>
-        val fields = textFields.flatMap { f =>
-          Option(r.getAs[String](f.name)).map(f.name -> _)
-        }.toMap
-        StreamMerge.RecordIn(r.getAs[String]("eudract_id"), r.getAs[Long]("record_seq"), fields)
-      }
     // worst case for a non-commutative fold: reverse file order
-    val shuffled = recs.reverse
+    val shuffled = extractedRecords(path)
 
     val input = MemoryStream[StreamMerge.RecordIn]
     val q = StreamMerge.run(input.toDS()).writeStream
@@ -138,6 +123,100 @@ class StreamingSpec extends SparkSpec {
             s"$id.${f.name}")
       }
     }
+  }
+
+  /** batch-extracted RecordIn rows (non-blank captures only) for the
+    * merge tests, worst-case (reverse file) order. The columnar
+    * Extract path (the cross-validation of the native ExtractRecord
+    * expression TrialMerge uses) needs normalized text. */
+  private def extractedRecords(path: String): Array[StreamMerge.RecordIn] = {
+    val textFields = FieldSpec.trial
+    Corpus.records(spark, path)
+      .withColumn("rec", Corpus.normalize(col("rec")))
+      .select(col("record_seq") +: col("eudract_id") +: Extract.trialCols(col("rec")): _*)
+      .collect()
+      .map { r =>
+        val fields = textFields.flatMap { f =>
+          Option(r.getAs[String](f.name)).map(f.name -> _)
+        }.toMap
+        StreamMerge.RecordIn(r.getAs[String]("eudract_id"), r.getAs[Long]("record_seq"), fields)
+      }
+      .reverse
+  }
+
+  test("upsert sink: kill-and-resume lands exactly the batch-merge table") {
+    // the §2.9 sink half — records stream in two runs of an
+    // AvailableNow query over a file source, the SECOND run resuming
+    // the FIRST's checkpoint (killed-and-restarted query): the upserted
+    // parquet table must equal the batch TrialMerge result, one row per
+    // trial, no duplicates and no lost state.
+    import spark.implicits._
+    val path = SyntheticCorpus.ensure()
+    val recs = extractedRecords(path)
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val landing = base.resolve("in"); java.nio.file.Files.createDirectories(landing)
+    val table = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    val (b1, b2) = recs.splitAt(recs.length / 2)
+
+    def runOnce(rows: Array[StreamMerge.RecordIn]): Unit = {
+      rows.toSeq.toDS().coalesce(1).write.mode("append").parquet(landing.toString)
+      val schema = spark.read.parquet(landing.toString).schema
+      val q = StreamMerge.upsertSink(
+          StreamMerge.run(
+            spark.readStream.schema(schema).parquet(landing.toString)
+              .as[StreamMerge.RecordIn]),
+          table, ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce(b1)
+    val mid = spark.read.parquet(table).count()
+    assert(mid > 0, "first run landed nothing")
+    runOnce(b2) // fresh query object, same checkpoint: resume, not re-read
+
+    val landed = spark.read.parquet(table)
+      .select("eudract_id", "fields", "flags", "nRecords")
+      .as[StreamMerge.TrialUpdate].collect()
+    assert(landed.length == landed.map(_.eudract_id).distinct.length, "duplicate trials")
+    val byId = landed.map(u => u.eudract_id -> u).toMap
+    val batch = Registry.load(spark, path).trials.collect()
+      .map(r => r.getAs[String]("eudract_id") -> r).toMap
+    assert(byId.keySet == batch.keySet)
+    for ((id, streamRow) <- byId; f <- FieldSpec.trial) {
+      val batchRow = batch(id)
+      f.kind match {
+        case FieldKind.Flag =>
+          val b = if (batchRow.isNullAt(batchRow.fieldIndex(f.name))) None
+                  else Some(batchRow.getAs[Int](f.name))
+          assert(streamRow.flags.get(f.name) == b, s"$id.${f.name}")
+        case _ =>
+          assert(streamRow.fields.get(f.name) == Option(batchRow.getAs[String](f.name)),
+            s"$id.${f.name}")
+      }
+    }
+  }
+
+  test("upsert batch apply is idempotent: a replayed micro-batch changes nothing") {
+    // foreachBatch replays the in-flight batch after a crash —
+    // idempotent apply is what makes that replay exactly-once
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_idem").resolve("t").toString
+    def up(id: String, n: Long) =
+      StreamMerge.TrialUpdate(id, Map("title" -> s"$id-v$n"), Map("f" -> 1), n)
+    val batch1 = Seq(up("A", 1), up("B", 2)).toDS()
+    StreamMerge.upsertBatch(batch1, table, buckets = 4)
+    StreamMerge.upsertBatch(batch1, table, buckets = 4) // replay
+    val after = spark.read.parquet(table)
+      .select("eudract_id", "fields", "flags", "nRecords")
+      .as[StreamMerge.TrialUpdate].collect().sortBy(_.eudract_id)
+    assert(after.toSeq == Seq(up("A", 1), up("B", 2)))
+    // an overlapping LATER batch replaces, never appends
+    StreamMerge.upsertBatch(Seq(up("B", 5), up("C", 1)).toDS(), table, buckets = 4)
+    val fin = spark.read.parquet(table)
+      .select("eudract_id", "fields", "flags", "nRecords")
+      .as[StreamMerge.TrialUpdate].collect().sortBy(_.eudract_id)
+    assert(fin.toSeq == Seq(up("A", 1), up("B", 5), up("C", 1)))
   }
 
   test("restart from checkpoint: state survives, committed files never re-read") {
