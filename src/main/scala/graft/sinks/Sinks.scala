@@ -24,9 +24,13 @@ object Sinks {
   def csvSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
-  /** JDBC sink (e.g. Postgres). Thin passthrough — requires a driver on
-    * the classpath and a reachable database; exercised only in
-    * deployments, not in this repo's tests (no DB in the sandbox). */
+  /** JDBC sink — the reference's stated Postgres end state
+    * (README.md:8), append-mode INSERTs like its per-scan loads.
+    * Requires a driver on the classpath and a reachable database; no
+    * network database exists in the sandbox, so SinksSpec gates the
+    * path end-to-end against EMBEDDED Derby (on the classpath via
+    * Spark's own jars): write, read back row-identical, append
+    * semantics. */
   def jdbc(df: DataFrame, url: String, table: String,
            props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode("append").jdbc(url, table, props)
