@@ -121,7 +121,11 @@ object Streams {
     // what lets Spark EXPIRE state: a click older than watermark+30min
     // can never match a future purchase and is evicted, so state is
     // (rate × horizon), not the whole history — the property that
-    // makes this run forever at 100 TB/day. Append mode: rows emit
+    // makes this run forever at 100 TB/day. MEASURED, not narrated
+    // (graft.tools.StateSweep, README "state-growth sweep"): state
+    // plateaus at ~4.1k rows per batch at 1x rate and ~40.8k at 10x —
+    // flat across micro-batches, exactly rate-proportional, while the
+    // stream's cumulative history grows 10 files deep. Append mode: rows emit
     // once the watermark passes their match window (exactly-once with
     // checkpointing). The oracle is the equivalent batch interval
     // join; timestamps compare and export in micros, where the two

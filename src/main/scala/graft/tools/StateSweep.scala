@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** State-growth scale sweep for the round-7 stateful operators — the
+  * same measure-don't-narrate protocol as the CloneFixture dedup
+  * sweep, applied to STATE instead of candidate pairs:
+  *
+  *  - q86's stream-stream interval join claims "state ∝ rate ×
+  *    horizon, not history": events are cloned K× at UNCHANGED
+  *    timestamps (K× the arrival rate) and streamed through the join
+  *    in time-ordered chunk files (one micro-batch each, so the
+  *    watermark advances and eviction actually runs). Per micro-batch
+  *    the tool prints input rows, total state rows, state bytes and
+  *    the watermark from the query's progress events. The claim holds
+  *    iff (a) at fixed rate, state PLATEAUS across batches instead of
+  *    accumulating the stream's history, and (b) the plateau scales
+  *    ~K× when the rate does.
+  *  - q85's SCD-2 window build has no state store; its analogue is the
+  *    per-user sort buffer inside the single user-keyed exchange. The
+  *    sweep times the full query at 1× and K× — linear wall-clock and
+  *    an unchanged 2-exchange plan are the pass criteria.
+  *
+  * Usage: `runMain graft.tools.StateSweep [sfDir] [K] [chunks]`
+  * (defaults: /root/testdata/sf0.1, 10, 10). Results land in the
+  * README's "state sweep" note.
+  */
+object StateSweep {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val chunks = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (factor <- Seq(1, k)) {
+      println(s"== q86 stream-stream interval join, ${factor}x event rate ==")
+      runJoin(spark, stage(spark, src, factor, chunks))
+    }
+    // 3-point linearity probe through the noop sink (full evaluation;
+    // count() would prune the window columns): cloned events share
+    // (user, ts, type) so they join EXISTING runs — output rows stay
+    // constant while the per-user sort buffers scale with the factor,
+    // which is exactly the q85 "state" being measured
+    for (factor <- Seq(1, k, 5 * k)) {
+      val in = clonedEvents(spark, src, factor).persist()
+      val nIn = in.count() // materialize input outside the timed region
+      val t0 = System.nanoTime()
+      scd2(spark, in).write.format("noop").mode("overwrite").save()
+      println(f"== q85 SCD-2, ${factor}x ($nIn%,d events): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ==")
+      in.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** events cloned `factor`× at unchanged timestamps under fresh
+    * event_ids — K× the arrival rate, same time span. */
+  private def clonedEvents(spark: SparkSession, src: String, factor: Int): DataFrame = {
+    val base = graft.core.T.events(spark, src)
+    val n = base.count()
+    base.crossJoin(broadcast(spark.range(factor).select(col("id").as("copy"))))
+      .select((col("event_id") + col("copy") * n).as("event_id"),
+        col("user_id"), col("event_type"), col("value"), col("ts"))
+  }
+
+  /** Stage `factor`× events as `chunks` time-ordered parquet files
+    * (one micro-batch each under maxFilesPerTrigger=1). */
+  private def stage(spark: SparkSession, src: String, factor: Int, chunks: Int): String = {
+    val dir = s"/tmp/graft/state_sweep_${factor}x"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) return dir
+    // global ntile = one-partition sort: fixture-scale staging only
+    val chunked = clonedEvents(spark, src, factor)
+      .withColumn("chunk", ntile(chunks).over(Window.orderBy("ts")))
+    for (c <- 1 to chunks) // sequential writes => mtime order = time order
+      chunked.filter(col("chunk") === c).drop("chunk").sort("ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    dir
+  }
+
+  /** q86's exact topology (Streams.scala) over the staged chunk files,
+    * one file per micro-batch; prints per-batch state metrics. */
+  private def runJoin(spark: SparkSession, landing: String): Unit = {
+    val schema = spark.read.parquet(landing).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks
+      .join(purchases,
+        col("user_id") === col("p_user")
+          && col("p_ts") >= col("c_ts")
+          && col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+      .writeStream
+      .outputMode("append")
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+      val st = p.stateOperators
+      println(f"batch=${p.batchId}%2d in=${p.numInputRows}%7d " +
+        f"stateRows=${st.map(_.numRowsTotal).sum}%7d " +
+        f"stateMiB=${st.map(_.memoryUsedBytes).sum / 1048576.0}%7.1f " +
+        s"watermark=${p.eventTime.get("watermark")}")
+    }
+    q.stop()
+  }
+
+  /** q85's SCD-2 build (Extras.scala), parameterized by input frame. */
+  private def scd2(spark: SparkSession, events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("pv", lag(col("event_type"), 1).over(ord))
+      .filter(col("pv").isNull || col("pv") =!= col("event_type"))
+      .drop("pv")
+      .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(ord)))
+      .select(col("user_id"), col("event_id").as("run_event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"))
+  }
+}
