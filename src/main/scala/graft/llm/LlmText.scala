@@ -1205,6 +1205,71 @@ object LlmText {
         .orderBy("source")
     },
 
+    // ---- weighted sampling without replacement (systematic PPS —
+    // probability proportional to size): q68/q75 sample per-DOC
+    // uniformly; mixture building wants per-TOKEN mass, i.e. heavier
+    // docs proportionally likelier. Systematic sampling over the
+    // per-source cumulative weight (k evenly spaced thresholds into
+    // [0, W)): pick the first doc whose running weight crosses each
+    // threshold. ALL integer arithmetic — exact in both engines, no
+    // float sampling keys to diverge (the exponential-keys A-Res
+    // formulation needs pow/ln, whose last bits differ cross-engine).
+    // Plan: one source-keyed exchange shared by both windows, a
+    // generator explode of k thresholds, one (source, j) aggregate —
+    // the running weight is the same per-key prefix-sum shape as q70's
+    // packing, and at 100 TB a single giant source splits exactly the
+    // same way.
+    Q("q97_weighted_sample",
+      """WITH c AS (SELECT source, doc_id, n_chars,
+        |        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cumw,
+        |        sum(n_chars) OVER (PARTITION BY source) AS W
+        |      FROM documents),
+        |t AS (SELECT *, unnest(generate_series(0, 3)) AS j FROM c)
+        |SELECT source, j::BIGINT AS j, min(doc_id) AS picked_doc_id
+        |FROM t WHERE cumw > (j * W) // 4
+        |GROUP BY source, j ORDER BY source, j""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy("source").orderBy("doc_id")
+      val wAll = Window.partitionBy("source")
+      T.df(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cumw", sum("n_chars").over(wOrd))
+        .withColumn("W", sum("n_chars").over(wAll))
+        .select(col("source"), col("doc_id"), col("cumw"), col("W"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+        .filter(col("cumw") > expr("(j * W) div 4"))
+        .groupBy("source", "j")
+        .agg(min("doc_id").as("picked_doc_id"))
+        .orderBy("source", "j")
+    },
+
+    // ---- deterministic corpus shuffle + shard assignment: the export
+    // step before training — break source/time locality with a hash
+    // permutation and assign each doc a shard (one per writer task),
+    // position-stable across engines and runs (seeded integer hash,
+    // shared family with the oracle prelude). The query form emits the
+    // (shard, pos, doc_id) manifest; a deployment follows with
+    // write.partitionBy(shard) + within-partition sort on the hash —
+    // all map-side, zero driver involvement, any shard count. The
+    // window here is per-shard (16 bounded partitions), never global —
+    // no SinglePartition stage (same discipline as q70, pinned in
+    // PlanSpec).
+    Q("q99_shard_export",
+      s"""WITH h AS (SELECT doc_id,
+         |  (doc_id * ${TextHash.ABase} + 7919) % ${TextHash.M} AS hv FROM documents)
+         |SELECT (hv % 16)::BIGINT AS shard,
+         |       (row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id))::BIGINT AS pos,
+         |       doc_id
+         |FROM h ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      val hv = (col("doc_id") * lit(TextHash.ABase) + lit(7919L)) % lit(TextHash.M)
+      T.df(s, dir, "documents")
+        .select(col("doc_id"), hv.as("hv"))
+        .withColumn("shard", (col("hv") % 16).cast("long"))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("shard").orderBy("hv", "doc_id")).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+
     // ---- bloom-filter decontamination: same contamination semantics
     // as q62 (fraction of a doc's shingles in the benchmark set,
     // flagged at >= 1/2), restructured for a corpus that must never

@@ -539,6 +539,71 @@ object Extras {
           min(key).getField("id").as("bottom_event"),
           T.dbl(max(T.dec(col("value")))).as("max_value"))
         .orderBy("user_id")
+    },
+
+    // ---- time-series resample + forward fill (gap-filling): regular
+    // daily grid per user over their observed span (`sequence` +
+    // explode — a generator projection, rows ∝ users × horizon days,
+    // BOUNDED by the horizon, never by event count), left-joined with
+    // the observed daily aggregate, gaps carried forward with
+    // last(_, ignoreNulls) — one window over the same user key. The
+    // standard feature-engineering shape ("daily activity with
+    // carry-forward") that naive implementations do per-entity on the
+    // driver; here grid generation, join, and fill are all
+    // distributed, with user_id the single shuffle key.
+    Q("q96_resample_ffill",
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |         sum(cast(value AS decimal(12,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |         FROM span)
+        |SELECT g.user_id, g.day::VARCHAR AS day, d.v IS NOT NULL AS observed,
+        |       (last_value(d.v IGNORE NULLS)
+        |          OVER (PARTITION BY g.user_id ORDER BY g.day))::DOUBLE AS ffill_value
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin) { (s, dir) =>
+      val daily = T.df(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          T.dec(col("value")).as("v"))
+        .groupBy("user_id", "day").agg(sum("v").as("v"))
+      val grid = daily.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("v").isNotNull.as("observed"),
+          T.dbl(last(col("v"), ignoreNulls = true).over(w)).as("ffill_value"))
+        .orderBy("user_id", "day")
+    },
+
+    // ---- time-RANGE window frame (sliding 1-hour aggregate per row):
+    // frames so far were ROW-based (q12) — RANGE over event-time
+    // microseconds is the other frame family, and the one sliding
+    // "last hour as of each event" metrics need. The frame bound is
+    // integer micros on BOTH engines (no timestamp arithmetic to
+    // diverge); RANGE includes order-value PEERS in both, so same-µs
+    // events agree by construction. One exchange on user_id + in-
+    // partition sort; at 100 TB the frame scan is bounded by rate ×
+    // 1 h per user, the same envelope the q86 stream state carries.
+    Q("q98_time_range_frame",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  (count(*) OVER w)::BIGINT AS n_1h,
+        |  (sum(cast(value AS decimal(12,2))) OVER w)::DOUBLE AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      T.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), T.dec(col("value")).as("v"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_1h"),
+          T.dbl(sum(col("v")).over(w)).as("sum_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
     }
   )
 }
