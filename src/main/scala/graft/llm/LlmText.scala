@@ -1214,11 +1214,15 @@ object LlmText {
     // threshold. ALL integer arithmetic — exact in both engines, no
     // float sampling keys to diverge (the exponential-keys A-Res
     // formulation needs pow/ln, whose last bits differ cross-engine).
-    // Plan: one source-keyed exchange shared by both windows, a
-    // generator explode of k thresholds, one (source, j) aggregate —
-    // the running weight is the same per-key prefix-sum shape as q70's
-    // packing, and at 100 TB a single giant source splits exactly the
-    // same way.
+    // Plan: the per-source running weight and total are
+    // [[keyedOffsets]] — per-(source, doc_id-range-bucket) window sums
+    // plus an exclusive bucket prefix computed by a window over the
+    // tiny per-bucket totals frame and re-joined by broadcast — so no
+    // window partitions by source alone: a single giant source (the
+    // q87 few-huge-sources corpus shape) splits across nBuckets sorts
+    // instead of serializing through one task. PlanSpec pins that
+    // shape; the oracle keeps DuckDB's plain per-source window (fine
+    // single-node, identical by KeyedOffsetsSpec's equivalence law).
     Q("q97_weighted_sample",
       """WITH c AS (SELECT source, doc_id, n_chars,
         |        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cumw,
@@ -1228,12 +1232,10 @@ object LlmText {
         |SELECT source, j::BIGINT AS j, min(doc_id) AS picked_doc_id
         |FROM t WHERE cumw > (j * W) // 4
         |GROUP BY source, j ORDER BY source, j""".stripMargin) { (s, dir) =>
-      val wOrd = Window.partitionBy("source").orderBy("doc_id")
-      val wAll = Window.partitionBy("source")
-      T.df(s, dir, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("cumw", sum("n_chars").over(wOrd))
-        .withColumn("W", sum("n_chars").over(wAll))
+      val nBuckets = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+      keyedOffsets(
+        T.df(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "n_chars", nBuckets)
         .select(col("source"), col("doc_id"), col("cumw"), col("W"),
           explode(sequence(lit(0L), lit(3L))).as("j"))
         .filter(col("cumw") > expr("(j * W) div 4"))
@@ -1478,6 +1480,47 @@ object LlmText {
       .agg(count(lit(1)).as("n_bigrams"),
         T.dbl(T.dec(sum(col("t")) / count(lit(1)))).as("avg_nll"))
       .orderBy("doc_id")
+  }
+
+  /** Keyed distributed running sum (q97's core; [[globalOffsets]]
+    * generalized per key): INCLUSIVE prefix-sum `cumw` of `weight` in
+    * `doc_id` order within each `key` group, plus the group total `W`
+    * — without ever sorting a whole key through one task. Docs bucket
+    * by deterministic `doc_id` ranges (width = id-range / nBuckets),
+    * the in-bucket running sum is a window per (key, bucket), and the
+    * exclusive bucket prefix + group total come from a SECOND window
+    * over the tiny (≤ |keys| × nBuckets)-row per-bucket totals frame —
+    * each of those partitions holds ≤ nBuckets rows, so no stage
+    * anywhere scales with the largest key: a single 100 TB source is
+    * split across nBuckets sorts exactly like q70's corpus. The totals
+    * frame re-joins by broadcast (two longs per (key, bucket); at an
+    * extreme key cardinality drop the hint — the shuffle join then
+    * co-partitions with the window on (key, bucket) and reuses its
+    * exchange). KeyedOffsetsSpec pins equivalence with the plain
+    * per-key window on skewed/sparse/degenerate frames at several
+    * bucket counts; PlanSpec pins q97's plan to this shape. */
+  private[graft] def keyedOffsets(d: DataFrame, key: String, weight: String,
+                                  nBuckets: Int): DataFrame = {
+    // the max(doc_id) probe reads only that column
+    val maxId = Option(d.agg(max("doc_id")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val width = (maxId / nBuckets.max(1) + 1).max(1L)
+    val bucketed = d.withColumn("bucket", expr(s"doc_id DIV $width"))
+    val totals = bucketed.groupBy(col(key), col("bucket"))
+      .agg(sum(weight).as("btot"))
+    val pref = totals
+      .withColumn("boff", coalesce(sum("btot").over(
+        Window.partitionBy(key).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("W", sum("btot").over(Window.partitionBy(key)))
+      .select(col(key), col("bucket"), col("boff"), col("W"))
+    val cum = sum(weight).over(
+      Window.partitionBy(key, "bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bucketed
+      .join(broadcast(pref), Seq(key, "bucket"))
+      .withColumn("cumw", col("boff") + cum)
+      .drop("bucket", "boff")
   }
 
   /** Distributed exclusive prefix-sum of `n_tokens` in `doc_id` order

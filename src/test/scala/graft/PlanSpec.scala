@@ -225,6 +225,50 @@ class PlanSpec extends SparkSpec {
     llm.LlmText.release(spark)
   }
 
+  test("q96 resample: every hash exchange is user-keyed — grid explode never re-shuffles alone") {
+    // the grid generator (sequence+explode) must ride the user_id
+    // partitioning of the span aggregate; a free-standing exchange on
+    // anything not containing user_id means the horizon explode
+    // re-shuffled the corpus
+    val p = plan("q96_resample_ffill")
+    assert(!p.contains("SinglePartition"), s"resample collapsed to one partition:\n$p")
+    val keys = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, s"resample plans no hash exchange at all:\n$p")
+    assert(keys.forall(_.contains("user_id")),
+      s"non-user-keyed exchange appeared: $keys\n$p")
+  }
+
+  test("q97 weighted sample: running weight never windows a whole source through one task") {
+    // the scale contract: cumw comes from keyedOffsets — windows
+    // partition by (source, doc_id-range bucket), and the only
+    // source-alone windows run over the tiny per-bucket totals frame
+    // (ordered by bucket, never doc_id). A window partitioned by
+    // source alone ordering by doc_id is the full-sort-on-a-skewed-key
+    // scale-killer VERDICT r8 flagged.
+    val p = plan("q97_weighted_sample")
+    assert(!"\\[source#\\d+\\], \\[doc_id#".r.findFirstIn(p).isDefined,
+      s"per-source doc_id window reappeared:\n$p")
+    assert("\\[source#\\d+, bucket#\\d+L?\\], \\[doc_id#".r.findFirstIn(p).isDefined,
+      s"bucketed (source, bucket) window missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "bucket-prefix join no longer broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join appeared")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q98 time-range frame: exactly one user-keyed hash exchange, no join") {
+    val p = plan("q98_time_range_frame")
+    assert(!p.contains("Join"), s"range-frame query joins:\n$p")
+    val hashes = "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashes.size == 1 && hashes.head.contains("user_id"),
+      s"expected exactly one user_id exchange, got $hashes:\n$p")
+  }
+
+  test("q99 shard export: per-shard windows only — no single-partition stage") {
+    val p = plan("q99_shard_export")
+    assert(!p.contains("SinglePartition"), s"shard export collapsed to one partition:\n$p")
+    assert(!p.contains("Join"), s"shard export joins:\n$p")
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan
