@@ -1246,15 +1246,17 @@ object LlmText {
 
     // ---- deterministic corpus shuffle + shard assignment: the export
     // step before training — break source/time locality with a hash
-    // permutation and assign each doc a shard (one per writer task),
-    // position-stable across engines and runs (seeded integer hash,
-    // shared family with the oracle prelude). The query form emits the
-    // (shard, pos, doc_id) manifest; a deployment follows with
-    // write.partitionBy(shard) + within-partition sort on the hash —
-    // all map-side, zero driver involvement, any shard count. The
-    // window here is per-shard (16 bounded partitions), never global —
-    // no SinglePartition stage (same discipline as q70, pinned in
-    // PlanSpec).
+    // permutation and assign each doc a shard, position-stable across
+    // engines and runs (seeded integer hash, shared family with the
+    // oracle prelude). Shard count comes from `spark.graft.shards`
+    // (default 16 = the oracle's literal); shards MUST scale with
+    // writer tasks at deployment — one shard per task, set it ∝ the
+    // cluster, never a constant share of the corpus per task
+    // (ShardedExportSpec covers a non-default count). The query form
+    // emits the (shard, pos, doc_id) manifest; the physical sink is
+    // [[graft.sinks.Sinks.shardedExport]]. The window here is
+    // per-shard (bounded partitions), never global — no
+    // SinglePartition stage (pinned in PlanSpec).
     Q("q99_shard_export",
       s"""WITH h AS (SELECT doc_id,
          |  (doc_id * ${TextHash.ABase} + 7919) % ${TextHash.M} AS hv FROM documents)
@@ -1262,10 +1264,8 @@ object LlmText {
          |       (row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id))::BIGINT AS pos,
          |       doc_id
          |FROM h ORDER BY shard, pos""".stripMargin) { (s, dir) =>
-      val hv = (col("doc_id") * lit(TextHash.ABase) + lit(7919L)) % lit(TextHash.M)
-      T.df(s, dir, "documents")
-        .select(col("doc_id"), hv.as("hv"))
-        .withColumn("shard", (col("hv") % 16).cast("long"))
+      val nShards = s.conf.getOption("spark.graft.shards").map(_.toInt).getOrElse(16)
+      shardKeyed(T.df(s, dir, "documents").select("doc_id"), nShards)
         .withColumn("pos", row_number()
           .over(Window.partitionBy("shard").orderBy("hv", "doc_id")).cast("long"))
         .select(col("shard"), col("pos"), col("doc_id"))
@@ -1481,6 +1481,15 @@ object LlmText {
         T.dbl(T.dec(sum(col("t")) / count(lit(1)))).as("avg_nll"))
       .orderBy("doc_id")
   }
+
+  /** q99's deterministic shard key: the seeded hash permutation `hv`
+    * and `shard = hv % nShards`, added as columns — shared by the
+    * manifest query and [[graft.sinks.Sinks.shardedExport]] so the
+    * physical layout always matches the manifest. */
+  private[graft] def shardKeyed(d: DataFrame, nShards: Int): DataFrame =
+    d.withColumn("hv",
+        (col("doc_id") * lit(TextHash.ABase) + lit(7919L)) % lit(TextHash.M))
+      .withColumn("shard", (col("hv") % nShards).cast("long"))
 
   /** Keyed distributed running sum (q97's core; [[globalOffsets]]
     * generalized per key): INCLUSIVE prefix-sum `cumw` of `weight` in

@@ -35,6 +35,25 @@ object Sinks {
            props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode("append").jdbc(url, table, props)
 
+  /** Sharded training export — q99's manifest made physical: the
+    * deterministic hash permutation assigns each doc a shard
+    * ([[graft.llm.LlmText.shardKeyed]], same key family as the
+    * manifest query), one exchange co-locates each shard in one
+    * writer task, and the within-partition sort on (hv, doc_id) makes
+    * in-file order equal manifest `pos` order. One file per shard
+    * directory, zero driver involvement, any shard count — at
+    * deployment set `nShards` ∝ writer tasks (one shard per task); a
+    * constant would hand each task 1/nShards of the corpus at 100 TB.
+    * ShardedExportSpec asserts the one-file-per-shard layout and the
+    * in-file hash order at a non-default count. */
+  def shardedExport(d: DataFrame, path: String, nShards: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.llm.LlmText.shardKeyed(d, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("hv"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Bucketed catalog table: co-locates join/agg keys at WRITE time so
     * repeated joins on the bucket key skip their shuffle entirely — the
     * replacement for the reference's per-key SQLite indexes
