@@ -69,8 +69,13 @@ object Bench {
     val spread =
       if (runs <= 1) ""
       else {
+        // errored queries render -1 in `queries`; their surviving
+        // successful-sweep timings must not also surface as a spread
+        // row (confusing telemetry for regression classification —
+        // ADVICE r8)
         val worst = times
-          .collect { case (n, ts) if ts.size > 1 && median(ts) > 0.2 =>
+          .collect { case (n, ts)
+              if !errors.contains(n) && ts.size > 1 && median(ts) > 0.2 =>
             (n, ts.min, ts.max, (ts.max - ts.min) / median(ts)) }
           .sortBy(-_._4).take(5)
           .map { case (n, lo, hi, _) => "\"" + short(n) + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }

@@ -523,15 +523,26 @@ object Extras {
     // errors, so the packing envelope was a silent-divergence edge.
     // max(struct).field is the max_by spelling both engines share
     // (DuckDB's max_by doesn't take struct keys).
+    // k is NULL-coalesced to Long.MinValue on BOTH engines: Spark and
+    // DuckDB order structs with NULL fields differently (nulls-first
+    // vs nulls-last), so a NULL value row would diverge silently — the
+    // same class of edge the round-7 packed-bigint fix closed
+    // (ADVICE r8). The sentinel sorts below every real key, so a NULL
+    // value never wins top_event against a real value; in an all-NULL
+    // group both engines agree via the struct's id tiebreak (k is
+    // constant across its rows: max picks the max id, min the min id).
     Q("q94_argmax_agg",
       """SELECT user_id,
-        |  max(struct_pack(k := cast(cast(value AS decimal(12,2)) * 100 AS BIGINT),
+        |  max(struct_pack(k := coalesce(cast(cast(value AS decimal(12,2)) * 100 AS BIGINT),
+        |                                -9223372036854775807),
         |                  id := event_id)).id AS top_event,
-        |  min(struct_pack(k := cast(cast(value AS decimal(12,2)) * 100 AS BIGINT),
+        |  min(struct_pack(k := coalesce(cast(cast(value AS decimal(12,2)) * 100 AS BIGINT),
+        |                                -9223372036854775807),
         |                  id := event_id)).id AS bottom_event,
         |  cast(max(cast(value AS decimal(12,2))) AS DOUBLE) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val key = struct((T.dec(col("value")) * 100).cast("bigint").as("k"),
+      val key = struct(
+        coalesce((T.dec(col("value")) * 100).cast("bigint"), lit(Long.MinValue + 1)).as("k"),
         col("event_id").as("id"))
       T.df(s, dir, "events")
         .groupBy("user_id")

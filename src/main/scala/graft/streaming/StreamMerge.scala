@@ -96,9 +96,17 @@ object StreamMerge {
     *
     * IDEMPOTENT by construction: applying the same batch twice leaves
     * the same table (replaced rows replace to the same values), which
-    * is what turns foreachBatch's at-least-once replay after a crash
-    * into exactly-once table state (StreamingSpec pins both the replay
-    * and the kill-and-resume equivalence). */
+    * turns foreachBatch's at-least-once replay into exactly-once table
+    * state for any batch whose overwrite COMMITTED before the crash
+    * (StreamingSpec pins both the replay and the kill-and-resume
+    * equivalence). The commit itself is NOT atomic — plain parquet's
+    * dynamic partition overwrite can die mid-rewrite and leave an
+    * affected bucket torn (duplicate or missing resident rows), and a
+    * replay's left_anti removes only batch keys, so a torn bucket does
+    * not self-heal. That torn-commit window is exactly what the
+    * Delta/Iceberg swap above closes (atomic snapshot commit); this
+    * merge-on-write emulation's guarantee is post-commit replay
+    * idempotence, no more. */
   def upsertBatch(batch: Dataset[TrialUpdate], tableDir: String, buckets: Int): Unit = {
     val s = batch.sparkSession
     import org.apache.spark.sql.functions._

@@ -72,9 +72,15 @@ object StateSweep {
   }
 
   /** Stage `factor`× events as `chunks` time-ordered parquet files
-    * (one micro-batch each under maxFilesPerTrigger=1). */
+    * (one micro-batch each under maxFilesPerTrigger=1). The cache dir
+    * is keyed on EVERY staging input (src fixture, factor, chunks) —
+    * keyed on factor alone, a rerun with a different fixture or chunk
+    * count silently reused stale files and reported metrics for the
+    * old configuration (ADVICE r8; same lesson as the schema_evo
+    * staging key). */
   private def stage(spark: SparkSession, src: String, factor: Int, chunks: Int): String = {
-    val dir = s"/tmp/graft/state_sweep_${factor}x"
+    val srcKey = src.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = s"/tmp/graft/state_sweep_${srcKey}_${factor}x_c$chunks"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) return dir
     // global ntile = one-partition sort: fixture-scale staging only
     val chunked = clonedEvents(spark, src, factor)

@@ -46,6 +46,20 @@ class BenchSpec extends SparkSpec {
     assert(line.contains(""""value":2.000"""), line) // errored queries excluded from total
   }
 
+  test("an errored query's surviving sweep timings never surface in spread") {
+    // ADVICE r8: a query that errored in one sweep renders -1 in
+    // `queries` — its other sweeps' timings appearing in `spread`
+    // would point regression triage at a query the line already
+    // declares broken
+    val line = Bench.metricLine("/sf", runs = 3,
+      times = Seq(
+        "q1_agg" -> Seq(1.0, 1.1, 1.2),
+        "q2_wild" -> Seq(0.5, 9.5)), // widest spread, but errored
+      errors = Map("q2_wild" -> "OOM"))
+    assert(!line.contains(""""spread":{"q2""""), line)
+    assert(line.contains(""""spread":{"q1""""), line)
+  }
+
   test("metric line carries spread for multi-run sweeps and stays compact") {
     val times = (1 to 95).map(i => s"q${i}_x" -> Seq(0.5, 0.6, 1.4))
     val line = Bench.metricLine("/sf", runs = 3, times, Map.empty)
