@@ -30,11 +30,25 @@ object Scraper {
       sleep: Double => Unit,
       maxAttemptsPerPage: Int = 100)
 
-  /** Reference endpoints (scrape.py:14-15). */
+  /** Reference endpoints (scrape.py:14-15); the blank-query instance.
+    * Both ingester options the registry's REST surface declares
+    * (SURVEY §2.1 S3) are named here: `query=` (paginated full
+    * download, magicString.txt:3) and `eudracts=` (by-EudraCT summary
+    * download, magicString.txt:6). */
   val SearchUrl = "https://www.clinicaltrialsregister.eu/ctr-search/search?query="
-  def pageUrl(n: Int): String =
+  def pageUrl(n: Int): String = pageUrl(n, "")
+  def pageUrl(n: Int, query: String): String =
     "https://www.clinicaltrialsregister.eu/ctr-search/rest/download/full" +
-      s"?query=&page=$n&mode=current_page"
+      s"?query=${enc(query)}&page=$n&mode=current_page"
+
+  /** By-EudraCT summary endpoint (magicString.txt:6): ONE summary
+    * document for a selected id set — no pagination, no banner. */
+  def summaryUrl(eudracts: Seq[String]): String =
+    "https://www.clinicaltrialsregister.eu/ctr-search/rest/download/summary" +
+      s"?mode=selected&eudracts=${eudracts.map(enc).mkString(",")}"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
 
   /** Default live adapter: `java.net.http` with the reference's
     * timeouts (2 s connect; 5 s for the response — scrape.py:33 uses a
@@ -95,6 +109,20 @@ object Scraper {
     }
     None
   }
+
+  /** By-EudraCT summary download mode (`eudracts=` — SURVEY §2.1 S3,
+    * magicString.txt:6): a single retried fetch of the summary
+    * endpoint, written behind the page-1 delimiter so
+    * [[graft.registry.Corpus]] re-splits it exactly like a crawl
+    * output. Returns pages written (1 or 0). Build a live config with
+    * `liveConfig(outDir, searchUrl = summaryUrl(ids))` — the summary
+    * document arrives through `fetchSearch`, the same injected slot
+    * ScraperSpec drives with fakes. */
+  def downloadSummary(cfg: Config): Int =
+    fetchWithRetry(cfg, cfg.fetchSearch) match {
+      case Some(body) => cfg.writePage(1, "### PAGE 1 ####\n" + body); 1
+      case None => 0
+    }
 
   /** Full crawl: returns number of pages written. */
   def crawl(cfg: Config): Int = {

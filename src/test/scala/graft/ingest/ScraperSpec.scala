@@ -45,6 +45,34 @@ class ScraperSpec extends AnyFunSuite {
     assert(pages.head._2 == "### PAGE 1 ####\ncontent1")
   }
 
+  test("by-EudraCT summary mode: one retried fetch, page-1 framing (magicString.txt:6, S3 eudracts=)") {
+    assert(summaryUrl(Seq("2012-004988-42", "2010-000011-11")) ==
+      "https://www.clinicaltrialsregister.eu/ctr-search/rest/download/summary" +
+        "?mode=selected&eudracts=2012-004988-42,2010-000011-11")
+    val pages = ArrayBuffer[(Int, String)]()
+    val sleeps = ArrayBuffer[Double]()
+    var calls = 0
+    val cfg = Config(
+      fetchSearch = () => { calls += 1
+        if (calls <= 2) HttpError(503) else Ok("summary body") },
+      fetchPage = _ => fail("summary mode must never paginate"),
+      writePage = (n, s) => pages += (n -> s),
+      sleep = sleeps += _)
+    assert(downloadSummary(cfg) == 1)
+    assert(pages.toSeq == Seq(1 -> "### PAGE 1 ####\nsummary body"))
+    assert(sleeps.toSeq == Seq(1.0, 2.0), "summary fetch must share the backoff policy")
+    // exhaustion reports zero pages, never throws (no banner to parse)
+    val dead = cfg.copy(fetchSearch = () => ConnError("down"),
+      sleep = _ => (), maxAttemptsPerPage = 3)
+    assert(downloadSummary(dead) == 0)
+  }
+
+  test("parameterized page url encodes the search query (magicString.txt:3, S3 query=)") {
+    assert(pageUrl(2, "folfirinox").contains("query=folfirinox&page=2"))
+    assert(pageUrl(1, "a b+c").contains("query=a+b%2Bc&page=1"))
+    assert(pageUrl(3) == pageUrl(3, ""), "blank-query instance unchanged")
+  }
+
   test("undeterminable page count aborts (scrape.py:60-61)") {
     val cfg = Config(() => Ok("no banner"), _ => Ok(""), (_, _) => (), _ => ())
     assertThrows[RuntimeException](crawl(cfg))
