@@ -1455,6 +1455,34 @@ object LlmText {
         .filter(col("inter") * 2 >= col("uni"))
         .select("delta_id", "index_id", "inter", "uni")
         .orderBy("delta_id", "index_id")
+    },
+
+    // ---- train/eval SPLIT-LEAKAGE audit (decontamination against the
+    // pipeline's OWN holdout): assign each doc its deterministic split
+    // (eval = doc_id % 10 = 0 — an id-stable holdout, the same modular
+    // convention as q89's delta batch), then report every verified
+    // near-dup pair (q41 semantics, Jaccard ≥ 1/2) that CROSSES the
+    // split, plus which side is the held-out doc — the pairs that leak
+    // training content into evaluation. q62/q81 screen against an
+    // EXTERNAL benchmark; this is the audit a pipeline runs before
+    // trusting its own eval loss. Spark side is a pure filter over the
+    // memoized [[lshPairs]] frame: the band join, its hot-bucket
+    // collapse and its no-cartesian PlanSpec pin are q41's, and the
+    // leak audit adds ZERO new shuffles at any scale. Oracle = exact
+    // brute-force Jaccard under the same cross-split predicate (q41's
+    // recall-is-exact argument, verified at both gate scales).
+    Q("q100_split_leakage",
+      s"""WITH pairs AS (
+         |${jaccardPairsCore("")})
+         |SELECT doc_a, doc_b, inter, uni,
+         |       CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS eval_doc
+         |FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      lshPairs(s, dir)
+        .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+        .withColumn("eval_doc",
+          when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b")))
+        .orderBy("doc_a", "doc_b")
     }
   )
 

@@ -269,6 +269,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"shard export joins:\n$p")
   }
 
+  test("q100 split leakage: shares q41's LSH plan — no cartesian/nested-loop, filter only") {
+    val p = plan("q100_split_leakage")
+    assert(!p.contains("CartesianProduct"), "leak audit degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "leak audit degenerated to nested loop")
+    llm.LlmText.release(spark)
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan
