@@ -378,7 +378,7 @@ object LlmText {
     * margin on both sides. */
   private val CollapseBelow = 0.5
 
-  private[llm] def lshPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), _ => {
       val docs = docShingles(s, dir)
       // ADAPTIVE strategy pick (the AQE spirit: plan from data stats):
