@@ -1044,10 +1044,15 @@ object LlmText {
     // ---- deterministic stratified sampling: fixed-n per stratum via
     // a Lehmer-hash rank (reproducible across runs AND engines —
     // unlike rand()-seeded sampling), plus the rate-based map-only
-    // variant as a flag column. The window sorts only within strata on
-    // the hash key; at 100 TB the rate-based `in_10pct` filter is the
-    // zero-shuffle path and the fixed-n rank runs on the ~rate-sized
-    // survivor set, not the corpus.
+    // variant as a flag column. The per-stratum window never sees the
+    // corpus: [[stratifiedTopK]] first prunes map-side to each input
+    // partition's k smallest (hk, doc_id) per lang — the global top-k
+    // is a subset of that union, so the shuffle and the rank window
+    // carry ≤ k·partitions rows per lang at ANY corpus size (the q67
+    // candidates-then-exact pattern; a plain per-lang window would
+    // sort a corpus share through one task, strata being
+    // bounded-cardinality). StratifiedPruneSpec pins equality with
+    // the plain-window formulation; the oracle is that formulation.
     Q("q68_sample_stratified",
       s"""WITH h AS (SELECT doc_id, lang, ${lehmer3Sql("doc_id")} AS hk FROM documents),
          |r AS (SELECT doc_id, lang, hk, (hk % 100 < 10) AS in_10pct,
@@ -1056,13 +1061,10 @@ object LlmText {
          |SELECT lang, rk, doc_id, hk, in_10pct FROM r WHERE rk <= 5
          |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
       val hk = lehmer3(col("doc_id"))
-      T.df(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), hk.as("hk"))
-        .withColumn("in_10pct", col("hk") % 100 < 10)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
-        .filter(col("rk") <= 5)
-        .select("lang", "rk", "doc_id", "hk", "in_10pct")
+      stratifiedTopK(
+        T.df(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), hk.as("hk"))
+          .withColumn("in_10pct", col("hk") % 100 < 10), 5)
         .orderBy("lang", "rk")
     },
 
@@ -1508,6 +1510,42 @@ object LlmText {
       .agg(count(lit(1)).as("n_bigrams"),
         T.dbl(T.dec(sum(col("t")) / count(lit(1)))).as("avg_nll"))
       .orderBy("doc_id")
+  }
+
+  /** q68's exact fixed-n-per-stratum pick, scale-shaped: the global
+    * per-`lang` top-k by (hk, doc_id) is a subset of the union of each
+    * input partition's per-lang top-k, so a map-side bounded-heap
+    * prune (zero shuffle, the [[MisraGries]] discipline) cuts the
+    * frame to ≤ k·partitions rows per lang BEFORE the rank window —
+    * which then sorts candidate sets, not corpus shares, regardless of
+    * how few strata exist. Input: (doc_id, lang, hk, in_10pct);
+    * output: (lang, rk, doc_id, hk, in_10pct), rk ≤ k — row-identical
+    * to the plain per-lang window (StratifiedPruneSpec, fixture +
+    * adversarial frames). */
+  private[graft] def stratifiedTopK(base: DataFrame, k: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val cands = base.select("doc_id", "lang", "hk", "in_10pct")
+      .as[(Long, String, Long, Boolean)]
+      .mapPartitions { it =>
+        val best = scala.collection.mutable.Map[
+          String, scala.collection.mutable.TreeSet[(Long, Long, Boolean)]]()
+        it.foreach { case (id, lang, h, in10) =>
+          val set = best.getOrElseUpdate(lang,
+            scala.collection.mutable.TreeSet.empty(
+              Ordering.by((t: (Long, Long, Boolean)) => (t._1, t._2))))
+          set += ((h, id, in10))
+          if (set.size > k) set -= set.last
+        }
+        best.iterator.flatMap { case (lang, set) =>
+          set.iterator.map(t => (t._2, lang, t._1, t._3)) }
+      }
+      .toDF("doc_id", "lang", "hk", "in_10pct")
+    cands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id", "hk", "in_10pct")
   }
 
   /** q99's deterministic shard key: the seeded hash permutation `hv`
