@@ -1512,41 +1512,23 @@ object LlmText {
       .orderBy("doc_id")
   }
 
-  /** q68's exact fixed-n-per-stratum pick, scale-shaped: the global
-    * per-`lang` top-k by (hk, doc_id) is a subset of the union of each
-    * input partition's per-lang top-k, so a map-side bounded-heap
-    * prune (zero shuffle, the [[MisraGries]] discipline) cuts the
-    * frame to ≤ k·partitions rows per lang BEFORE the rank window —
-    * which then sorts candidate sets, not corpus shares, regardless of
-    * how few strata exist. Input: (doc_id, lang, hk, in_10pct);
-    * output: (lang, rk, doc_id, hk, in_10pct), rk ≤ k — row-identical
-    * to the plain per-lang window (StratifiedPruneSpec, fixture +
-    * adversarial frames). */
-  private[graft] def stratifiedTopK(base: DataFrame, k: Int): DataFrame = {
-    val s = base.sparkSession
-    import s.implicits._
-    val cands = base.select("doc_id", "lang", "hk", "in_10pct")
-      .as[(Long, String, Long, Boolean)]
-      .mapPartitions { it =>
-        val best = scala.collection.mutable.Map[
-          String, scala.collection.mutable.TreeSet[(Long, Long, Boolean)]]()
-        it.foreach { case (id, lang, h, in10) =>
-          val set = best.getOrElseUpdate(lang,
-            scala.collection.mutable.TreeSet.empty(
-              Ordering.by((t: (Long, Long, Boolean)) => (t._1, t._2))))
-          set += ((h, id, in10))
-          if (set.size > k) set -= set.last
-        }
-        best.iterator.flatMap { case (lang, set) =>
-          set.iterator.map(t => (t._2, lang, t._1, t._3)) }
-      }
-      .toDF("doc_id", "lang", "hk", "in_10pct")
-    cands
+  /** q68's exact fixed-n-per-stratum pick, scale-shaped: the rank
+    * window runs on [[graft.ops.KeyedTopK.prune]]'s map-side candidate
+    * set (≤ k·partitions rows per lang, zero shuffle to build — the
+    * [[MisraGries]] candidates-then-exact discipline generalized), so
+    * it sorts candidate sets, not corpus shares, regardless of how few
+    * strata exist. Input: (doc_id, lang, hk, in_10pct); output:
+    * (lang, rk, doc_id, hk, in_10pct), rk ≤ k — row-identical to the
+    * plain per-lang window (StratifiedPruneSpec, fixture + adversarial
+    * frames). */
+  private[graft] def stratifiedTopK(base: DataFrame, k: Int): DataFrame =
+    graft.ops.KeyedTopK.prune(
+      base.select("doc_id", "lang", "hk", "in_10pct"),
+      Seq("lang"), Seq("hk" -> true, "doc_id" -> true), k)
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
       .filter(col("rk") <= k)
       .select("lang", "rk", "doc_id", "hk", "in_10pct")
-  }
 
   /** q99's deterministic shard key: the seeded hash permutation `hv`
     * and `shard = hv % nShards`, added as columns — shared by the
