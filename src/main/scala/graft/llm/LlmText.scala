@@ -1485,6 +1485,79 @@ object LlmText {
         .withColumn("eval_doc",
           when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b")))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- BM25 top-k retrieval (Robertson–Spärck Jones): rank docs
+    // against a small query set — the scoring backbone of RAG corpus
+    // search and of retrieval-based decontamination. Scoring is the
+    // real BM25 shape (k1 = 2, b = 3/4: per-term saturation + doc-
+    // length normalization) with q58's linear idf (N − df) and ALL
+    // arithmetic integer: multiplying the saturation fraction through
+    // by 4·Σdl makes numerator and denominator exact int64s, and the
+    // per-term score is fixed to milli-units via integer div — both
+    // engines floor identically on positives, so per-doc sums are
+    // order-free exact ints, no float ranking keys to diverge (the
+    // ln-idf/float variant is a one-line swap a real deployment makes,
+    // trading hash-exactness it doesn't need). Plan at 100 TB: the
+    // query table and per-term df are broadcast (≤ |query vocab|
+    // rows); the corpus pass tokenizes map-only, filters to query
+    // terms BEFORE the tf shuffle (matched tokens only — the corpus
+    // never shuffles whole); dl rides the same projection, no second
+    // corpus scan or join; N/Σdl are one 2-cell scalar aggregate; and
+    // the per-query rank window runs on [[graft.ops.KeyedTopK]]'s
+    // map-side-pruned candidates (≤ k·partitions rows per query), so
+    // few queries never serialize a corpus-share sort through one
+    // task. PlanSpec pins the broadcasts + the prune-before-window
+    // shape.
+    Q("q101_bm25_topk",
+      """WITH q(q_id, term) AS (VALUES (0,'join'),(0,'hash'),(1,'vector'),
+        |                             (1,'scan'),(1,'filter'),(2,'merge'),(2,'slow')),
+        |tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |       FROM documents),
+        |d AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tl),
+        |n AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM d),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM tl),
+        |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok
+        |       WHERE w IN (SELECT term FROM q) GROUP BY 1, 2),
+        |df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.q_id, tf.doc_id,
+        |              (12000 * tf.tf * ((SELECT n FROM n) - df.df) * (SELECT sumdl FROM n))
+        |              // (4 * (SELECT sumdl FROM n) * tf.tf
+        |                  + 2 * ((SELECT sumdl FROM n) + 3 * d.dl * (SELECT n FROM n))) AS s
+        |       FROM tf JOIN df USING (w) JOIN d USING (doc_id) JOIN q ON q.term = tf.w),
+        |agg AS (SELECT q_id, doc_id, sum(s)::BIGINT AS score_milli FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                ORDER BY score_milli DESC, doc_id) AS rk FROM agg)
+        |SELECT q_id::BIGINT AS q_id, rk, doc_id, score_milli
+        |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val terms = Seq(0L -> "join", 0L -> "hash", 1L -> "vector",
+        1L -> "scan", 1L -> "filter", 2L -> "merge", 2L -> "slow")
+      val qtab = terms.toDF("q_id", "term")
+      val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+      val scalars = base.agg(count(lit(1)).cast("long").as("n"),
+        sum(size(col("t")).cast("long")).as("sumdl")).first()
+      val (nDocs, sumdl) = (scalars.getLong(0), scalars.getLong(1))
+      val tf = base
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          explode(col("t")).as("w"))
+        .filter(col("w").isin(terms.map(_._2).distinct: _*))
+        .groupBy("doc_id", "w", "dl").agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfTab), "w")
+        .join(broadcast(qtab), col("term") === col("w"))
+        .withColumn("s", expr(
+          s"(12000 * tf * (CAST($nDocs AS BIGINT) - df) * CAST($sumdl AS BIGINT))" +
+            s" div (4 * CAST($sumdl AS BIGINT) * tf" +
+            s" + 2 * (CAST($sumdl AS BIGINT) + 3 * dl * CAST($nDocs AS BIGINT)))"))
+        .groupBy("q_id", "doc_id").agg(sum("s").as("score_milli"))
+      graft.ops.KeyedTopK.prune(scored, Seq("q_id"),
+          Seq("score_milli" -> false, "doc_id" -> true), 10)
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score_milli").desc, col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "rk", "doc_id", "score_milli")
+        .orderBy("q_id", "rk")
     }
   )
 

@@ -276,6 +276,23 @@ class PlanSpec extends SparkSpec {
     llm.LlmText.release(spark)
   }
 
+  test("q101 BM25: term stats broadcast; rank window fed by the map-side prune") {
+    val p = plan("q101_bm25_topk")
+    // the query table and per-term df are broadcast (tiny sides); the
+    // corpus side must never reach a shuffle join or all-pairs
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"df/query-table joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // per-query rank sorts KeyedTopK candidates, not corpus shares:
+    // the Window node must sit downstream of (printed above) the
+    // prune's MapPartitions in the root-first plan print
+    val win = p.indexOf("Window")
+    val prune = p.indexOf("MapPartitions")
+    assert(win >= 0 && prune >= 0 && win < prune,
+      s"rank window is not fed by the KeyedTopK prune:\n$p")
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan
