@@ -8,25 +8,34 @@ import graft.core.{Q, T}
   * typed metadata, plus decode/feature plumbing.
   *
   * Design for real media at 100 TB:
-  *  - storage: parquet with a `binary` payload column + a metadata
-  *    struct (mime, width/height/duration, codec) — payloads never
+  *  - storage: parquet with a `binary` payload column + metadata
+  *    columns (mime, dims/duration, byte length) — payloads never
   *    leave the executor; all pruning happens on metadata columns so
-  *    a metadata-only query reads none of the bytes (column pruning).
+  *    a metadata-only query reads none of the bytes. That property is
+  *    not a comment: q102 runs against a staged payload+metadata
+  *    table and PlanSpec pins that its scan's ReadSchema excludes the
+  *    payload column (parquet column pruning — the scan cost of a
+  *    metadata query is independent of media size).
   *  - decode/feature-extract: batched per-partition UDFs
-  *    ([[MediaBatch.mapDecoded]]) so a codec context is initialized
-  *    once per partition, not per row — the Scala analogue of a
-  *    PySpark `mapInPandas` batch UDF.
+  *    ([[MediaBatch.mapDecoded]], [[MediaBatch.features]]) so a codec
+  *    context is initialized once per partition, not per row — the
+  *    Scala analogue of a PySpark `mapInPandas` batch UDF. q103
+  *    oracle-gates the feature path end-to-end (byte-exact stats both
+  *    engines).
   *  - the actual codec call is STUBBED here (no image/audio libraries
   *    in this environment): [[MediaStub.decode]] is a deterministic
   *    fake (byte-slice "frames"); the Spark-side plumbing — schema,
   *    batch shape, partitioning, frame explosion — is real and is
-  *    what q49 oracle-checks.
+  *    what q49/q103 oracle-check.
   */
 object Multimodal {
 
   /** Typed media record: payload + metadata travel together. */
   final case class Media(doc_id: Long, bytes: Array[Byte], mime: String, byteLen: Long)
   final case class Frame(doc_id: Long, frameIdx: Int, fragHex: String)
+  /** Per-media scalar features over the payload's first `n_used`
+    * bytes — the stand-in for a real embedding/EXIF/histogram pass. */
+  final case class MediaFeat(doc_id: Long, n_used: Int, byte_sum: Long, byte_max: Int)
 
   object MediaStub {
     /** STUB — stands in for a real image/audio decoder. Deterministic:
@@ -50,6 +59,61 @@ object Multimodal {
         it.flatMap(m => MediaStub.decode(m, frames))
       }
     }
+
+    /** Partition-batched feature extraction over the first `nBytes`
+      * payload bytes (unsigned sum + max — a real deployment swaps in
+      * the decoder + feature net here; the batch shape, schema and
+      * zero-shuffle plan are what carry over). */
+    def features(ds: Dataset[Media], nBytes: Int): Dataset[MediaFeat] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        // feature-extractor init would happen here, once per partition
+        it.map { m =>
+          val n = math.min(nBytes, m.bytes.length)
+          var s = 0L; var mx = 0; var i = 0
+          while (i < n) {
+            val b = m.bytes(i) & 0xFF
+            s += b; if (b > mx) mx = b; i += 1
+          }
+          MediaFeat(m.doc_id, n, s, mx)
+        }
+      }
+    }
+  }
+
+  /** Media table staged once per fixture (q90's staging discipline:
+    * snapshot key = source size+mtime, write-to-temp + atomic rename):
+    * payload bytes + typed metadata columns, all derived
+    * deterministically from `documents` so every oracle expresses the
+    * same values over the base table. */
+  private[llm] def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "documents.parquet")
+    val stamp = Files.size(src) + "_" + Files.getLastModifiedTime(src).toMillis
+    val base = Paths.get(s"/tmp/graft/media_$stamp")
+    if (!Files.exists(base)) {
+      val stage = base.resolveSibling(
+        base.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
+      T.df(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+            (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+          (col("n_chars") * 40).cast("long").as("dur_ms"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .write.mode("overwrite").parquet(stage.toString)
+      def rmTree(p: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent run staged `base` first: its copy is identical
+        case _: java.nio.file.FileAlreadyExistsException => rmTree(stage)
+        case _: java.nio.file.DirectoryNotEmptyException => rmTree(stage)
+      }
+    }
+    s.read.parquet(base.toString)
   }
 
   val qs: Seq[Q] = Seq(
@@ -74,6 +138,64 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"), col("byte_len"),
           col("h").substr(col("frame_idx") * 14 + 3, lit(16)).as("frag_hex"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- metadata-only media query: per-mime inventory over the
+    // staged payload+metadata table. The payload column is never
+    // touched, and parquet column pruning makes that PHYSICAL: the
+    // scan's ReadSchema carries only the three metadata columns
+    // (PlanSpec pins payload's absence), so this query costs the same
+    // whether payloads are 100-byte stubs or 10 MB videos — the
+    // property that makes metadata-first curation viable at 100 TB.
+    // The oracle recomputes the staged table's deterministic metadata
+    // derivation directly over `documents`.
+    Q("q102_media_meta_prune",
+      """WITH m AS (SELECT doc_id,
+        |        CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |             ELSE 'video/mp4' END AS mime,
+        |        (n_chars * 40)::BIGINT AS dur_ms,
+        |        octet_length(text::BLOB)::BIGINT AS byte_len
+        |      FROM documents)
+        |SELECT mime, count(*)::BIGINT AS n_media, sum(byte_len)::BIGINT AS total_bytes,
+        |       max(dur_ms) AS max_dur_ms
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin) { (s, dir) =>
+      mediaTable(s, dir)
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_media"), sum("byte_len").as("total_bytes"),
+          max("dur_ms").as("max_dur_ms"))
+        .orderBy("mime")
+    },
+
+    // ---- batched feature extraction over payload bytes: the typed
+    // Dataset[Media] flows through [[MediaBatch.features]] — the
+    // init-once-per-partition batch shape a real decoder/feature-net
+    // needs — computing unsigned byte stats over the first 16 payload
+    // bytes. Map-only end to end (scan → features; the only exchange
+    // is the final presentation sort). The oracle parses the same
+    // bytes positionally from hex on the DuckDB side, so the feature
+    // values are byte-exact across engines — the decode STUB is
+    // swappable, the verified plumbing is not.
+    Q("q103_media_byte_stats",
+      """WITH m AS (SELECT doc_id, text::BLOB AS p FROM documents),
+        |b AS (SELECT doc_id, octet_length(p)::BIGINT AS len, hex(p) AS h FROM m),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, least(len, 16)::INT)) AS i, h
+        |        FROM b),
+        |by AS (SELECT doc_id,
+        |         (strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1) AS bv
+        |       FROM pos)
+        |SELECT doc_id, count(*)::INT AS n_used, sum(bv)::BIGINT AS byte_sum,
+        |       max(bv)::INT AS byte_max
+        |FROM by GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = mediaTable(s, dir)
+        .select(col("doc_id"), col("payload").as("bytes"), col("mime"),
+          col("byte_len").as("byteLen"))
+        .as[Media]
+      MediaBatch.features(media, 16)
+        .filter(col("n_used") >= 1)
+        .select("doc_id", "n_used", "byte_sum", "byte_max")
+        .orderBy("doc_id")
     }
   )
 }

@@ -293,6 +293,25 @@ class PlanSpec extends SparkSpec {
       s"rank window is not fed by the KeyedTopK prune:\n$p")
   }
 
+  test("q102 media metadata: scan never reads the payload column") {
+    // the multimodal storage contract: metadata queries cost the same
+    // whether payloads are stubs or 10 MB videos — parquet column
+    // pruning must drop `payload` from the staged table's ReadSchema
+    val p = plan("q102_media_meta_prune")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.nonEmpty, s"no parquet ReadSchema in plan:\n$p")
+    assert(!read.contains("payload"), s"payload bytes read by a metadata query: $read")
+    assert(read.contains("mime") && read.contains("byte_len"),
+      s"metadata columns missing from scan: $read")
+  }
+
+  test("q103 media features: map-only scan→features — only the final sort exchanges") {
+    val p = plan("q103_media_byte_stats")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"feature extraction re-shuffled the media table:\n$p")
+    assert(p.contains("MapPartitions"), s"batched feature path missing:\n$p")
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan

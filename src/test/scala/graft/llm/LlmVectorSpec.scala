@@ -102,6 +102,21 @@ class LlmVectorSpec extends SparkSpec {
     // frame 0 = bytes [1,9) of "hello world..." = "ello wor"
     assert(frames(0).fragHex == "ello wor".getBytes("UTF-8").map("%02X".format(_)).mkString)
   }
+
+  test("multimodal batched features: short payloads clamp n_used; byte stats unsigned") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(1L, Array[Byte](0x7F, -1, 0x00), "image/png", 3L),
+      Multimodal.Media(2L, "0123456789abcdefXYZ".getBytes("UTF-8"), "audio/wav", 19L))
+      .toDS()
+    val f = Multimodal.MediaBatch.features(media, 16).collect()
+      .map(x => x.doc_id -> x).toMap
+    // doc 1: 3 bytes < 16 — n_used clamps; 0xFF reads unsigned 255
+    assert(f(1L) == Multimodal.MediaFeat(1L, 3, 0x7F + 255 + 0, 255))
+    // doc 2: 19 bytes — exactly the first 16 ('0'..'9','a'..'f') count
+    assert(f(2L) == Multimodal.MediaFeat(2L, 16,
+      "0123456789abcdef".getBytes("UTF-8").map(_ & 0xFF).map(_.toLong).sum, 'f'.toInt))
+  }
   test("q73 k-means training really converges: strict objective gain, full assignment") {
     val iters = LlmVector.trainKmeans(spark, dir)
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
