@@ -39,7 +39,7 @@ object Caches {
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
-      "q83_dedup_semantic"),
+      "q83_dedup_semantic", "q105_pq_adc"),
       llm.LlmVector.release))
 
   /** query-name → release actions to fire AFTER that query, for a

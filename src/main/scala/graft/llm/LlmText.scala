@@ -1049,10 +1049,12 @@ object LlmText {
     // partition's k smallest (hk, doc_id) per lang — the global top-k
     // is a subset of that union, so the shuffle and the rank window
     // carry ≤ k·partitions rows per lang at ANY corpus size (the q67
-    // candidates-then-exact pattern; a plain per-lang window would
-    // sort a corpus share through one task, strata being
-    // bounded-cardinality). StratifiedPruneSpec pins equality with
-    // the plain-window formulation; the oracle is that formulation.
+    // candidates-then-exact pattern; Spark's own InferWindowGroupLimit
+    // reaches the same bound for this rank-filter shape but only after
+    // fully sorting each map-side partition — the heap prune selects
+    // in O(n·log k) without the sort; see [[graft.ops.KeyedTopK]]).
+    // StratifiedPruneSpec pins equality with the plain-window
+    // formulation; the oracle is that formulation.
     Q("q68_sample_stratified",
       s"""WITH h AS (SELECT doc_id, lang, ${lehmer3Sql("doc_id")} AS hk FROM documents),
          |r AS (SELECT doc_id, lang, hk, (hk % 100 < 10) AS in_10pct,

@@ -146,6 +146,41 @@ object Extras {
         .orderBy("o_orderpriority")
     },
 
+    // ---- approximate quantiles (the sketch that REPLACES q56's exact
+    // percentiles at scale: exact quantiles need a per-group sort of
+    // the whole column; the GK/KLL-class sketch is mergeable, so it
+    // pre-combines map-side and shuffles O(sketch) per group, never
+    // the data). The sketch VALUE is engine-specific, so — q60's
+    // discipline — the query grades the sketch in-plan against its
+    // own rank guarantee: percentile_approx(accuracy=1000) promises
+    // rank error ≤ N/1000; the verification pass counts each approx
+    // quantile's true rank and asserts it within a 10×-slack ±0.01·N
+    // band, and the oracle hard-codes TRUE. Any drift past the
+    // guarantee flips the boolean and the hash compare goes red. The
+    // rank-count pass is itself one aggregate over a broadcast of the
+    // 5-row sketch table — the cost of GRADING, not of the sketch;
+    // production runs the first aggregate alone.
+    Q("q104_quantile_sketch",
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |       true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = T.events(s, dir).select(col("event_type"), col("value"))
+      val sk = e.groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9)), lit(1000)).as("ap"))
+      e.join(broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("ap")(0), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("ap")(0), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("ap")(1), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("value") <= col("ap")(1), 1L).otherwise(0L)).as("le90"))
+        .select(col("event_type"), col("n"),
+          (col("lt50") <= col("n") * 0.51 && col("le50") >= col("n") * 0.49).as("p50_ok"),
+          (col("lt90") <= col("n") * 0.91 && col("le90") >= col("n") * 0.89).as("p90_ok"))
+        .orderBy("event_type")
+    },
+
     // ---- A10 family: exact interpolated percentiles (Spark percentile
     // ≡ DuckDB quantile_cont); results land on fixture's integer-ish
     // quantities, decimal-cast for cross-engine hashing.

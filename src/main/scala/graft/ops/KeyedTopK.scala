@@ -17,9 +17,20 @@ import org.apache.spark.sql.types._
   * k best rows per key leaves every candidate the downstream rank
   * window could emit, and the window then sorts candidate sets of
   * ≤ k·partitions rows per key — never a corpus share — no matter how
-  * few distinct keys exist. (A plain `Window.partitionBy(key)` with
-  * bounded-cardinality keys sorts a corpus share through one task;
-  * that is the scale-killer this prune removes.)
+  * few distinct keys exist.
+  *
+  * Honest relation to what Spark already does: for the exact pattern
+  * `filter(row_number ≤ k)` directly over a window, Spark 4's
+  * `InferWindowGroupLimit` plans the same map-side prune natively
+  * (a Partial WindowGroupLimit before the exchange), so the plain
+  * window is NOT a one-task corpus-share sort there. What this
+  * operator adds over the native rule: the map side selects with a
+  * bounded heap — O(n·log k) comparisons and k·|keys-in-partition|
+  * memory, versus the native Partial limit which first FULLY SORTS
+  * each input partition (O(n·log n), spillable) — and the prune
+  * composes with consumers that are not a literal rank filter (a
+  * shortlist feeding a re-rank join, an aggregation over the
+  * candidates) where the native rule does not fire.
   *
   * Contract:
   *  - `ord` must be a TOTAL order within each key group (include a

@@ -312,6 +312,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"batched feature path missing:\n$p")
   }
 
+  test("q105 PQ: encode+score map-only; shortlist and grading joins all broadcast") {
+    val p = plan("q105_pq_adc")
+    // the corpus pass: scan → encode/ADC MapPartitions → KeyedTopK
+    // MapPartitions with NO exchange in between (the pass that scans
+    // 100 TB touches only codes, map-only)
+    assert("MapPartitions".r.findAllIn(p).size >= 2, s"batched encode path missing:\n$p")
+    val prune = p.indexOf("MapPartitions")
+    val scan = p.indexOf("FileScan", prune)
+    assert(prune >= 0 && scan > prune &&
+      !p.substring(prune, scan).contains("Exchange"),
+      s"exchange crept between the corpus scan and the encode/prune pass:\n$p")
+    // shortlist + grading sides are bounded — every join broadcasts
+    assert(!p.contains("SortMergeJoin"), s"shuffle join on a bounded side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"shortlist/grading joins not broadcast:\n$p")
+    llm.LlmVector.release(spark)
+  }
+
   test("registry merge: exactly one exchange keyed by eudract_id for the trial fold") {
     // TrialMerge.merge directly: Registry.load memoizes + persists, which
     // would show an InMemoryTableScan instead of the raw plan

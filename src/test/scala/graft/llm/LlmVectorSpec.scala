@@ -91,6 +91,31 @@ class LlmVectorSpec extends SparkSpec {
       spark.read.parquet(s"$dir/embeddings.parquet").count())
   }
 
+  test("PQ ADC: deterministic codebooks, recall@10 >= PqRecallBound vs brute force") {
+    val brute = LlmVector.qs.find(_.name == "q43_ann_cosine_topk").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // codebooks deterministic across cache drops
+    val b1 = LlmVector.pqCodebooks(spark, dir).map(_.map(_.toSeq).toSeq).toSeq
+    LlmVector.release(spark)
+    val b2 = LlmVector.pqCodebooks(spark, dir).map(_.map(_.toSeq).toSeq).toSeq
+    assert(b1 == b2, "PQ codebook fit is not deterministic")
+    val pq = LlmVector.pqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(pq.keys.toSet == brute.keys.toSet)
+    val recalls = pq.map { case (q, neighbors) =>
+      assert(neighbors.size == 10, s"query $q returned ${neighbors.size} neighbors")
+      val recall = (neighbors & brute(q)).size / 10.0
+      assert(recall >= LlmVector.PqRecallBound,
+        s"query $q PQ recall $recall below ${LlmVector.PqRecallBound}")
+      recall
+    }
+    info(s"PQ ADC per-query recalls: ${recalls.toSeq.sorted.mkString(", ")}")
+    // the graded query agrees: recall_ok true for every query
+    val graded = LlmVector.qs.find(_.name == "q105_pq_adc").get.run(spark, dir).collect()
+    assert(graded.length == 5 && graded.forall(_.getBoolean(2)))
+  }
+
   test("multimodal batched decode plumbing: stub frames match the column-arithmetic path") {
     import spark.implicits._
     val media = Seq(
