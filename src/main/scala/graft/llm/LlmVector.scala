@@ -198,7 +198,9 @@ object LlmVector {
     * Pass 1 (map-only): encode each vector to its [[PqM]] codes and
     * score it against every query's precomputed LUT of subspace
     * distances (scoring = [[PqM]] array lookups, no float dot
-    * products — the pass that scans 100 TB touches only codes).
+    * products — the pass that scans 100 TB touches only codes). Both
+    * steps are the [[graft.plans.PqKernels]] native Expressions, so
+    * the whole pass stays inside the scan's generated stage;
     * [[graft.ops.KeyedTopK]] bounds the per-query shortlist window.
     * Pass 2 (re-rank): ONLY the ≤ [[PqShortlist]]·queries shortlisted
     * vectors are fetched (broadcast join on the tiny shortlist) and
@@ -225,19 +227,13 @@ object LlmVector {
       }
     }
     val scored = T.df(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, emb) =>
-          val v = unitVec(emb.map(_.toDouble).toArray)
-          val codes = Array.tabulate(PqM)(m =>
-            nearestL2(books(m), v.slice(m * sub, (m + 1) * sub)))
-          qids.indices.iterator.collect { case qi if qids(qi) != id =>
-            var d = 0d; var m = 0
-            while (m < PqM) { d += lut(qi)(m)(codes(m)); m += 1 }
-            (qids(qi), id, d)
-          }
-        }
-      }.toDF("query_id", "neighbor_id", "adist")
+      .select(col("vec_id").as("neighbor_id"),
+        graft.plans.PqKernels.encode(col("embedding"), books).as("codes"))
+      .select(col("neighbor_id"), explode(array(qids.indices.map(qi =>
+        struct(lit(qids(qi)).as("query_id"),
+          graft.plans.PqKernels.adc(col("codes"), lut(qi)).as("adist"))): _*)).as("qa"))
+      .select(col("qa.query_id"), col("neighbor_id"), col("qa.adist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
     val shortlist = graft.ops.KeyedTopK.prune(scored, Seq("query_id"),
         Seq("adist" -> true, "neighbor_id" -> true), PqShortlist)
       .withColumn("srank", row_number().over(Window.partitionBy("query_id")

@@ -314,10 +314,12 @@ class PlanSpec extends SparkSpec {
 
   test("q105 PQ: encode+score map-only; shortlist and grading joins all broadcast") {
     val p = plan("q105_pq_adc")
-    // the corpus pass: scan → encode/ADC MapPartitions → KeyedTopK
-    // MapPartitions with NO exchange in between (the pass that scans
-    // 100 TB touches only codes, map-only)
-    assert("MapPartitions".r.findAllIn(p).size >= 2, s"batched encode path missing:\n$p")
+    // the corpus pass: scan → pq_encode/adc_score native kernels →
+    // KeyedTopK MapPartitions with NO exchange in between (the pass
+    // that scans 100 TB touches only codes, and the kernels stay in
+    // the scan's generated stage)
+    assert(p.contains("pq_encode") && p.contains("adc_score"),
+      s"native PQ kernels missing from the corpus pass:\n$p")
     val prune = p.indexOf("MapPartitions")
     val scan = p.indexOf("FileScan", prune)
     assert(prune >= 0 && scan > prune &&
