@@ -177,6 +177,52 @@ object Streams {
           unix_micros(col("p_ts")).as("purchase_ts_us"))
         .orderBy("click_id", "purchase_id")
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    },
+
+    // ---- streaming heavy hitters (hot-key detection): the event
+    // stream folds into [[StreamTopK]]'s bucketed Misra–Gries state —
+    // a few thousand state rows FOREVER, regardless of stream length
+    // or key cardinality (a streaming groupBy(user).count() would keep
+    // one row per distinct key). The sketch only nominates CANDIDATES;
+    // the exact top-20 comes from recounting the candidates against
+    // the batch table (q67's candidates-then-exact discipline, with
+    // the sketch now living across micro-batches as GroupState). The
+    // update-mode sink emits each bucket's survivors every batch; the
+    // final set is each bucket's LAST emission (max update-seq).
+    // Oracle = plain exact top-20 — any sketch-completeness regression
+    // flips the hash compare.
+    Q("q106_stream_topk",
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT rk, user_id, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_topk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = eventStream(s, dir)
+        .select(col("user_id")).as[Long]
+        .groupByKey(_ % StreamTopK.NBuckets)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(StreamTopK.update)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cands = s.table(name)
+        .withColumn("r", row_number().over(
+          Window.partitionBy("bucket").orderBy(col("seq").desc)))
+        .filter(col("r") === 1)
+        .select(explode(col("cands")).as("user_id"))
+      T.events(s, dir)
+        .join(broadcast(cands), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("user_id"))))
+        .select(col("rk"), col("user_id"), col("n"))
+        .orderBy("rk")
     }
   )
 }
