@@ -54,6 +54,41 @@ object Sinks {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** Small-file compaction — the maintenance pass every streaming /
+    * incremental intake needs: micro-batches and per-task writers
+    * leave thousands of KB-scale files, and scan cost degrades with
+    * file COUNT (driver listing + footer reads + one task per tiny
+    * split), not just bytes. Rewrites a parquet directory into
+    * ceil(bytes / targetFileBytes) files via a round-robin
+    * repartition (even output sizes, no skew from the input layout),
+    * staged to a sibling temp dir and atomically renamed into place —
+    * readers see the old layout or the new one, never a mix, and an
+    * interrupted run leaves only an orphaned .stage dir (the q90
+    * staging discipline). Row-identical by construction; CompactSpec
+    * asserts the file-count drop and content equality. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    def dataBytes(p: Path): Long = Files.walk(p).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(
+      dataBytes(dir).toDouble / targetFileBytes).toInt)
+    val stage = dir.resolveSibling(
+      dir.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(stage.toString)
+    val old = dir.resolveSibling(
+      dir.getFileName.toString + ".old_" + ProcessHandle.current().pid())
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    nFiles
+  }
+
   /** Bucketed catalog table: co-locates join/agg keys at WRITE time so
     * repeated joins on the bucket key skip their shuffle entirely — the
     * replacement for the reference's per-key SQLite indexes
