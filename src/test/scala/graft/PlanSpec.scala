@@ -312,6 +312,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"batched feature path missing:\n$p")
   }
 
+  test("q104 quantile sketch: the rank-verification join broadcasts the sketch table") {
+    val p = plan("q104_quantile_sketch")
+    assert(p.contains("BroadcastHashJoin"), s"sketch table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"events shuffled to join a 5-row sketch frame:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"rank counts lost map-side partial aggregation:\n$p")
+  }
+
   test("q105 PQ: encode+score map-only; shortlist and grading joins all broadcast") {
     val p = plan("q105_pq_adc")
     // the corpus pass: scan → pq_encode/adc_score native kernels →
