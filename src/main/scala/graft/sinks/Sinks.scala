@@ -61,11 +61,15 @@ object Sinks {
     * split), not just bytes. Rewrites a parquet directory into
     * ceil(bytes / targetFileBytes) files via a round-robin
     * repartition (even output sizes, no skew from the input layout),
-    * staged to a sibling temp dir and atomically renamed into place —
-    * readers see the old layout or the new one, never a mix, and an
-    * interrupted run leaves only an orphaned .stage dir (the q90
-    * staging discipline). Row-identical by construction; CompactSpec
-    * asserts the file-count drop and content equality. */
+    * staged to a sibling temp dir and swapped in via two atomic
+    * renames — readers never see a MIXED layout (old and new files
+    * together), though between the renames the path is briefly
+    * absent; a catalog-level swap (Delta/Iceberg, or a view repoint)
+    * closes that window in a real deployment. An interrupted run
+    * leaves only an orphaned .stage/.old dir, never a half-written
+    * directory at the live path (the q90 staging discipline).
+    * Row-identical by construction; CompactSpec asserts the
+    * file-count drop and content equality. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
