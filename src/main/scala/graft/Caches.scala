@@ -40,7 +40,10 @@ object Caches {
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
       "q83_dedup_semantic", "q105_pq_adc"),
-      llm.LlmVector.release))
+      llm.LlmVector.release),
+    (Set("q109_pagerank"), ops.Graph.release),
+    (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join"),
+      llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a
     * sweep running `order`: each family releases right after its last

@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, T}
+import graft.llm.LlmText.{docs, tokens}
+
+/** Corpus mining passes beyond the dedup/quality families: collocation
+  * discovery (q110), dirty-lexicon entity matching (q111), and
+  * deterministic split assignment (q112). The unigram vocabulary
+  * (w, n_occ) is memoized + persisted per (session, dir): q110
+  * consumes it three times (scalar total + both broadcast sides) and
+  * q111 once more — without the persist each consumer re-scans and
+  * re-shuffles the full corpus, which at 100 TB turns one corpus pass
+  * into four. Released via [[release]] ([[graft.Caches]] family).
+  */
+object TextMining {
+
+  /** Unigram counts (w, n_occ) over the whitespace tokenization —
+    * vocab-bounded (Heaps' law), so the persisted frame is small
+    * relative to the corpus and both q110 broadcasts build from it
+    * without touching documents again. */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    vocabCache.computeIfAbsent((s, dir), _ => {
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .persist()
+    })
+
+  /** Unpersists the vocab frame for `s` (fires after q111, the
+    * family's last consumer). */
+  def release(s: SparkSession): Unit =
+    graft.Caches.dropSession(vocabCache, s)(_.unpersist())
+
+  /** q111's dirty external term list — the misspelled query/entity
+    * strings a real matcher receives (each within edit distance 1 of a
+    * corpus term, one exact, one unmatchable). */
+  val Lexicon: Seq[String] =
+    Seq("joinn", "cash", "scat", "groupe", "windov", "vektor", "merge", "qqqqq")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- PMI collocations: the bigram-association mining that feeds
+    // phrase vocabularies (word2phrase) and tokenizer merges. Score is
+    // the PMI-MONOTONE integer lift: 1000·n_ab·N div (n_a·n_b) —
+    // log-free, so ranking order equals PMI order and both engines
+    // floor identically (at 100 TB the product 1000·n_ab·N outgrows
+    // int64; the one-line swap is decimal(38,0) arithmetic, same
+    // floor). Min-support n_ab ≥ 5 prunes the hapax tail BEFORE the
+    // unigram joins. Plan at 100 TB: adjacency pairs are built
+    // map-only (zip of the token array against its own tail — no
+    // posexplode self-join); bigram counts shuffle once with map-side
+    // partial agg; the unigram table is the memoized [[vocab]] frame
+    // — computed and shuffled ONCE, then read three times from cache
+    // (scalar total + both broadcast builds), so the corpus is
+    // scanned exactly twice for the whole query (bigrams + vocab);
+    // post-support-filter vocab fits executors by Heaps' law (were it
+    // not, both joins degrade to hash joins on the same key — no plan
+    // cliff); top-50 is TakeOrderedAndProject, never a global sort.
+    // PlanSpec pins no-cartesian + broadcast + top-k.
+    Q("q110_pmi_bigrams",
+      """WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x->x!='') AS t
+        |            FROM documents),
+        |big AS (SELECT u.p[1] AS w1, u.p[2] AS w2
+        |        FROM tl, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)
+        |        WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS n_ab FROM big GROUP BY 1,2),
+        |uni AS (SELECT w, count(*)::BIGINT AS n_w
+        |        FROM (SELECT unnest(t) AS w FROM tl) GROUP BY 1),
+        |n AS (SELECT sum(n_w)::BIGINT AS nt FROM uni)
+        |SELECT bc.w1, bc.w2, bc.n_ab,
+        |       (1000 * bc.n_ab * (SELECT nt FROM n)) // (a.n_w * b.n_w) AS lift_milli
+        |FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2
+        |WHERE bc.n_ab >= 5
+        |ORDER BY lift_milli DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
+      val tl = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+      val uni = vocab(s, dir)
+      val nt = uni.agg(sum(col("n_w"))).first().getLong(0) // 1-cell scalar
+      val bc = tl.filter(size(col("t")) >= 2)
+        .withColumn("a", slice(col("t"), lit(1), size(col("t")) - 1))
+        .withColumn("b", slice(col("t"), lit(2), size(col("t")) - 1))
+        .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .select(col("p.a").as("w1"), col("p.b").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      bc.join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")
+        .select(col("w1"), col("w2"), col("n_ab"),
+          expr(s"(1000 * n_ab * ${nt}L) div (n_w1 * n_w2)").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
+    // ---- Blocked fuzzy join (entity resolution): match a dirty
+    // external term list against the corpus vocabulary at edit
+    // distance ≤ 1. Blocking is the standard length-band trick: a
+    // distance-1 pair differs in length by at most 1, so expanding
+    // each lexicon term to block keys {len−1, len, len+1} and
+    // EQUI-joining on token length has perfect recall while the
+    // Levenshtein kernel runs on candidate pairs only — never the
+    // |vocab|×|lexicon| cross product a naive fuzzy join plans (the
+    // non-equi |len_a−len_b|≤1 form becomes BroadcastNestedLoopJoin;
+    // the oracle states it that way because DuckDB evaluates it once,
+    // but the Spark plan must not). Plan at 100 TB: the vocabulary is
+    // the memoized [[vocab]] frame (shared with q110 — its one
+    // shuffle already paid); the ×3-expanded lexicon broadcasts; the
+    // match is a BroadcastHashJoin on the block key + residual
+    // levenshtein filter. PlanSpec pins broadcast-hash +
+    // no-BNLJ/cartesian.
+    Q("q111_fuzzy_vocab_join",
+      s"""WITH vocab AS (SELECT w, count(*)::BIGINT AS n_occ
+         |    FROM (SELECT unnest(list_filter(string_split(lower(text),' '), x->x!='')) AS w
+         |          FROM documents) GROUP BY 1),
+         |lex(term) AS (VALUES ${Lexicon.map(t => s"('$t')").mkString(",")})
+         |SELECT l.term, v.w, levenshtein(l.term, v.w)::BIGINT AS dist, v.n_occ
+         |FROM lex l JOIN vocab v ON abs(len(l.term) - len(v.w)) <= 1
+         |WHERE levenshtein(l.term, v.w) <= 1
+         |ORDER BY term, w""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val vb = vocab(s, dir)
+        .select(col("w"), col("n_w").as("n_occ"))
+        .withColumn("blk", length(col("w")))
+      val lex = Lexicon.toDF("term")
+        .select(col("term"), explode(array(
+          length(col("term")) - 1, length(col("term")),
+          length(col("term")) + 1)).as("blk"))
+      vb.join(broadcast(lex), "blk")
+        .withColumn("dist", levenshtein(col("term"), col("w")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select("term", "w", "dist", "n_occ")
+        .orderBy("term", "w")
+    },
+
+    // ---- Deterministic train/val/test assignment: the id-stable hash
+    // split every training pipeline needs — rerun-stable, join-free,
+    // coordination-free (no global sort or row_number to race), and
+    // engine-portable because the "hash" is pure bigint arithmetic
+    // (Knuth multiplicative step mod 1000; identical in any engine
+    // with int64 — unlike xxhash64/hash() which differ per engine).
+    // 80/10/10 by threshold on the residue. Plan: map-only assignment
+    // + one 3-group aggregate; at 100 TB the assignment column costs
+    // zero shuffles and the verification aggregate is the only
+    // exchange. PlanSpec pins the no-join shape.
+    Q("q112_split_assign",
+      """WITH a AS (SELECT doc_id, (doc_id * 2654435761) % 1000 AS h,
+        |    len(list_filter(string_split(lower(text),' '), x->x!='')) AS ntok
+        |    FROM documents)
+        |SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+        |       count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ntok"),
+          ((col("doc_id") * lit(2654435761L)) % 1000).as("h"))
+        .withColumn("split",
+          when(col("h") < 800, "train").when(col("h") < 900, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    }
+  )
+}

@@ -1,0 +1,26 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the FINAL adaptive physical plan of named queries
+  * (collects first — AQE exchange reuse and skew splits only appear at
+  * runtime, so the pre-execution plan under-reports reuse). Usage:
+  * `runMain graft.tools.PlanDump q109_pagerank [qNNN...]`. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    args.foreach { n =>
+      println(s"========== $n ==========")
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      df.collect() // materialize so AQE finalizes (exchange reuse is runtime)
+      println(df.queryExecution.executedPlan.toString)
+    }
+    graft.Caches.releaseAll(spark)
+    spark.stop()
+  }
+}

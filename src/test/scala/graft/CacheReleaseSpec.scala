@@ -14,10 +14,12 @@ class CacheReleaseSpec extends SparkSpec {
   test("releaseAll drops every frame the query families persisted") {
     Caches.releaseAll(spark)
     val base = persisted
-    // populate all three families
+    // populate all five families
     SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir).count()
     SparkEntry.queries("q43_ann_cosine_topk")(spark, dir).count()
     SparkEntry.queries("q32_registry_trial")(spark, dir).count()
+    SparkEntry.queries("q109_pagerank")(spark, dir).count()
+    SparkEntry.queries("q110_pmi_bigrams")(spark, dir).count()
     assert(persisted > base, "families did not persist anything — consumers changed?")
     Caches.releaseAll(spark)
     assert(persisted <= base,

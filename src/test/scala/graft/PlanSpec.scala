@@ -352,4 +352,77 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning\\(eudract_id".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 eudract_id exchange, got $exchanges:\n$p")
   }
+
+  test("q108 profile: one scan, no join; distinct-count keeps the two-level shape") {
+    // the one-scan-per-table contract: k per-column profiles must not
+    // plan k scans, and the exact distinct agg must keep its partial
+    // (col_name, value) level so the final shuffle carries Σ distinct
+    // values, not rows × columns
+    val p = plan("q108_profile_stats")
+    assert(!p.contains("Join"), s"profile joins:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"profile scans the table more than once:\n$p")
+    assert("partial_count\\(distinct v#\\d+\\)".r.findFirstIn(p).isDefined,
+      s"two-level distinct aggregation lost:\n$p")
+  }
+
+  test("q109 pagerank: iterations read the cached edge frame — one lineitem scan subtree") {
+    // iterative-graph contract: without the pair/edge persists this
+    // exact query planned 16 lineitem scans for 3 iterations (AQE
+    // exchange reuse recovered only 9). Every lineitem FileScan in the
+    // plan must be the SAME canonical subtree (the one cached build,
+    // printed under each InMemoryTableScan), and the cache must be in
+    // the per-iteration path.
+    val p = plan("q109_pagerank")
+    val scans = "FileScan parquet \\[l_orderkey#\\d+L,l_suppkey#\\d+L\\]"
+      .r.findAllIn(p).toSeq.distinct
+    assert(scans.size == 1,
+      s"lineitem scanned by ${scans.size} distinct subtrees: $scans\n$p")
+    assert(p.contains("InMemoryTableScan"), s"edge frame not cached:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 lost its heap form")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q110 PMI: corpus scanned once outside the vocab cache; unigrams broadcast; top-k") {
+    val p = plan("q110_pmi_bigrams")
+    // bigram path = the only direct documents scan; both unigram sides
+    // come from the memoized vocab frame
+    val direct = "FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]"
+      .r.findAllIn(p).toSeq.distinct
+    assert(direct.size <= 2,
+      s"documents scanned by ${direct.size} distinct subtrees (vocab cache lost?): $direct\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"vocab not read from cache on both join sides:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"unigram joins not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 lost its heap form")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q111 fuzzy join: equi-join on the length block key — never a nested loop") {
+    // the blocking contract: the non-equi |len_a-len_b|<=1 oracle form
+    // would plan BroadcastNestedLoopJoin (levenshtein against every
+    // vocab row); the length-band expansion makes it a hash join with
+    // the levenshtein as residual
+    val p = plan("q111_fuzzy_vocab_join")
+    assert("BroadcastHashJoin \\[blk#\\d+\\]".r.findFirstIn(p).isDefined,
+      s"block-key hash join missing:\n$p")
+    assert(p.contains("levenshtein"), "residual edit-distance filter lost")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      s"vocab not shared from the memoized frame:\n$p")
+    llm.TextMining.release(spark)
+    ops.Graph.release(spark)
+  }
+
+  test("q112 split assign: map-only assignment — no join, one aggregate exchange") {
+    val p = plan("q112_split_assign")
+    assert(!p.contains("Join"), s"split assignment joins:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"split assignment scans more than once:\n$p")
+    assert(p.contains("partial_count"), "verification aggregate lost map-side partials")
+  }
 }
