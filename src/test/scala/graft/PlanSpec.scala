@@ -425,4 +425,34 @@ class PlanSpec extends SparkSpec {
       s"split assignment scans more than once:\n$p")
     assert(p.contains("partial_count"), "verification aggregate lost map-side partials")
   }
+
+  test("q113 triangles: cached graph frames, bloom-pruned closing join, no cartesian") {
+    // the two scale contracts: (1) the pair/oriented frames are cached
+    // — every lineitem FileScan in the plan is the same canonical
+    // cached-build subtree; (2) wedge candidates are bloom-pruned
+    // map-side BEFORE the closing shuffle (the q81 broadcast-sketch
+    // discipline — losing the filter re-shuffles the full wedge set)
+    val p = plan("q113_triangle_count")
+    val scans = "FileScan parquet \\[l_orderkey#\\d+L,l_partkey#\\d+L\\]"
+      .r.findAllIn(p).toSeq.distinct
+    assert(scans.size <= 1,
+      s"lineitem scanned by ${scans.size} distinct subtrees: $scans\n$p")
+    assert(p.contains("InMemoryTableScan"), s"graph frames not cached:\n$p")
+    assert(p.contains("bloom_count_contains"),
+      s"closing-edge bloom prune lost:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 lost its heap form")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    ops.Graph.release(spark)
+  }
+
+  test("q114 transitions: single events pass — one user-keyed exchange, no join") {
+    // the per-from totals must come from a window over the tiny count
+    // frame; the join formulation planned the events window pass twice
+    val p = plan("q114_markov_transitions")
+    assert(!p.contains("Join"), s"transition totals joined (double events pass):\n$p")
+    val users = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(users == 1, s"expected exactly one user_id exchange, got $users:\n$p")
+    assert(p.contains("partial_count"), "pair counts lost map-side partials")
+  }
 }
