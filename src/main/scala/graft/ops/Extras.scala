@@ -690,6 +690,61 @@ object Extras {
         .select(col("from_type"), col("to_type"), col("n"),
           expr("nk div nt").as("p_milli"))
         .orderBy("from_type", "to_type")
+    },
+
+    // ---- per-group OLS trend (slope/intercept/r² of value over
+    // time): the "is this metric drifting" regression every monitoring
+    // pass runs per segment. Same cross-engine discipline as q93: NOT
+    // the regr_* built-ins (float accumulation in partition order
+    // diverges run-to-run and engine-to-engine) — the five raw moments
+    // accumulate EXACTLY (2-dp values through decimal, day index
+    // through bigint; x is epoch DAYS, small enough that every moment
+    // sum is exactly representable after the one cast to double), then
+    // the statistics derive through the SAME IEEE expression tree on
+    // both engines. Degenerate groups (n ≤ 1, zero x- or y-variance)
+    // gate to NULL with identical CASE predicates. Plan at 100 TB: one
+    // hash aggregate with map-side partials — 6 cells per group cross
+    // the wire, never rows; the derivation is a projection over
+    // |groups| rows. PlanSpec pins the partial-agg + no-join shape.
+    Q("q115_ols_trend",
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  sum(ts::DATE - DATE '1970-01-01')::DOUBLE AS sx,
+        |  sum((ts::DATE - DATE '1970-01-01') * (ts::DATE - DATE '1970-01-01'))::DOUBLE AS sxx,
+        |  sum(cast(value AS decimal(12,2)))::DOUBLE AS sy,
+        |  sum(cast(value AS decimal(12,2)) * cast(value AS decimal(12,2)))::DOUBLE AS syy,
+        |  sum((ts::DATE - DATE '1970-01-01') * cast(value AS decimal(12,2)))::DOUBLE AS sxy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+        |       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+        |       THEN (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n END AS intercept,
+        |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+        |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val x = datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long")
+      val y = T.dec(col("value"))
+      val m = T.df(s, dir, "events")
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+      val Seq(n, sx, sxx, sy, syy, sxy) =
+        Seq("n", "sx", "sxx", "sy", "syy", "sxy").map(col)
+      val dx = n * sxx - sx * sx
+      val dy = n * syy - sy * sy
+      val cv = n * sxy - sx * sy
+      val slope = cv / dx
+      m.select(col("event_type"), n,
+          when(n > 1 && dx > 0, slope).as("slope"),
+          when(n > 1 && dx > 0, (sy - sx * slope) / n).as("intercept"),
+          when(n > 1 && dx > 0 && dy > 0, (cv * cv) / (dx * dy)).as("r2"))
+        .orderBy("event_type")
     }
   )
 }

@@ -455,4 +455,12 @@ class PlanSpec extends SparkSpec {
     assert(users == 1, s"expected exactly one user_id exchange, got $users:\n$p")
     assert(p.contains("partial_count"), "pair counts lost map-side partials")
   }
+
+  test("q115 OLS: one aggregate pass — moments pre-combine map-side, no join") {
+    val p = plan("q115_ols_trend")
+    assert(!p.contains("Join"), s"trend regression joins:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"regression scans events more than once:\n$p")
+    assert(p.contains("partial_sum"), "moment sums lost map-side partials")
+  }
 }
