@@ -107,28 +107,38 @@ object Graph {
     * node-degree aggregate 4× and the orientation pass 2×). */
   private val oriCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Degree-ordered orientation of a canonical (a < b) pair frame:
+    * each edge pointed from its (degree, id)-smaller endpoint. The
+    * property that makes triangle counting O(m^1.5): every node's OUT-
+    * degree is ≤ O(√m) regardless of its undirected degree — a hub's
+    * edges point INTO it from its (mostly smaller-degree) neighbors —
+    * so wedge enumeration at out-neighborhoods never quadratically
+    * explodes on a celebrity vertex. GraphSpec pins the bound on a
+    * star-dominated synthetic graph. */
+  private[graft] def orient(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // (deg, id) lexicographic orientation — id is unique, so the
+    // order is total and ties cannot matter
+    val lt = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    pairs
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(when(lt, col("a")).otherwise(col("b")).as("u"),
+        when(lt, col("b")).otherwise(col("a")).as("v"))
+  }
+
   private def oriented(s: SparkSession, dir: String): DataFrame =
-    oriCache.computeIfAbsent((s, dir), _ => {
-      val pairs = partPairs(s, dir)
-      val deg = pairs.select(col("a").as("n"))
-        .union(pairs.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      // (deg, id) lexicographic orientation — id is unique, so the
-      // order is total and ties cannot matter
-      val lt = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      pairs
-        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-        .select(when(lt, col("a")).otherwise(col("b")).as("u"),
-          when(lt, col("b")).otherwise(col("a")).as("v"))
+    oriCache.computeIfAbsent((s, dir), _ =>
+      orient(partPairs(s, dir))
         // persisted PARTITIONED on the wedge key: InMemoryRelation
         // reports its child's outputPartitioning, so both branches of
         // the wedge self-join read co-partitioned cache with no
         // re-exchange
         .repartition(col("u"))
-        .persist()
-    })
+        .persist())
 
   /** Unpersists the cached graph frames for `s` (fires after the
     * family's last consumer). */
