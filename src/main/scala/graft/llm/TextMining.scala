@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Q, T}
 import graft.llm.LlmText.{docs, tokens}
@@ -163,6 +164,89 @@ object TextMining {
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("split")
+    },
+
+    // ---- Source concentration (Pareto curve of token mass): "what
+    // share of the corpus do the top sources contribute" — the
+    // concentration diagnostic behind mixture/curation decisions (q75,
+    // q87 act on it). Cumulative share is integer milli over a
+    // DESC-ordered running sum, floor-identical in both engines. Plan
+    // at 100 TB: ONE corpus pass into a source-keyed aggregate (the
+    // only corpus-scale exchange, map-side partials); the ordered
+    // cumulative window runs over the AGGREGATED frame — bounded by
+    // distinct sources, so its single-partition sort is |sources|
+    // rows, never corpus rows (for domain-grained corpora with many
+    // millions of sources, the same keyed prefix-sum machinery as q70
+    // applies — the frame here is 20 rows). The grand total is a
+    // 1-cell driver scalar over the same aggregate. PlanSpec pins
+    // exactly-one corpus-side hash exchange.
+    Q("q116_source_concentration",
+      """WITH st AS (
+        |  SELECT source, sum(len(list_filter(string_split(lower(text),' '), x->x!='')))::BIGINT AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(toks)::BIGINT AS t FROM st)
+        |SELECT source, toks,
+        |  ((1000 * sum(toks) OVER (ORDER BY toks DESC, source)) // (SELECT t FROM tot))::BIGINT AS cum_share_milli
+        |FROM st ORDER BY toks DESC, source""".stripMargin) { (s, dir) =>
+      val st = docs(s, dir)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy("source").agg(sum(col("ntok")).as("toks"))
+      val tot = st.agg(sum(col("toks"))).first().getLong(0) // 1-cell scalar
+      val w = Window.orderBy(col("toks").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      st.withColumn("cum", sum(col("toks")).over(w))
+        .select(col("source"), col("toks"),
+          expr(s"(1000 * cum) div ${tot}L").as("cum_share_milli"))
+        .orderBy(col("toks").desc, col("source"))
+    },
+
+    // ---- Split drift screen (chi-square contributions of per-split
+    // token counts vs the independence expectation): the QA pass over
+    // q112's assignment — a deterministic hash split should show NO
+    // systematic vocabulary drift, and the top chi² contributors are
+    // exactly where a reviewer looks first. All counts are exact
+    // bigints; expectation and chi² derive through the SAME IEEE tree
+    // on both engines (products ≤ ns·nw ≈ 2^40 are exactly double-
+    // representable, q93's discipline). The per-word / per-split /
+    // grand totals are WINDOWS over the |splits|·|vocab|-row count
+    // frame — NOT joins, which would re-traverse the corpus pass per
+    // total (the q114 lesson); the unpartitioned total window runs
+    // over the same bounded frame. Plan at 100 TB: one corpus pass
+    // into the (split, word) aggregate — the only corpus-scale
+    // exchange — then windows over the vocab-bounded frame; top-40 is
+    // TakeOrderedAndProject. PlanSpec pins one corpus-side exchange +
+    // no join + the top-k form.
+    Q("q117_split_drift",
+      """WITH tl AS (SELECT (doc_id * 2654435761) % 1000 AS h,
+        |                   unnest(list_filter(string_split(lower(text),' '), x->x!='')) AS w
+        |            FROM documents),
+        |c AS (SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+        |             w, count(*)::BIGINT AS o
+        |      FROM tl GROUP BY 1, 2),
+        |x AS (SELECT split, w, o,
+        |             (sum(o) OVER (PARTITION BY w))::BIGINT AS nw,
+        |             (sum(o) OVER (PARTITION BY split))::BIGINT AS ns,
+        |             (sum(o) OVER ())::BIGINT AS nt
+        |      FROM c)
+        |SELECT split, w, o,
+        |       (o - (ns * nw)::DOUBLE / nt) * (o - (ns * nw)::DOUBLE / nt) / ((ns * nw)::DOUBLE / nt) AS chi2
+        |FROM x ORDER BY chi2 DESC, split, w LIMIT 40""".stripMargin) { (s, dir) =>
+      val c = docs(s, dir)
+        .select(((col("doc_id") * lit(2654435761L)) % 1000).as("h"),
+          explode(tokens(col("text"))).as("w"))
+        .withColumn("split",
+          when(col("h") < 800, "train").when(col("h") < 900, "val")
+            .otherwise("test"))
+        .groupBy("split", "w").agg(count(lit(1)).as("o"))
+      val e = (col("ns") * col("nw")).cast("double") / col("nt")
+      c.select(col("split"), col("w"), col("o"),
+          sum(col("o")).over(Window.partitionBy("w")).as("nw"),
+          sum(col("o")).over(Window.partitionBy("split")).as("ns"),
+          sum(col("o")).over(Window.partitionBy()).as("nt"))
+        .select(col("split"), col("w"), col("o"),
+          ((col("o") - e) * (col("o") - e) / e).as("chi2"))
+        .orderBy(col("chi2").desc, col("split"), col("w"))
+        .limit(40)
     }
   )
 }

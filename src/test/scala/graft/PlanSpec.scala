@@ -463,4 +463,29 @@ class PlanSpec extends SparkSpec {
       s"regression scans events more than once:\n$p")
     assert(p.contains("partial_sum"), "moment sums lost map-side partials")
   }
+
+  test("q116 concentration: one corpus exchange; the global window runs over the aggregate") {
+    // the cumulative window's single-partition stage must consume the
+    // |sources|-row aggregate, never corpus rows: in the root-first
+    // print it sits ABOVE the source-keyed exchange
+    val p = plan("q116_source_concentration")
+    assert(!p.contains("Join"), s"concentration joins:\n$p")
+    val corpus = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS"
+      .r.findAllIn(p).size
+    assert(corpus == 1, s"expected one corpus-side hash exchange, got $corpus:\n$p")
+    val sp = p.indexOf("SinglePartition")
+    val agg = p.indexOf("Exchange hashpartitioning(source")
+    assert(sp >= 0 && agg > sp,
+      s"single-partition stage not downstream of the source aggregate:\n$p")
+  }
+
+  test("q117 drift: one corpus exchange, windowed totals over the count frame, top-k") {
+    val p = plan("q117_split_drift")
+    assert(!p.contains("Join"), s"drift totals joined (multiple corpus passes):\n$p")
+    val corpus = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS"
+      .r.findAllIn(p).size
+    assert(corpus == 1, s"expected one corpus-side hash exchange, got $corpus:\n$p")
+    assert("Window".r.findAllIn(p).size >= 3, s"per-total windows missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-40 lost its heap form")
+  }
 }
