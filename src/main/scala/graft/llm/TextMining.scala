@@ -247,6 +247,52 @@ object TextMining {
           ((col("o") - e) * (col("o") - e) / e).as("chi2"))
         .orderBy(col("chi2").desc, col("split"), col("w"))
         .limit(40)
+    },
+
+    // ---- Quality-threshold policy sweep ("what survives if we cut at
+    // quality ≥ t?"): the curation what-if that precedes every filter
+    // decision — doc and token retention at every threshold of q46's
+    // integer Gopher-style score, in ONE corpus pass. The per-row
+    // score comes from the same compiled qualityStats kernel as q46;
+    // thresholds replicate map-side via explode over a 4-element
+    // literal array (bounded amplification, no join — the oracle
+    // states the ≥-join form because DuckDB evaluates it once over
+    // the tiny VALUES table, but the Spark plan must not re-scan per
+    // threshold). Plan at 100 TB: scan → kernel → ×4 explode →
+    // one partial-agg exchange on the 4 threshold groups. PlanSpec
+    // pins no-join + one exchange.
+    Q("q119_quality_sweep",
+      """WITH tl AS (SELECT doc_id,
+        |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |m AS (SELECT doc_id, len(t) AS n_tokens,
+        |        len(list_distinct(t)) AS n_distinct,
+        |        list_max(list_transform(t, w -> length(w))) AS max_tok_len
+        |      FROM tl),
+        |q AS (SELECT n_tokens,
+        |        (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        |         + CASE WHEN 10 * n_distinct >= 3 * n_tokens THEN 1 ELSE 0 END
+        |         + CASE WHEN max_tok_len <= 15 THEN 1 ELSE 0 END) AS quality
+        |      FROM m),
+        |t(thr) AS (VALUES (0), (1), (2), (3))
+        |SELECT t.thr, count(*)::BIGINT AS n_docs_kept,
+        |       sum(q.n_tokens)::BIGINT AS n_tokens_kept
+        |FROM q JOIN t ON q.quality >= t.thr
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val Seq(nTok, nDis, maxLen) = (1 to 3).map(i => element_at(col("st"), i))
+      docs(s, dir)
+        .select(col("doc_id"), st.as("st"))
+        .select(nTok.cast("long").as("n_tokens"),
+          (when(nTok.between(20, 1000), 1).otherwise(0)
+            + when(nDis * 10 >= nTok * 3, 1).otherwise(0)
+            + when(maxLen <= 15, 1).otherwise(0)).as("quality"))
+        .select(col("n_tokens"), col("quality"),
+          explode(array((0 to 3).map(lit): _*)).as("thr"))
+        .filter(col("quality") >= col("thr"))
+        .groupBy("thr")
+        .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
+        .orderBy("thr")
     }
   )
 }

@@ -488,4 +488,23 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 3, s"per-total windows missing:\n$p")
     assert(p.contains("TakeOrderedAndProject"), "top-40 lost its heap form")
   }
+
+  test("q118 FK audit: per-edge left joins stay hash/broadcast with partial conditional aggs") {
+    val p = plan("q118_fk_audit")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"FK probe degenerated to nested loop:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"audit counts lost map-side partials:\n$p")
+  }
+
+  test("q119 quality sweep: one corpus pass — kernel + threshold explode, no join") {
+    val p = plan("q119_quality_sweep")
+    assert(!p.contains("Join"), s"threshold sweep joins (per-threshold scans):\n$p")
+    val corpus = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS"
+      .r.findAllIn(p).size
+    assert(corpus == 1, s"expected one exchange, got $corpus:\n$p")
+    assert(p.contains("quality_stats") || p.contains("Generate explode"),
+      s"kernel/explode pass missing:\n$p")
+  }
 }
