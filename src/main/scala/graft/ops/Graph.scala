@@ -74,7 +74,11 @@ object Graph {
       val edges = cs.select(col("c").as("src"), col("s").as("dst"))
         .union(cs.select(col("s").as("src"), col("c").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      edges.join(deg, "src").persist()
+      // persisted PARTITIONED on the join key: every iteration joins
+      // this frame on src, so the cached partitioning satisfies the
+      // join's distribution and only the O(|nodes|) rank frame
+      // shuffles per iteration — the edge list never re-exchanges
+      edges.join(deg, "src").repartition(col("src")).persist()
     })
 
   /** Canonical (a < b) distinct part pairs co-ordered in some order —
