@@ -56,6 +56,34 @@ object Audit {
         .select(lit(label).as("fk"), col("n_child"), col("n_orphan"))
     }.reduce(_ union _)
 
+  /** Block-fingerprint diff of two snapshots (the rsync idea applied
+    * to tables): aggregate an order-independent integer fingerprint
+    * per id-range block on each side, then compare ONLY the block
+    * summaries — the full-outer diff of two 100 TB tables exchanges
+    * |blocks| rows, never data rows (both per-block aggregates
+    * pre-combine map-side). A block differs if its row count or
+    * fingerprint sum differs; the caller then re-syncs just those
+    * blocks. The row fingerprint must be ENGINE-PORTABLE integer
+    * arithmetic (a polynomial mod a prime — built-in hash() differs
+    * per engine) and the block fold ORDER-INDEPENDENT (sum), so
+    * partition order never matters. Collision risk is the standard
+    * fingerprinting trade: a block-level false negative needs fp sums
+    * to collide at equal counts (~1/1e9 per block); production stacks
+    * a second independent polynomial. */
+  private[graft] def blockDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def fps(df: DataFrame, n: String, f: String) =
+      df.groupBy("block_id")
+        .agg(count(lit(1)).as(n), sum(col("fp")).as(f))
+    fps(a, "n_a", "fp_a").join(fps(b, "n_b", "fp_b"), Seq("block_id"), "full_outer")
+      .select(col("block_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("fp_a"), lit(0L)).as("fp_a"),
+        coalesce(col("fp_b"), lit(0L)).as("fp_b"))
+      .filter(col("n_a") =!= col("n_b") || col("fp_a") =!= col("fp_b"))
+      .orderBy("block_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q118_fk_audit",
       """SELECT * FROM (
@@ -76,6 +104,36 @@ object Audit {
         |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
         |) ORDER BY fk""".stripMargin) { (s, dir) =>
       audit(edges(s, dir)).orderBy("fk")
+    },
+
+    // ---- snapshot diff by block fingerprint ([[blockDiff]]): the
+    // fixture's "replica" is the same table with every 97th doc
+    // deterministically dropped — the diff must name exactly the
+    // blocks containing a dropped doc, with both sides' counts and
+    // fingerprint sums for the re-sync decision. PlanSpec pins that
+    // only block summaries reach the join (both sides carry partial
+    // aggs) and the join stays on the block key.
+    Q("q120_block_diff",
+      """WITH a AS (SELECT doc_id // 64 AS block_id,
+        |                  ((doc_id * 1000003 + n_chars * 10007 + length(text)) % 1000000007) AS fp
+        |           FROM documents),
+        |b AS (SELECT doc_id // 64 AS block_id,
+        |             ((doc_id * 1000003 + n_chars * 10007 + length(text)) % 1000000007) AS fp
+        |      FROM documents WHERE doc_id % 97 != 0),
+        |fa AS (SELECT block_id, count(*)::BIGINT AS n_a, sum(fp)::BIGINT AS fp_a FROM a GROUP BY 1),
+        |fb AS (SELECT block_id, count(*)::BIGINT AS n_b, sum(fp)::BIGINT AS fp_b FROM b GROUP BY 1)
+        |SELECT coalesce(fa.block_id, fb.block_id) AS block_id,
+        |       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |       coalesce(fp_a, 0) AS fp_a, coalesce(fp_b, 0) AS fp_b
+        |FROM fa FULL OUTER JOIN fb ON fa.block_id = fb.block_id
+        |WHERE fp_a IS DISTINCT FROM fp_b OR n_a IS DISTINCT FROM n_b
+        |ORDER BY block_id""".stripMargin) { (s, dir) =>
+      def keyed(df: DataFrame) = df.select(
+        expr("doc_id div 64").as("block_id"),
+        ((col("doc_id") * 1000003L + col("n_chars") * 10007L + length(col("text")))
+          % 1000000007L).as("fp"))
+      val base = T.df(s, dir, "documents")
+      blockDiff(keyed(base), keyed(base.filter(col("doc_id") % 97 =!= 0)))
     }
   )
 }

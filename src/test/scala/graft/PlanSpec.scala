@@ -507,4 +507,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("quality_stats") || p.contains("Generate explode"),
       s"kernel/explode pass missing:\n$p")
   }
+
+  test("q120 block diff: only block summaries reach the join — both sides pre-aggregate") {
+    // the diff of two 100 TB snapshots must exchange |blocks| rows:
+    // each side's count+fp aggregate keeps a map-side partial phase,
+    // and the full-outer join runs on the block key
+    val p = plan("q120_block_diff")
+    assert("partial_count".r.findAllIn(p).size >= 2 &&
+      "partial_sum".r.findAllIn(p).size >= 2,
+      s"block summaries lost map-side partials:\n$p")
+    assert(p.contains("FullOuter"), s"snapshot join lost its full-outer form:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
