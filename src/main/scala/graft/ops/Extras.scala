@@ -745,6 +745,53 @@ object Extras {
           when(n > 1 && dx > 0, (sy - sx * slope) / n).as("intercept"),
           when(n > 1 && dx > 0 && dy > 0, (cv * cv) / (dx * dy)).as("r2"))
         .orderBy("event_type")
+    },
+
+    // ---- CDC apply (merge-on-read fold): base snapshot + sequenced
+    // upsert/delete deltas → the final state, the read-side companion
+    // of the write-side merge `StreamMerge.upsertBatch` emulates and
+    // the consumption step for q84's snapshot-diff output. Last-writer-
+    // wins per key via ONE hash aggregate: max(struct(seq, …)) with
+    // map-side partials (the q94 struct-argmax discipline — seq is
+    // unique per key so the pick is total), then delete-winners drop.
+    // The fixture derives its three delta batches from the base with
+    // pure integer arithmetic (update every 5th, delete every 11th,
+    // insert a shifted copy of every 13th), so both engines build
+    // byte-identical inputs. Plan at 100 TB: deltas are typically ≪
+    // base, and the union's aggregate shuffles each row once with
+    // partial combine; a production lakehouse pins deltas to affected
+    // partitions instead (q84's bucketing note) — the fold semantics
+    // are what this query locks. PlanSpec pins single-agg + partials.
+    Q("q121_cdc_apply",
+      """WITH base AS (SELECT doc_id, 0::BIGINT AS seq, 'u' AS op, n_chars, source FROM documents),
+        |d1 AS (SELECT doc_id, 1::BIGINT, 'u', n_chars + 1000, source FROM documents WHERE doc_id % 5 = 0),
+        |d2 AS (SELECT doc_id, 2::BIGINT, 'd', 0::BIGINT, source FROM documents WHERE doc_id % 11 = 0),
+        |d3 AS (SELECT doc_id + 1000000, 1::BIGINT, 'u', n_chars * 2, source FROM documents WHERE doc_id % 13 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+        |         UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3),
+        |w AS (SELECT doc_id, max({'seq': seq, 'op': op, 'n_chars': n_chars, 'source': source}) AS m
+        |      FROM allr GROUP BY 1)
+        |SELECT doc_id, m.n_chars AS n_chars, m.source AS source FROM w
+        |WHERE m.op != 'd' ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = T.df(s, dir, "documents").select("doc_id", "n_chars", "source")
+      def batch(df: org.apache.spark.sql.DataFrame, seq: Int, op: String) = df.select(
+        col("doc_id"), lit(seq.toLong).as("seq"), lit(op).as("op"),
+        col("n_chars"), col("source"))
+      val base = batch(d, 0, "u")
+      val d1 = batch(d.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000), 1, "u")
+      val d2 = batch(d.filter(col("doc_id") % 11 === 0)
+        .withColumn("n_chars", lit(0L)), 2, "d")
+      val d3 = batch(d.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("n_chars", col("n_chars") * 2), 1, "u")
+      base.union(d1).union(d2).union(d3)
+        .groupBy("doc_id")
+        .agg(max(struct(col("seq"), col("op"), col("n_chars"), col("source"))).as("m"))
+        .filter(col("m.op") =!= "d")
+        .select(col("doc_id"), col("m.n_chars").as("n_chars"),
+          col("m.source").as("source"))
+        .orderBy("doc_id")
     }
   )
 }

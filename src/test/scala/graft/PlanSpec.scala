@@ -520,4 +520,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q121 CDC apply: last-writer-wins is ONE aggregate — no join, partial max") {
+    // the fold must be a single hash aggregate over the base+delta
+    // union (struct-argmax with map-side partials); a join-based
+    // formulation would shuffle base rows once per delta batch
+    val p = plan("q121_cdc_apply")
+    assert(!p.contains("Join"), s"CDC fold joins:\n$p")
+    assert("partial_max".r.findAllIn(p).nonEmpty,
+      s"struct-argmax lost its partial phase:\n$p")
+    val aggs = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(aggs == 1, s"expected one doc_id exchange, got $aggs:\n$p")
+  }
 }
