@@ -256,6 +256,33 @@ object Graph {
         .groupBy("part").agg(count(lit(1)).as("n_tri"))
         .orderBy(col("n_tri").desc, col("part"))
         .limit(30)
+    },
+
+    // ---- Frequent co-purchase pairs (the A-priori first pass /
+    // market-basket support counts — equivalently, the WEIGHTED edges
+    // of q113's co-purchase graph). Same one-scan build as the q113
+    // pair table but WITHOUT the global distinct: each order's part
+    // set expands to its ≤ C(7,2) pairs map-side and the support count
+    // is one (a, b)-keyed aggregate with map-side partials — per-order
+    // dedup is free because the basket is a SET. Top-30 is
+    // TakeOrderedAndProject. At 100 TB the pair stream is ≤ 21× orders
+    // rows and the aggregate is the only exchange past the basket
+    // build; hot pairs are just heavy keys in a hash agg (partials
+    // absorb them — no skew cliff). PlanSpec pins one-scan + top-k.
+    Q("q122_frequent_pairs",
+      """WITH b AS (SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps FROM lineitem GROUP BY 1),
+        |p AS (SELECT u1.p1 AS a, u2.p2 AS b FROM b,
+        |      unnest(ps) AS u1(p1), unnest(ps) AS u2(p2) WHERE u1.p1 < u2.p2)
+        |SELECT a, b, count(*)::BIGINT AS support FROM p GROUP BY 1, 2
+        |ORDER BY support DESC, a, b LIMIT 30""".stripMargin) { (s, dir) =>
+      T.df(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("a"), col("b"))
+        .limit(30)
     }
   )
 }

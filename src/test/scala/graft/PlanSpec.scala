@@ -532,4 +532,13 @@ class PlanSpec extends SparkSpec {
     val aggs = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
     assert(aggs == 1, s"expected one doc_id exchange, got $aggs:\n$p")
   }
+
+  test("q122 frequent pairs: one scan, basket explode map-side, support agg with partials") {
+    val p = plan("q122_frequent_pairs")
+    assert(!p.contains("Join"), s"pair mining joins:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"basket mining scans lineitem more than once:\n$p")
+    assert(p.contains("partial_count"), "support counts lost map-side partials")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 lost its heap form")
+  }
 }
