@@ -173,30 +173,32 @@ object TextMining {
     // DESC-ordered running sum, floor-identical in both engines. Plan
     // at 100 TB: ONE corpus pass into a source-keyed aggregate (the
     // only corpus-scale exchange, map-side partials); the ordered
-    // cumulative window runs over the AGGREGATED frame — bounded by
-    // distinct sources, so its single-partition sort is |sources|
-    // rows, never corpus rows (for domain-grained corpora with many
-    // millions of sources, the same keyed prefix-sum machinery as q70
-    // applies — the frame here is 20 rows). The grand total is a
-    // 1-cell driver scalar over the same aggregate. PlanSpec pins
-    // exactly-one corpus-side hash exchange.
+    // cumulative window AND the grand total both run as windows over
+    // the AGGREGATED frame — bounded by distinct sources, so the
+    // single-partition sort is |sources| rows, never corpus rows (for
+    // domain-grained corpora with many millions of sources, the same
+    // keyed prefix-sum machinery as q70 applies — the frame here is
+    // 20 rows). A driver-scalar total would RE-EVALUATE the unpersisted
+    // aggregate — a second corpus pass; the window form keeps the pass
+    // single (the q114/q117 lesson). PlanSpec pins exactly-one
+    // corpus-side hash exchange.
     Q("q116_source_concentration",
       """WITH st AS (
         |  SELECT source, sum(len(list_filter(string_split(lower(text),' '), x->x!='')))::BIGINT AS toks
-        |  FROM documents GROUP BY 1),
-        |tot AS (SELECT sum(toks)::BIGINT AS t FROM st)
+        |  FROM documents GROUP BY 1)
         |SELECT source, toks,
-        |  ((1000 * sum(toks) OVER (ORDER BY toks DESC, source)) // (SELECT t FROM tot))::BIGINT AS cum_share_milli
+        |  ((1000 * sum(toks) OVER (ORDER BY toks DESC, source)) // (sum(toks) OVER ()))::BIGINT AS cum_share_milli
         |FROM st ORDER BY toks DESC, source""".stripMargin) { (s, dir) =>
-      val st = docs(s, dir)
-        .select(col("source"), size(tokens(col("text"))).cast("long").as("ntok"))
-        .groupBy("source").agg(sum(col("ntok")).as("toks"))
-      val tot = st.agg(sum(col("toks"))).first().getLong(0) // 1-cell scalar
       val w = Window.orderBy(col("toks").desc, col("source"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      st.withColumn("cum", sum(col("toks")).over(w))
+      docs(s, dir)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy("source").agg(sum(col("ntok")).as("toks"))
         .select(col("source"), col("toks"),
-          expr(s"(1000 * cum) div ${tot}L").as("cum_share_milli"))
+          sum(col("toks")).over(w).as("cum"),
+          sum(col("toks")).over(Window.partitionBy()).as("tot"))
+        .select(col("source"), col("toks"),
+          expr("(1000 * cum) div tot").as("cum_share_milli"))
         .orderBy(col("toks").desc, col("source"))
     },
 
