@@ -792,6 +792,38 @@ object Extras {
         .select(col("doc_id"), col("m.n_chars").as("n_chars"),
           col("m.source").as("source"))
         .orderBy("doc_id")
+    },
+
+    // ---- group-wise min-max normalization (ML feature scaling):
+    // integer-milli normalized value per event, exact on both engines
+    // because the arithmetic runs on CENTS bigints (2-dp decimal × 100
+    // — no float division anywhere; degenerate zero-range groups gate
+    // to NULL with identical predicates). Deliberately TWO passes —
+    // this is the one shape where the q114/q116 window trick is WRONG:
+    // a per-type window would shuffle the whole corpus onto |types|
+    // partitions (5 keys = 5 giant partitions at 100 TB), while the
+    // stats pass exchanges only 2 cells per type (map-side partials)
+    // and the apply pass is map-only behind a broadcast of the tiny
+    // stats frame. PlanSpec pins broadcast-apply + no corpus window.
+    Q("q123_minmax_norm",
+      """WITH s AS (SELECT event_id, event_type, cast(value AS decimal(12,2)) AS v FROM events),
+        |m AS (SELECT event_type AS et, min(v) AS vmin, max(v) AS vmax FROM s GROUP BY 1)
+        |SELECT s.event_id, s.event_type,
+        |       CASE WHEN m.vmax > m.vmin
+        |            THEN (1000 * cast((s.v - m.vmin) * 100 AS BIGINT)) // cast((m.vmax - m.vmin) * 100 AS BIGINT)
+        |       END AS norm_milli
+        |FROM s JOIN m ON m.et = s.event_type
+        |ORDER BY s.event_id""".stripMargin) { (s, dir) =>
+      val sv = T.df(s, dir, "events")
+        .select(col("event_id"), col("event_type"), T.dec(col("value")).as("v"))
+      val m = sv.groupBy(col("event_type").as("et"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      sv.join(broadcast(m), col("et") === col("event_type"))
+        .select(col("event_id"), col("event_type"),
+          when(col("vmax") > col("vmin"),
+            expr("(1000 * cast((v - vmin) * 100 as bigint)) div cast((vmax - vmin) * 100 as bigint)"))
+            .as("norm_milli"))
+        .orderBy("event_id")
     }
   )
 }

@@ -541,4 +541,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "support counts lost map-side partials")
     assert(p.contains("TakeOrderedAndProject"), "top-30 lost its heap form")
   }
+
+  test("q123 minmax norm: stats broadcast back, apply stays map-only — no corpus window") {
+    // the deliberate two-pass shape: a per-type WINDOW would shuffle
+    // the corpus onto |types| partitions; the stats frame must
+    // broadcast and the apply side must not exchange
+    val p = plan("q123_minmax_norm")
+    assert(p.contains("BroadcastHashJoin"), s"stats frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join 5 stats rows:\n$p")
+    assert(!p.contains("Window"), s"per-type corpus window appeared:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"stats pass lost map-side partials:\n$p")
+  }
 }
