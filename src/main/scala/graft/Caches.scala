@@ -35,14 +35,14 @@ object Caches {
       "q62_text_contamination", "q63_text_repetition", "q66_dedup_simhash_ham",
       "q74_chunk_sliding", "q81_decontaminate_bloom", "q82_lm_perplexity",
       "q89_dedup_incremental", "q91_dedup_cluster_sizes",
-      "q100_split_leakage"),
+      "q100_split_leakage", "q101_bm25_topk"),
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
       "q83_dedup_semantic", "q105_pq_adc"),
       llm.LlmVector.release),
     (Set("q109_pagerank", "q113_triangle_count"), ops.Graph.release),
-    (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join"),
+    (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

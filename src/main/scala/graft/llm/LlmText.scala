@@ -525,13 +525,31 @@ object LlmText {
       pairs
     })
 
+  /** q101's index-time projection, persisted: (doc_id, dl, mt) where
+    * mt keeps ONLY query-term occurrences. The expensive step is the
+    * tokenization; this frame captures everything BM25 needs from it
+    * (per-doc length + matched postings, tens of bytes per doc — the
+    * per-query posting projection, far smaller than the corpus), so
+    * the N/Σdl scalars and the tf pass both read one materialization
+    * instead of tokenizing twice. */
+  private val bm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bm25Pre(s: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    bm25Cache.computeIfAbsent((s, dir), _ =>
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          filter(col("t"), w => w.isin(terms: _*)).as("mt"))
+        .persist())
+
   /** Drop every memoized frame owned by `s` (see [[graft.Caches]]):
-    * unpersists the token-hash, shingle, and verified-pair frames.
-    * Within a sweep the text-dedup family shares them; after the
-    * family's last consumer they are dead weight in the storage tier. */
+    * unpersists the token-hash, shingle, verified-pair, and BM25
+    * posting frames. Within a sweep the text-dedup family shares
+    * them; after the family's last consumer they are dead weight in
+    * the storage tier. */
   def release(s: SparkSession): Unit =
-    Seq(hashCache, shingleCache, pairCache, bruteJacCache, compCache).foreach(
-      graft.Caches.dropSession(_, s)(_.unpersist()))
+    Seq(hashCache, shingleCache, pairCache, bruteJacCache, compCache,
+      bm25Cache).foreach(graft.Caches.dropSession(_, s)(_.unpersist()))
 
   /** Connected components over the memoized pair table, memoized
     * themselves: q57 (listing) and q91 (size histogram) share ONE run
@@ -1175,10 +1193,15 @@ object LlmText {
     // token budget via a per-doc Lehmer-hash threshold — the same doc
     // set is selected on every run and every engine (rand()-seeded
     // samplers are neither). Per-source totals are one partial-agg
-    // shuffle of |sources| keys; the budget min is a driver scalar off
-    // that tiny frame; the accept/reject pass is map-only behind a
-    // broadcast join with the |sources|-row rate table. Expected kept
-    // tokens per source ≈ the min budget (hash-proportional).
+    // shuffle of |sources| keys; the budget min folds into the rate
+    // table as a GLOBAL WINDOW over that |sources|-row AGGREGATE
+    // (q116's shape — a driver `first()` over the unpersisted tot
+    // frame would re-evaluate the tokenizing aggregate: the corpus
+    // tokenizes THREE times instead of the inherent two, stats pass +
+    // apply pass); the accept/reject pass is map-only behind a
+    // broadcast join with the rate table. Expected kept tokens per
+    // source ≈ the min budget (hash-proportional). PlanSpec pins the
+    // documents scan at ≤ 2 distinct subtrees.
     Q("q75_mixture_sample",
       s"""WITH d AS (SELECT doc_id, source,
          |                  len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_tokens
@@ -1197,9 +1220,9 @@ object LlmText {
       val d = docs(s, dir).select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       val tot = d.groupBy("source").agg(sum("n_tokens").as("total"))
-      val minTotal = tot.agg(min("total")).first().getLong(0)
       val r = tot.withColumn("rate",
-        least(lit(1.0), lit(minTotal.toDouble) / col("total")))
+        least(lit(1.0),
+          min("total").over(Window.partitionBy()).cast("double") / col("total")))
       val hk = lehmer3(col("doc_id"))
       d.join(broadcast(r), "source")
         .withColumn("keep", hk.cast("double") < col("rate") * 2147483647.0)
@@ -1500,17 +1523,22 @@ object LlmText {
     // engines floor identically on positives, so per-doc sums are
     // order-free exact ints, no float ranking keys to diverge (the
     // ln-idf/float variant is a one-line swap a real deployment makes,
-    // trading hash-exactness it doesn't need). Plan at 100 TB: the
-    // query table and per-term df are broadcast (≤ |query vocab|
-    // rows); the corpus pass tokenizes map-only, filters to query
-    // terms BEFORE the tf shuffle (matched tokens only — the corpus
-    // never shuffles whole); dl rides the same projection, no second
-    // corpus scan or join; N/Σdl are one 2-cell scalar aggregate; and
-    // the per-query rank window runs on [[graft.ops.KeyedTopK]]'s
-    // map-side-pruned candidates (≤ k·partitions rows per query), so
-    // few queries never serialize a corpus-share sort through one
-    // task. PlanSpec pins the broadcasts + the prune-before-window
-    // shape.
+    // trading hash-exactness it doesn't need; the 12000·tf·(N−df)·Σdl
+    // numerator outgrows int64 once Σdl ≳ 1e12 — at 100 TB it takes
+    // the same decimal(38,0)/HUGEINT swap q110's lift already runs).
+    // Plan at 100 TB: the corpus tokenizes ONCE into the persisted
+    // [[bm25Pre]] posting projection (doc_id, dl, matched terms only —
+    // tens of bytes per doc); the N/Σdl scalars read that persisted
+    // frame (safe — the q116 lesson forbids scalars over UNPERSISTED
+    // lineage only) and the tf pass explodes it, so nothing tokenizes
+    // twice and the corpus never shuffles whole (matched tokens only
+    // cross the wire); the query table and per-term df broadcast
+    // (≤ |query vocab| rows); the per-query rank window runs on
+    // [[graft.ops.KeyedTopK]]'s map-side-pruned candidates
+    // (≤ k·partitions rows per query), so few queries never serialize
+    // a corpus-share sort through one task. PlanSpec pins the
+    // broadcasts + the prune-before-window shape + the single
+    // tokenizing scan.
     Q("q101_bm25_topk",
       """WITH q(q_id, term) AS (VALUES (0,'join'),(0,'hash'),(1,'vector'),
         |                             (1,'scan'),(1,'filter'),(2,'merge'),(2,'slow')),
@@ -1536,14 +1564,12 @@ object LlmText {
       val terms = Seq(0L -> "join", 0L -> "hash", 1L -> "vector",
         1L -> "scan", 1L -> "filter", 2L -> "merge", 2L -> "slow")
       val qtab = terms.toDF("q_id", "term")
-      val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
-      val scalars = base.agg(count(lit(1)).cast("long").as("n"),
-        sum(size(col("t")).cast("long")).as("sumdl")).first()
+      val pre = bm25Pre(s, dir, terms.map(_._2).distinct)
+      val scalars = pre.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("dl")).as("sumdl")).first()
       val (nDocs, sumdl) = (scalars.getLong(0), scalars.getLong(1))
-      val tf = base
-        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-          explode(col("t")).as("w"))
-        .filter(col("w").isin(terms.map(_._2).distinct: _*))
+      val tf = pre
+        .select(col("doc_id"), col("dl"), explode(col("mt")).as("w"))
         .groupBy("doc_id", "w", "dl").agg(count(lit(1)).as("tf"))
       val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(dfTab), "w")

@@ -429,6 +429,7 @@ object LlmVector {
     graft.Caches.dropSession(blockCache, s)(_.unpersist())
     graft.Caches.dropSession(semCache, s)(_.unpersist())
     graft.Caches.dropSession(pivotCache, s)(_ => ())
+    graft.Caches.dropSession(pqCache, s)(_ => ())
   }
 
   val qs: Seq[Q] = Seq(

@@ -31,10 +31,43 @@ object TextMining {
         .persist()
     })
 
-  /** Unpersists the vocab frame for `s` (fires after q111, the
-    * family's last consumer). */
-  def release(s: SparkSession): Unit =
+  /** The overflow-safe q112 split hash: reducing doc_id mod the prime
+    * 1e9+7 BEFORE the Knuth multiply bounds the product at
+    * (1e9+6)·2654435761 ≈ 2.66e18 < 2^63−1 for ANY doc_id — the raw
+    * `doc_id * 2654435761` wraps at doc_id ≳ 3.47e9, i.e. exactly the
+    * 100 TB doc-count regime, where Spark wraps silently (non-ANSI)
+    * while DuckDB raises, breaking both the split AND the
+    * engine-portability claim. Same residue class for doc_id < 1e9+7,
+    * so small-scale assignments are unchanged. */
+  private[llm] def splitHash(id: org.apache.spark.sql.Column) =
+    ((id % lit(1000000007L)) * lit(2654435761L)) % 1000
+  private[llm] val splitHashSql = "((doc_id % 1000000007) * 2654435761) % 1000"
+
+  /** q117's (split, w, o) count frame — the ONE corpus pass behind the
+    * drift screen, persisted because both the chi² frame and the
+    * second-level split totals read it (vocab-bounded: ≤ 3·|vocab|
+    * rows, Heaps' law — without the persist the totals aggregate
+    * re-runs the corpus explode+shuffle). */
+  private val splitCountsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def splitCounts(s: SparkSession, dir: String): DataFrame =
+    splitCountsCache.computeIfAbsent((s, dir), _ => {
+      docs(s, dir)
+        .select(splitHash(col("doc_id")).as("h"),
+          explode(tokens(col("text"))).as("w"))
+        .withColumn("split",
+          when(col("h") < 800, "train").when(col("h") < 900, "val")
+            .otherwise("test"))
+        .groupBy("split", "w").agg(count(lit(1)).as("o"))
+        .persist()
+    })
+
+  /** Unpersists the vocab + split-count frames for `s` (fires after
+    * the family's last consumer). */
+  def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
+    graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
+  }
 
   /** q111's dirty external term list — the misspelled query/entity
     * strings a real matcher receives (each within edit distance 1 of a
@@ -48,9 +81,12 @@ object TextMining {
     // phrase vocabularies (word2phrase) and tokenizer merges. Score is
     // the PMI-MONOTONE integer lift: 1000·n_ab·N div (n_a·n_b) —
     // log-free, so ranking order equals PMI order and both engines
-    // floor identically (at 100 TB the product 1000·n_ab·N outgrows
-    // int64; the one-line swap is decimal(38,0) arithmetic, same
-    // floor). Min-support n_ab ≥ 5 prunes the hapax tail BEFORE the
+    // floor identically. The product 1000·n_ab·N outgrows int64 at
+    // 100 TB (N ~ 1e10, n_ab up to N), so the numerator runs in
+    // decimal(38,0) (DuckDB: HUGEINT) UNCONDITIONALLY — same floor on
+    // in-range values (PmiLiftSpec pins decimal ≡ int64 on the
+    // fixture), no wrap ever; the quotient is back under int64 because
+    // n_a,n_b ≥ n_ab. Min-support n_ab ≥ 5 prunes the hapax tail BEFORE the
     // unigram joins. Plan at 100 TB: adjacency pairs are built
     // map-only (zip of the token array against its own tail — no
     // posexplode self-join); bigram counts shuffle once with map-side
@@ -73,7 +109,7 @@ object TextMining {
         |        FROM (SELECT unnest(t) AS w FROM tl) GROUP BY 1),
         |n AS (SELECT sum(n_w)::BIGINT AS nt FROM uni)
         |SELECT bc.w1, bc.w2, bc.n_ab,
-        |       (1000 * bc.n_ab * (SELECT nt FROM n)) // (a.n_w * b.n_w) AS lift_milli
+        |       ((1000::HUGEINT * bc.n_ab * (SELECT nt FROM n)) // (a.n_w * b.n_w))::BIGINT AS lift_milli
         |FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2
         |WHERE bc.n_ab >= 5
         |ORDER BY lift_milli DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
@@ -90,7 +126,8 @@ object TextMining {
       bc.join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
         .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")
         .select(col("w1"), col("w2"), col("n_ab"),
-          expr(s"(1000 * n_ab * ${nt}L) div (n_w1 * n_w2)").as("lift_milli"))
+          expr(s"(cast(1000 as decimal(38,0)) * n_ab * ${nt}L) div (n_w1 * n_w2)")
+            .cast("long").as("lift_milli"))
         .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
         .limit(50)
     },
@@ -139,14 +176,17 @@ object TextMining {
     // split every training pipeline needs — rerun-stable, join-free,
     // coordination-free (no global sort or row_number to race), and
     // engine-portable because the "hash" is pure bigint arithmetic
-    // (Knuth multiplicative step mod 1000; identical in any engine
-    // with int64 — unlike xxhash64/hash() which differ per engine).
+    // (the overflow-safe [[splitHash]]: mod-prime reduce, then the
+    // Knuth multiplicative step mod 1000 — identical in any engine
+    // with int64, never wrapping; unlike xxhash64/hash() which differ
+    // per engine, and unlike the raw multiply which overflows at
+    // doc_id ≳ 3.47e9 — the 100 TB regime).
     // 80/10/10 by threshold on the residue. Plan: map-only assignment
     // + one 3-group aggregate; at 100 TB the assignment column costs
     // zero shuffles and the verification aggregate is the only
     // exchange. PlanSpec pins the no-join shape.
     Q("q112_split_assign",
-      """WITH a AS (SELECT doc_id, (doc_id * 2654435761) % 1000 AS h,
+      s"""WITH a AS (SELECT doc_id, $splitHashSql AS h,
         |    len(list_filter(string_split(lower(text),' '), x->x!='')) AS ntok
         |    FROM documents)
         |SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
@@ -156,7 +196,7 @@ object TextMining {
       docs(s, dir)
         .select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("ntok"),
-          ((col("doc_id") * lit(2654435761L)) % 1000).as("h"))
+          splitHash(col("doc_id")).as("h"))
         .withColumn("split",
           when(col("h") < 800, "train").when(col("h") < 900, "val")
             .otherwise("test"))
@@ -209,17 +249,26 @@ object TextMining {
     // exactly where a reviewer looks first. All counts are exact
     // bigints; expectation and chi² derive through the SAME IEEE tree
     // on both engines (products ≤ ns·nw ≈ 2^40 are exactly double-
-    // representable, q93's discipline). The per-word / per-split /
-    // grand totals are WINDOWS over the |splits|·|vocab|-row count
-    // frame — NOT joins, which would re-traverse the corpus pass per
-    // total (the q114 lesson); the unpartitioned total window runs
-    // over the same bounded frame. Plan at 100 TB: one corpus pass
-    // into the (split, word) aggregate — the only corpus-scale
-    // exchange — then windows over the vocab-bounded frame; top-40 is
-    // TakeOrderedAndProject. PlanSpec pins one corpus-side exchange +
-    // no join + the top-k form.
+    // representable, q93's discipline). Totals placement is
+    // CARDINALITY-DRIVEN, the q123 two-pass discipline: the per-word
+    // total nw is a window PARTITIONED BY w over the persisted
+    // [[splitCounts]] frame — |vocab| keys, fully parallel — but the
+    // per-split totals (|splits| = 3 rows) and the grand total (1
+    // cell) must NOT be windows over that frame: `sum(o) over
+    // (partition by split)` would shuffle the whole 3·|vocab|-row
+    // frame (billions of rows at 100 TB) onto THREE partitions, and
+    // `sum(o) over ()` onto one — single-task stages over
+    // corpus-derived cardinality. They are second-level AGGREGATES of
+    // the count frame instead: ns broadcast-joins back (3 rows), nt is
+    // a one-cell scalar off the PERSISTED frame (safe — the q116
+    // lesson only forbids scalars over UNPERSISTED lineage). Plan at
+    // 100 TB: one corpus pass into the persisted (split, word)
+    // aggregate — the only corpus-scale exchange — then the w-window,
+    // one broadcast join, top-40 TakeOrderedAndProject. PlanSpec pins:
+    // no split-partitioned or unpartitioned window, one corpus-side
+    // exchange, cache reads on both consumers.
     Q("q117_split_drift",
-      """WITH tl AS (SELECT (doc_id * 2654435761) % 1000 AS h,
+      s"""WITH tl AS (SELECT $splitHashSql AS h,
         |                   unnest(list_filter(string_split(lower(text),' '), x->x!='')) AS w
         |            FROM documents),
         |c AS (SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
@@ -233,18 +282,12 @@ object TextMining {
         |SELECT split, w, o,
         |       (o - (ns * nw)::DOUBLE / nt) * (o - (ns * nw)::DOUBLE / nt) / ((ns * nw)::DOUBLE / nt) AS chi2
         |FROM x ORDER BY chi2 DESC, split, w LIMIT 40""".stripMargin) { (s, dir) =>
-      val c = docs(s, dir)
-        .select(((col("doc_id") * lit(2654435761L)) % 1000).as("h"),
-          explode(tokens(col("text"))).as("w"))
-        .withColumn("split",
-          when(col("h") < 800, "train").when(col("h") < 900, "val")
-            .otherwise("test"))
-        .groupBy("split", "w").agg(count(lit(1)).as("o"))
-      val e = (col("ns") * col("nw")).cast("double") / col("nt")
-      c.select(col("split"), col("w"), col("o"),
-          sum(col("o")).over(Window.partitionBy("w")).as("nw"),
-          sum(col("o")).over(Window.partitionBy("split")).as("ns"),
-          sum(col("o")).over(Window.partitionBy()).as("nt"))
+      val c = splitCounts(s, dir)
+      val st = c.groupBy("split").agg(sum(col("o")).as("ns")) // 3 rows
+      val nt = c.agg(sum(col("o"))).first().getLong(0)        // 1 cell, persisted lineage
+      val e = (col("ns") * col("nw")).cast("double") / lit(nt)
+      c.withColumn("nw", sum(col("o")).over(Window.partitionBy("w")))
+        .join(broadcast(st), "split")
         .select(col("split"), col("w"), col("o"),
           ((col("o") - e) * (col("o") - e) / e).as("chi2"))
         .orderBy(col("chi2").desc, col("split"), col("w"))

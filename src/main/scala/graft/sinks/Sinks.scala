@@ -66,8 +66,15 @@ object Sinks {
     * together), though between the renames the path is briefly
     * absent; a catalog-level swap (Delta/Iceberg, or a view repoint)
     * closes that window in a real deployment. An interrupted run
-    * leaves only an orphaned .stage/.old dir, never a half-written
-    * directory at the live path (the q90 staging discipline).
+    * never leaves a HALF-WRITTEN directory at the live path (the q90
+    * staging discipline) — but the failure outcomes differ: a crash
+    * before the first rename leaves only an orphaned .stage dir (live
+    * data untouched); a crash BETWEEN the renames leaves the live
+    * path MISSING with the data intact at the `.old_<pid>` sibling —
+    * recovery is `mv <path>.old_<pid> <path>`, and readers/retries
+    * that find the path absent must check for an `.old_` sibling
+    * before concluding data loss. A crash after the second rename
+    * leaves only an orphaned .old dir (new layout live).
     * Row-identical by construction; CompactSpec asserts the
     * file-count drop and content equality. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -17,12 +17,20 @@ import org.apache.spark.sql.functions._
   * doc was itself accepted (in a chain A~B, B~C, A≁C: B is rejected
   * against A, and C is rejected against B even though B was dropped —
   * B was SEEN, not kept). Comparing against seen-not-kept makes the
-  * decision history-free: the end state is exactly "drop every doc_b
-  * of the corpus-wide near-dup pair list" (q41's pairs have
-  * doc_a < doc_b), IDENTICAL for any chunking of the stream — greedy
-  * kept-only comparison would instead make acceptance depend on batch
-  * boundaries. StreamDedupGateSpec pins the batch equivalence and the
-  * replay idempotence.
+  * decision history-free — greedy kept-only comparison would instead
+  * make acceptance depend on batch boundaries. The invariant is
+  * FIRST-SEEN-WINS: in every near-dup pair, the doc seen later is
+  * dropped (cross-batch dominance is arrival order; within a batch,
+  * doc_id order breaks the tie). For a doc_id-ORDERED stream — any
+  * chunking of it — "seen later" coincides with "larger doc_id", so
+  * the end state is exactly "drop every doc_b of the corpus-wide
+  * near-dup pair list" (q41's pairs have doc_a < doc_b), identical
+  * for every chunking; under ARBITRARY arrival orders the end state
+  * is still deterministic given the order, but it is the
+  * first-seen-wins set, not q41's canonical doc_b-drop (a doc_b
+  * arriving in an earlier batch than its doc_a partner survives and
+  * drops the doc_a). StreamDedupGateSpec pins the batch equivalence
+  * for doc_id-ordered chunkings and the replay idempotence.
   *
   * State = three batch-append parquet stores under `stateDir`, one
   * subdir per batch (`batch=N` — replaying batch N OVERWRITES its own

@@ -122,10 +122,17 @@ class PlanSpec extends SparkSpec {
       s"quantization shuffles beyond the final sort:\n$p")
   }
 
-  test("q75 mixture sampling: rate table broadcasts — corpus never shuffle-joins") {
+  test("q75 mixture sampling: rate table broadcasts; corpus tokenizes at most twice") {
     val p = plan("q75_mixture_sample")
     assert(p.contains("BroadcastHashJoin"), "rate-table join no longer broadcast")
     assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join appeared")
+    // the budget min is a window over the |sources|-row aggregate, not
+    // a driver scalar: a first() over the unpersisted tot frame made
+    // the corpus tokenize a THIRD time (r9 verdict). Two distinct
+    // documents subtrees = the inherent stats pass + apply pass.
+    val scans = "Scan parquet [^\\n]*documents".r.findAllIn(p).toSeq
+    assert(scans.size <= 2,
+      s"documents scanned ${scans.size} times (hidden recompute back?):\n$p")
   }
 
   test("q76 sessionization: exactly one user-keyed exchange before the final sort") {
@@ -291,6 +298,16 @@ class PlanSpec extends SparkSpec {
     val prune = p.indexOf("MapPartitions")
     assert(win >= 0 && prune >= 0 && win < prune,
       s"rank window is not fed by the KeyedTopK prune:\n$p")
+    // the corpus tokenizes ONCE into the persisted posting projection;
+    // both the N/Σdl scalars and the tf pass read that cache — a
+    // second tokenizing scan doubles index-build cost (r9 verdict)
+    val scans = "FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]"
+      .r.findAllIn(p).toSeq.distinct
+    assert(scans.size <= 1,
+      s"documents tokenized by ${scans.size} distinct subtrees:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"tf pass not fed by the persisted posting projection:\n$p")
+    llm.LlmText.release(spark)
   }
 
   test("q102 media metadata: scan never reads the payload column") {
@@ -479,14 +496,26 @@ class PlanSpec extends SparkSpec {
       s"single-partition stage not downstream of the source aggregate:\n$p")
   }
 
-  test("q117 drift: one corpus exchange, windowed totals over the count frame, top-k") {
+  test("q117 drift: totals are cardinality-placed — no split-keyed or global window") {
+    // r9's weak item: ns/nt as windows over the (split, word) count
+    // frame put 3·|vocab| rows (corpus-derived cardinality at 100 TB)
+    // onto 3 partitions / 1 partition. The only window allowed is the
+    // per-WORD total (|vocab| keys, parallel); split totals must
+    // arrive as a broadcast-joined second-level aggregate and the
+    // grand total as a scalar off the PERSISTED count frame.
     val p = plan("q117_split_drift")
-    assert(!p.contains("Join"), s"drift totals joined (multiple corpus passes):\n$p")
-    val corpus = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS"
-      .r.findAllIn(p).size
-    assert(corpus == 1, s"expected one corpus-side hash exchange, got $corpus:\n$p")
-    assert("Window".r.findAllIn(p).size >= 3, s"per-total windows missing:\n$p")
+    assert("windowspecdefinition\\(w#\\d+".r.findFirstIn(p).isDefined,
+      s"per-word window lost:\n$p")
+    assert("windowspecdefinition\\(split#".r.findFirstIn(p).isEmpty,
+      s"split-keyed window back — 3-partition stage at scale:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"unpartitioned window/exchange back — one-task stage at scale:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"split-totals join not broadcast:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"count frame not read from cache on both consumers:\n$p")
     assert(p.contains("TakeOrderedAndProject"), "top-40 lost its heap form")
+    llm.TextMining.release(spark)
   }
 
   test("q118 FK audit: per-edge left joins stay hash/broadcast with partial conditional aggs") {
