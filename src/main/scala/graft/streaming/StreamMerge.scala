@@ -97,20 +97,38 @@ object StreamMerge {
     * IDEMPOTENT by construction: applying the same batch twice leaves
     * the same table (replaced rows replace to the same values), which
     * turns foreachBatch's at-least-once replay into exactly-once table
-    * state for any batch whose overwrite COMMITTED before the crash
-    * (StreamingSpec pins both the replay and the kill-and-resume
-    * equivalence). The commit itself is NOT atomic — plain parquet's
-    * dynamic partition overwrite can die mid-rewrite and leave an
-    * affected bucket torn (duplicate or missing resident rows), and a
-    * replay's left_anti removes only batch keys, so a torn bucket does
-    * not self-heal. That torn-commit window is exactly what the
-    * Delta/Iceberg swap above closes (atomic snapshot commit); this
-    * merge-on-write emulation's guarantee is post-commit replay
-    * idempotence, no more. */
+    * state (StreamingSpec pins both the replay and the kill-and-resume
+    * equivalence). The commit is a STAGED-RENAME SWAP per affected
+    * bucket (the Sinks.compact discipline, scoped to buckets): the
+    * merged buckets are written whole to a sibling `.stage_<pid>` dir,
+    * then each affected bucket directory is swapped in with two atomic
+    * renames (live → `.old_<pid>`, staged → live). No bucket is ever
+    * TORN — a reader or a replay sees each bucket either fully
+    * pre-batch or fully post-batch, never a mix of old and new files
+    * (which dynamic partition overwrite could leave, and which a
+    * replay's left_anti — removing batch keys only — would never
+    * heal). Crash windows, all recoverable (UpsertSwapSpec simulates
+    * each): during the stage write → live table untouched, the stale
+    * stage dir is deleted by the next call's [[recoverTorn]] pre-pass;
+    * between bucket swaps → buckets are individually whole and the
+    * standard replay converges them; between the two renames of ONE
+    * bucket → that bucket is briefly absent from the live path with
+    * its data intact under `.old_<pid>`, and the pre-pass moves it
+    * back before the next apply (readers that find a bucket absent
+    * must check `.old_` siblings before concluding loss — the compact
+    * caveat); after the swaps → only orphaned `.old`/`.stage` dirs,
+    * cleaned by the pre-pass. Single-writer per table (foreachBatch
+    * serializes batches; the pre-pass may delete a CONCURRENT writer's
+    * stage). Renames are same-filesystem atomic; on an object store a
+    * real deployment swaps this for a table format's snapshot commit
+    * (Delta/Iceberg) — the sink contract is unchanged. */
   def upsertBatch(batch: Dataset[TrialUpdate], tableDir: String, buckets: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val s = batch.sparkSession
     import org.apache.spark.sql.functions._
     import s.implicits._
+    val dir = Paths.get(tableDir)
+    recoverTorn(dir)
     // updates are cumulative per trial, so within a batch the row that
     // has folded the most records subsumes the rest
     val latest = batch.groupByKey(_.eudract_id)
@@ -118,23 +136,73 @@ object StreamMerge {
       .map(_._2)
     val rows = latest.toDF()
       .withColumn("bucket", pmod(xxhash64(col("eudract_id")), lit(buckets.toLong)))
+    // bounded by `buckets`, never by table or batch row count
+    val affected = rows.select("bucket").distinct().as[Long].collect()
     val merged =
-      if (!new java.io.File(tableDir).exists()) rows
+      if (!Files.exists(dir)) rows
       else {
-        val affected = rows.select("bucket").distinct().as[Long].collect()
         val keep = s.read.parquet(tableDir)
           .filter(col("bucket").isin(affected.map(Long.box).toSeq: _*))
           .join(rows.select("eudract_id"), Seq("eudract_id"), "left_anti")
         keep.unionByName(rows)
       }
-    // localCheckpoint cuts the file-source lineage so the overwrite
-    // below may legally target the path it just read (plain parquet
-    // has no transactional MERGE; see the at-scale note above)
-    val staged = merged.localCheckpoint()
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try staged.write.mode("overwrite").partitionBy("bucket").parquet(tableDir)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // stage the affected buckets whole OUTSIDE the live path — the
+    // write both materializes the read above (no read-under-overwrite
+    // lineage conflict, so no localCheckpoint needed) and leaves the
+    // live table untouched until the renames below
+    val stage = dir.resolveSibling(
+      dir.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    val old = dir.resolveSibling(
+      dir.getFileName.toString + ".old_" + ProcessHandle.current().pid())
+    Files.createDirectories(old)
+    Files.createDirectories(dir)
+    for (b <- affected.sorted) {
+      val staged = stage.resolve(s"bucket=$b")
+      if (Files.exists(staged)) {
+        val live = dir.resolve(s"bucket=$b")
+        if (Files.exists(live))
+          Files.move(live, old.resolve(s"bucket=$b"), StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    deleteTree(old)
+    deleteTree(stage)
+  }
+
+  /** Crash-recovery pre-pass for [[upsertBatch]]'s staged swap: any
+    * bucket whose live dir is missing while an `.old_<pid>` sibling
+    * still holds it (a crash landed between that bucket's two renames)
+    * is moved back; superseded `.old` copies (live dir present) and
+    * orphaned `.stage` dirs (incomplete stage writes — live table was
+    * never touched) are deleted. Runs before every apply, so a torn
+    * table heals on the next batch without operator action. */
+  private[streaming] def recoverTorn(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val parent = dir.getParent
+    if (parent == null || !Files.exists(parent)) return
+    val name = dir.getFileName.toString
+    Files.list(parent).iterator().asScala.toList.foreach { sib =>
+      val sn = sib.getFileName.toString
+      if (sn.startsWith(name + ".old_")) {
+        Files.list(sib).iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith("bucket="))
+          .foreach { bdir =>
+            val live = dir.resolve(bdir.getFileName.toString)
+            if (!Files.exists(live))
+              Files.move(bdir, live, StandardCopyOption.ATOMIC_MOVE)
+          }
+        deleteTree(sib)
+      } else if (sn.startsWith(name + ".stage_")) deleteTree(sib)
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
   }
 
   /** The SURVEY §2.9 sink half: merged updates land in the bucketed
