@@ -16,7 +16,8 @@ object SparkEntry {
       registry.RegistryQueries.qs ++
       llm.LlmText.qs ++ llm.LlmVector.qs ++ llm.Multimodal.qs ++
       streaming.Streams.qs ++ ingest.JsonlSource.qs ++
-      ops.Profile.qs ++ ops.Graph.qs ++ llm.TextMining.qs ++ ops.Audit.qs
+      ops.Profile.qs ++ ops.Graph.qs ++ llm.TextMining.qs ++ ops.Audit.qs ++
+      ops.Analytics.qs
 
   /** Flagship: the end-to-end reference slice (SURVEY §7.2) — corpus →
     * record split → 47-field extract → single-shuffle merge → user

@@ -630,6 +630,83 @@ object LlmText {
       lshPairs(s, dir)
     },
 
+    // ---- EXACT set-similarity join via prefix filtering (the
+    // AllPairs candidate scheme, Bayardo et al. WWW'07): the third
+    // member of the similarity-join family — q39 is exact but capped
+    // (blocked all-pairs), q41 is uncapped but probabilistic (LSH
+    // recall < 1 by construction); this is uncapped AND
+    // provable-complete at Jaccard ≥ 0.5. Order every shingle by
+    // GLOBAL rarity (df, then hash — a total order); each doc keeps
+    // only its ⌊n/2⌋+1 rarest shingles as its PREFIX; candidates are
+    // pairs whose prefixes share a shingle. Completeness: for
+    // J(A,B) ≥ t the overlap o ≥ t·|A| and o ≥ t·|B|; if the FIRST
+    // (rarest) shared shingle e sat outside A's prefix, the shared
+    // shingles would all sit among A's last ⌈t|A|⌉−1 elements, so
+    // o ≤ ⌈t|A|⌉−1 < o — contradiction; symmetrically for B. So e is
+    // in BOTH prefixes and the equi-join on prefix shingles misses
+    // nothing; exact array_intersect verification then runs on
+    // candidates only (integer-exact, the q39 arithmetic). Plan at
+    // 100 TB: the shingle frame is the memoized [[docShingles]] (its
+    // one corpus pass already paid); the df attach is a key-balanced
+    // hash join on the shingle (rarity makes most keys near-unique;
+    // the hot keys are boilerplate shingles, which land LAST in the
+    // order and never enter prefixes — their join fanout is the one
+    // skew surface, the q61 salting class); the prefix cuts the
+    // self-joined stream to half the shingle mass, and candidate
+    // buckets are rare-shingle-sized, not corpus-sized (common
+    // shingles can only enter the prefix of a doc that is half
+    // boilerplate). The per-doc rank windows partition on doc_id —
+    // maximal parallelism, no global sort anywhere. PlanSpec pins
+    // no-cartesian/BNLJ + the single corpus scan.
+    Q("q124_jaccard_prefix_join",
+      s"""$sqlPrelude,
+         |dfc AS (SELECT sh, count(*) AS dfc FROM dsh GROUP BY 1),
+         |rk AS (SELECT d.doc_id, d.sh,
+         |        row_number() OVER (PARTITION BY d.doc_id ORDER BY f.dfc, d.sh) AS rn,
+         |        count(*) OVER (PARTITION BY d.doc_id) AS n
+         |       FROM dsh d JOIN dfc f ON f.sh = d.sh),
+         |pre AS (SELECT doc_id, sh FROM rk WHERE rn <= n // 2 + 1),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM pre x JOIN pre y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |i AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |      FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+         |                  JOIN dsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |      GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter::BIGINT AS inter,
+         |       (sa.n + sb.n - i.inter)::BIGINT AS uni,
+         |       ((1000 * i.inter) // (sa.n + sb.n - i.inter))::BIGINT AS jac_milli
+         |FROM i JOIN ssize sa ON sa.doc_id = i.doc_a
+         |       JOIN ssize sb ON sb.doc_id = i.doc_b
+         |WHERE 2 * i.inter >= sa.n + sb.n - i.inter
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val dsh = docShingles(s, dir)
+      val ex = dsh.select(col("doc_id"), explode(col("sh")).as("sh"))
+      val dfc = ex.groupBy("sh").agg(count(lit(1)).as("dfc"))
+      val wd = Window.partitionBy("doc_id")
+      val pre = ex.join(dfc, "sh")
+        .select(col("doc_id"), col("sh"),
+          row_number().over(wd.orderBy(col("dfc"), col("sh"))).as("rn"),
+          count(lit(1)).over(wd).as("n"))
+        .filter(expr("rn <= n div 2 + 1"))
+        .select("doc_id", "sh")
+      val cand = pre.as("x").join(pre.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(dsh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(dsh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sum_n"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sum_n") - col("inter")).as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+          expr("(1000 * inter) div uni").as("jac_milli"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- near-dup CLUSTERING: pairs → connected components →
     // representative per cluster (the actual dedup decision). Spark
     // side is iterative min-label propagation (Dedup.components);

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, T}
+
+/** Distributed-analytics fill-ins round 10: interval-island merge
+  * (gaps-and-islands), a Count–Min frequency sketch with a verified
+  * overestimate envelope, and a grid-pruned Pareto skyline. Each is a
+  * classic operator whose NAIVE form has a scale cliff (self-join per
+  * overlap test / exact per-key counting / quadratic dominance test)
+  * and whose implementation here carries the cliff-free shape.
+  */
+object Analytics {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- Interval islands (gaps-and-islands): merge each customer's
+    // overlapping 30-day order-fulfillment windows into maximal
+    // covered intervals — the canonical "merge overlapping sessions /
+    // coverage spans" operator (SCD-2's q85 sibling, but union- not
+    // version-shaped). Island detection is the running-max break
+    // trick: order a customer's intervals by start; a new island
+    // starts exactly where start > max(end) over all PRIOR intervals.
+    // All date math is integer epoch-days (exact in both engines);
+    // the (sd, k) window order is total, so ties cannot reorder.
+    // Plan at 100 TB: ONE hash exchange on o_custkey serves the two
+    // consecutive windows (same partition+order → one sort), the
+    // (c, island) aggregate AND the per-customer rollup (partitioning
+    // on c satisfies both groupings — no second exchange); top-30 is
+    // TakeOrderedAndProject. PlanSpec pins the single-Exchange shape.
+    // The windows partition on the customer key — |customers|-way
+    // parallel, never a global sort.
+    Q("q125_interval_islands",
+      """WITH iv AS (SELECT o_custkey AS c, o_orderkey AS k,
+        |              (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS sd,
+        |              ((o_orderdate::DATE - DATE '1970-01-01') + 30)::BIGINT AS ed
+        |            FROM orders),
+        |m AS (SELECT c, k, sd, ed,
+        |        max(ed) OVER (PARTITION BY c ORDER BY sd, k
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |      FROM iv),
+        |fl AS (SELECT c, k, sd, ed,
+        |         CASE WHEN pe IS NULL OR sd > pe THEN 1 ELSE 0 END AS brk
+        |       FROM m),
+        |isl AS (SELECT c, sd, ed,
+        |          sum(brk) OVER (PARTITION BY c ORDER BY sd, k
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |        FROM fl),
+        |agg AS (SELECT c, g, max(ed) - min(sd) AS cov FROM isl GROUP BY 1, 2)
+        |SELECT c AS c_custkey, count(*)::BIGINT AS n_islands, sum(cov)::BIGINT AS covered_days
+        |FROM agg GROUP BY 1
+        |ORDER BY covered_days DESC, c_custkey LIMIT 30""".stripMargin) { (s, dir) =>
+      val iv = T.df(s, dir, "orders")
+        .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01")).cast("long").as("sd"))
+        .withColumn("ed", col("sd") + 30L)
+      val w = Window.partitionBy("c").orderBy("sd", "k")
+      iv.withColumn("pe",
+          max("ed").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pe").isNull || col("sd") > col("pe"), 1L).otherwise(0L))
+        .withColumn("g",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("c", "g")
+        .agg((max("ed") - min("sd")).as("cov"))
+        .groupBy("c")
+        .agg(count(lit(1)).as("n_islands"), sum("cov").as("covered_days"))
+        .select(col("c").as("c_custkey"), col("n_islands"), col("covered_days"))
+        .orderBy(col("covered_days").desc, col("c_custkey"))
+        .limit(30)
+    },
+
+    // ---- Count–Min sketch (Cormode–Muthukrishnan) with a VERIFIED
+    // overestimate envelope: the mergeable bounded-state frequency
+    // summary for when exact per-key counting is off-budget — the
+    // batch complement of q106's streaming Misra–Gries (MG bounds the
+    // candidate SET, CM answers point queries with one-sided error).
+    // d=4 rows × w=1024 buckets; the hash family is pure int64
+    // arithmetic ((a·x + b) mod p mod w, p = 2³¹−1, fixed odd a) so
+    // both engines compute the identical sketch — a deployment draws
+    // a/b per epoch, identically across executors. The product
+    // a·x + b ≤ 43·x stays under int64 for any conceivable key (wraps
+    // only past x ≈ 2.1e17). The sketch build IS a partial-agg
+    // shuffle: per-partition maps pre-combine to ≤ d·w cells, the
+    // merged sketch is 4096 rows — the mergeability property is
+    // literally Spark's partial aggregation. The query then checks
+    // the CM guarantee est ≥ true on the top-20 true-frequency keys
+    // (the true-count pass exists to VERIFY the envelope; a
+    // pure-sketch deployment runs only the sketch pass). The est
+    // lookup broadcast-joins the 4096-row sketch — nothing
+    // corpus-scale shuffles twice, top-20 is TakeOrderedAndProject.
+    // PlanSpec pins the broadcast + top-k shape.
+    Q("q126_countmin_sketch",
+      """WITH hp(d, a, b) AS (VALUES (0,31,7),(1,37,11),(2,41,13),(3,43,17)),
+        |sk AS (SELECT h.d, ((h.a * l_partkey + h.b) % 2147483647) % 1024 AS bkt,
+        |              count(*)::BIGINT AS cnt
+        |       FROM lineitem, hp h GROUP BY 1, 2),
+        |tr AS (SELECT l_partkey, count(*)::BIGINT AS n_true FROM lineitem GROUP BY 1),
+        |top AS (SELECT l_partkey, n_true FROM tr ORDER BY n_true DESC, l_partkey LIMIT 20)
+        |SELECT t.l_partkey, t.n_true, min(s.cnt)::BIGINT AS n_est,
+        |       (min(s.cnt) >= t.n_true) AS ok
+        |FROM top t JOIN hp h ON TRUE
+        |     JOIN sk s ON s.d = h.d
+        |              AND s.bkt = ((h.a * t.l_partkey + h.b) % 2147483647) % 1024
+        |GROUP BY 1, 2
+        |ORDER BY n_true DESC, l_partkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hp = Seq((0, 31L, 7L), (1, 37L, 11L), (2, 41L, 13L), (3, 43L, 17L))
+        .toDF("d", "a", "b")
+      def bkt(key: org.apache.spark.sql.Column) =
+        ((col("a") * key + col("b")) % 2147483647L) % 1024L
+      val li = T.df(s, dir, "lineitem").select(col("l_partkey"))
+      val sk = li.crossJoin(broadcast(hp)) // ×4 map-side replication
+        .select(col("d"), bkt(col("l_partkey")).as("bkt"))
+        .groupBy("d", "bkt").agg(count(lit(1)).as("cnt"))
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("l_partkey")).limit(20)
+      top.crossJoin(broadcast(hp))
+        .select(col("l_partkey"), col("n_true"), col("d"), bkt(col("l_partkey")).as("bkt"))
+        .join(broadcast(sk), Seq("d", "bkt"))
+        .groupBy("l_partkey", "n_true").agg(min("cnt").as("n_est"))
+        .select(col("l_partkey"), col("n_true"), col("n_est"),
+          (col("n_est") >= col("n_true")).as("ok"))
+        .orderBy(col("n_true").desc, col("l_partkey"))
+    },
+
+    // ---- Pareto skyline (grid-pruned): the non-dominated frontier of
+    // parts under (minimize price, MAXIMIZE size) — the multi-criteria
+    // shortlist operator, on genuinely competing objectives (the
+    // fixture's price is monotone in partkey, so aligned objectives
+    // would degenerate to one point; these give a 4-point frontier
+    // with a price-tie group that exercises the tie semantics: equal
+    // points never dominate each other, all are kept). The naive test
+    // is quadratic (every point vs every point — the oracle states
+    // exactly that NOT EXISTS form); the distributed shape prunes
+    // first: per size value j, the bound B(j) = (min over points with
+    // size ≥ j of ⌊price_cents/1000⌋ + 1) · 1000 — any point with
+    // price_cents ≥ B(its size) is CERTAINLY dominated (the
+    // cell-minimum witness has strictly lower price and ≥ size), so
+    // one broadcast join against the ≤|size-values|-row
+    // running-min-over-desc-size bound table prunes map-side.
+    // Skyline(candidates) = skyline(all): dominance is transitive,
+    // every dominated point has a SKYLINE dominator, and skyline
+    // points are never pruned. Candidates provably sit within one
+    // grid cell (1000 cents) of the per-size frontier, so the exact
+    // pass's global windows run over a frontier-band-sized frame —
+    // the q116 bounded-window discipline, never a corpus-scale single
+    // partition. Exact pass: survive iff no strictly-cheaper point
+    // has size ≥ mine (integer-RANGE window excluding price ties) and
+    // no same-price point has size > mine. Prices in exact integer
+    // cents (2-decimal fixture granularity; round kills any
+    // double-repr dust). PlanSpec pins the broadcast-prune +
+    // no-cartesian shape.
+    Q("q127_skyline",
+      """WITH p AS (SELECT p_partkey,
+        |             cast(round(p_retailprice * 100) as bigint) AS pc,
+        |             p_size::BIGINT AS sz
+        |           FROM part)
+        |SELECT a.p_partkey, a.pc AS price_cents, a.sz AS p_size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.pc <= a.pc AND b.sz >= a.sz
+        |    AND (b.pc < a.pc OR b.sz > a.sz))
+        |ORDER BY price_cents, p_size, p_partkey""".stripMargin) { (s, dir) =>
+      val p = T.df(s, dir, "part")
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("pc"),
+          col("p_size").cast("long").as("sz"))
+      val bnd = p.groupBy(col("sz").as("j"))
+        .agg(min(expr("pc div 1000")).as("ci"))
+        .select(col("j"),
+          ((min("ci").over(Window.orderBy(col("j").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1L) * 1000L)
+            .as("ub"))
+      val cand = p.join(broadcast(bnd), col("sz") === col("j"))
+        .filter(col("pc") < col("ub"))
+        .select("p_partkey", "pc", "sz")
+      val cheaper = Window.orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy("pc")
+      cand
+        .withColumn("m1", max("sz").over(cheaper))
+        .withColumn("m2", max("sz").over(samePrice))
+        .filter(col("m1").isNull || col("m1") < col("sz"))
+        .filter(col("sz") === col("m2"))
+        .select(col("p_partkey"), col("pc").as("price_cents"), col("sz").as("p_size"))
+        .orderBy("price_cents", "p_size", "p_partkey")
+    }
+  )
+}

@@ -571,6 +571,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-30 lost its heap form")
   }
 
+  test("q124 prefix join: per-doc rank windows only, no cartesian/nested-loop") {
+    // the exact similarity join must never fall back to all-pairs: the
+    // candidate self-join is an equi-join on the prefix shingle, the
+    // ranking windows partition on doc_id (|docs|-way parallel), and
+    // no unpartitioned window exists anywhere
+    val p = plan("q124_jaccard_prefix_join")
+    assert(!p.contains("CartesianProduct"), s"prefix join degenerated to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"prefix join nested-loop:\n$p")
+    assert("windowspecdefinition\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      s"per-doc rank window lost:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"global window/exchange appeared in the similarity join:\n$p")
+    llm.LlmText.release(spark)
+  }
+
+  test("q125 interval islands: ONE customer-keyed exchange serves windows and both rollups") {
+    // the gaps-and-islands chain must reuse its partitioning end to
+    // end: two windows on (c | sd, k), the (c, island) aggregate, and
+    // the per-customer rollup all sit on the same hash exchange;
+    // top-30 is a heap, not a global sort
+    val p = plan("q125_interval_islands")
+    assert(!p.contains("Join"), s"island merge joins:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 1, s"expected one customer-keyed exchange, got $ex:\n$p")
+    assert(!p.contains("SinglePartition"), s"global stage in island merge:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 lost its heap form")
+  }
+
+  test("q126 count-min: sketch merge is a partial agg; est lookup broadcasts the sketch") {
+    // mergeability IS the partial-agg phase (per-partition maps
+    // pre-combine to ≤ d·w cells before one exchange); the 4096-row
+    // sketch and the 4-row hash family broadcast — the corpus never
+    // shuffles for the lookup; top-20 is a heap
+    val p = plan("q126_countmin_sketch")
+    assert(p.contains("partial_count"), s"sketch lost its map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"sketch lookup not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled to join the 4096-row sketch:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its heap form")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q127 skyline: bound table broadcasts; the exact pass runs post-prune") {
+    // the quadratic dominance test must never appear: the ≤|sizes|-row
+    // bound table broadcast-joins for the map-side prune, and the
+    // exact pass's global window consumes only the pruned candidate
+    // band (its SinglePartition stage sits above the broadcast prune
+    // in the root-first print, never directly over the scan)
+    val p = plan("q127_skyline")
+    assert(p.contains("BroadcastHashJoin"), s"prune bound not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"skyline degenerated to all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled against the bound table:\n$p")
+    val sp = p.indexOf("SinglePartition")
+    val bhj = p.indexOf("BroadcastHashJoin")
+    assert(sp >= 0 && bhj > sp,
+      s"exact-pass window not downstream of the broadcast prune:\n$p")
+  }
+
   test("q123 minmax norm: stats broadcast back, apply stays map-only — no corpus window") {
     // the deliberate two-pass shape: a per-type WINDOW would shuffle
     // the corpus onto |types| partitions; the stats frame must
