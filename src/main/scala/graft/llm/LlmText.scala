@@ -525,6 +525,119 @@ object LlmText {
       pairs
     })
 
+  /** q124: EXACT Jaccard ≥ 0.5 join over (doc_id, sh) shingle-set
+    * rows via prefix filtering (AllPairs, Bayardo et al. WWW'07),
+    * with the same SHINGLE-CLASS COLLAPSE as [[classPairs]].
+    *
+    * Algorithm: docs group by identical sorted shingle set into
+    * classes (clone defense — under K× duplication a doc-level prefix
+    * join enumerates K² candidate pairs per content pair and runs K²
+    * exact verifies; the class form does ALL join/verify work on
+    * distinct content only, and clone pairs fall out as within-class
+    * expansions with inter = uni = |sh| by definition). Each class
+    * then keeps its ⌊n/2⌋+1 RAREST shingles (class-level df order,
+    * ties by hash — a total order) as its prefix; candidate class
+    * pairs share a prefix shingle; exact array_intersect verification
+    * runs on candidate class pairs only; member lists expand to doc
+    * pairs at output.
+    *
+    * Completeness (why the equi-join on prefixes misses nothing): for
+    * J(A,B) ≥ t the overlap o satisfies o ≥ t·|A| and o ≥ t·|B|
+    * (since o ≤ min(|A|,|B|), J ≥ t gives o ≥ t(|A|+|B|−o) ≥
+    * t·max(|A|,|B|)). Let e be the FIRST shared shingle in the global
+    * order. If e sat outside A's prefix of length |A|−⌈t|A|⌉+1, every
+    * shared shingle would sit among A's last ⌈t|A|⌉−1 elements, so
+    * o ≤ ⌈t|A|⌉−1 < o — contradiction; symmetrically for B. So e is
+    * in BOTH prefixes. The argument holds for ANY fixed total order —
+    * rarity is purely a performance choice (rare-first makes
+    * candidate buckets rare-shingle-sized), which is why the oracle's
+    * doc-level-df order and this class-level-df order produce the
+    * same exact answer.
+    *
+    * Plan at 100 TB: the class build is one shuffle of the memoized
+    * shingle frame; the df attach is a key-balanced hash join on the
+    * shingle (hot boilerplate shingles sort LAST and never enter
+    * prefixes; their df-join fanout is the one skew surface — the
+    * q61 salting class); the rank windows partition on cid
+    * (|classes|-way parallel, no global sort anywhere); candidate
+    * buckets are rare-shingle-sized, not corpus-sized. */
+  private[llm] def prefixJaccardPairs(dsh: DataFrame): DataFrame = {
+    val classes = dsh
+      .groupBy(sort_array(col("sh")).as("shs"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("cid", element_at(col("ids"), 1))
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(size(col("shs")).cast("long").as("n"), explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("n").as("inter"), col("n").as("uni"))
+    // Rank-window reduction: SINGLETON shingles (class-df 1 — the
+    // majority of a mostly-distinct corpus) sort FIRST in the
+    // (dfc, sh) order, can never generate a candidate (no second
+    // class contains them), and their per-class COUNT is all the
+    // ranking needs: full_rank(e) = r1 + reduced_rank(e) because
+    // every df-1 element precedes every df-≥2 element. So the rank
+    // window sorts only the df-≥2 stream and the prefix test becomes
+    // full_rank ≤ ⌊n/2⌋+1. A class whose prefix is all singletons
+    // provably has no J ≥ 0.5 partner and drops out here. (On the
+    // sf0.1 fixture the df-≥2 share is ~half the stream — the clone
+    // mass shares most shingles — so this cut is modest there; on a
+    // mostly-distinct web corpus the df-1 share dominates. The big
+    // measured lever at sf0.1 is the positional filter below:
+    // 7.0 → 4.3 s.) n rides along from the class frame (set size),
+    // r2 is a sort-free count over the same window partition.
+    val ex = classes.select(col("cid"), size(col("shs")).as("n"),
+      explode(col("shs")).as("sh"))
+    val dfc = ex.groupBy("sh").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") >= 2)
+    val wd = Window.partitionBy("cid")
+    // fr = FULL (dfc, sh)-order rank: reduced rank + the r1 = n − r2
+    // singletons that all sort before any df-≥2 shingle
+    val pre = ex.join(dfc, "sh")
+      .select(col("cid"), col("sh"), col("n"),
+        (row_number().over(wd.orderBy(col("dfc"), col("sh")))
+          + (col("n") - count(lit(1)).over(wd))).as("fr"))
+      .filter(expr("fr <= n div 2 + 1"))
+    // PPJoin positional filter on the candidate join (measured at
+    // sf0.1: the bare prefix join generated 408k candidate class
+    // pairs for 256 true pairs — hot boilerplate shingles; with the
+    // positional bound it generates ~the true near-dup mass): a
+    // shared shingle at full ranks (fr_x, fr_y) can witness at most
+    // 1 + min(n_x − fr_x, n_y − fr_y) overlap, which must reach the
+    // J ≥ 0.5 requirement α = ⌈(n_x + n_y)/3⌉ (o(1+t) ≥ t(n_x+n_y)).
+    // Safe because the bound is exact for the pair's FIRST shared
+    // shingle: any true pair survives via that witness; false pairs
+    // whose only shared prefix shingles sit deep are pruned at
+    // generation, before the distinct and the verify.
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.sh") === col("y.sh") && col("x.cid") < col("y.cid") &&
+          (lit(1) + least(col("x.n") - col("x.fr"), col("y.n") - col("y.fr"))
+            >= floor((col("x.n") + col("y.n") + lit(2)) / lit(3)).cast("long")))
+      .select(col("x.cid").as("cid_a"), col("y.cid").as("cid_b"))
+      .distinct()
+    val a = classes.select(col("cid").as("cid_a"),
+      col("shs").as("sh_a"), col("ids").as("ids_a"))
+    val b = classes.select(col("cid").as("cid_b"),
+      col("shs").as("sh_b"), col("ids").as("ids_b"))
+    val cross = cand.join(a, "cid_a").join(b, "cid_b")
+      .select(col("ids_a"), col("ids_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sum_n"))
+      .select(col("ids_a"), col("ids_b"), col("inter"),
+        (col("sum_n") - col("inter")).as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("inter"), col("uni"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("inter"), col("uni"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("inter"), col("uni"))
+    within.unionByName(cross)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        expr("(1000 * inter) div uni").as("jac_milli"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q101's index-time projection, persisted: (doc_id, dl, mt) where
     * mt keeps ONLY query-term occurrences. The expensive step is the
     * tokenization; this frame captures everything BM25 needs from it
@@ -635,29 +748,15 @@ object LlmText {
     // member of the similarity-join family — q39 is exact but capped
     // (blocked all-pairs), q41 is uncapped but probabilistic (LSH
     // recall < 1 by construction); this is uncapped AND
-    // provable-complete at Jaccard ≥ 0.5. Order every shingle by
-    // GLOBAL rarity (df, then hash — a total order); each doc keeps
-    // only its ⌊n/2⌋+1 rarest shingles as its PREFIX; candidates are
-    // pairs whose prefixes share a shingle. Completeness: for
-    // J(A,B) ≥ t the overlap o ≥ t·|A| and o ≥ t·|B|; if the FIRST
-    // (rarest) shared shingle e sat outside A's prefix, the shared
-    // shingles would all sit among A's last ⌈t|A|⌉−1 elements, so
-    // o ≤ ⌈t|A|⌉−1 < o — contradiction; symmetrically for B. So e is
-    // in BOTH prefixes and the equi-join on prefix shingles misses
-    // nothing; exact array_intersect verification then runs on
-    // candidates only (integer-exact, the q39 arithmetic). Plan at
-    // 100 TB: the shingle frame is the memoized [[docShingles]] (its
-    // one corpus pass already paid); the df attach is a key-balanced
-    // hash join on the shingle (rarity makes most keys near-unique;
-    // the hot keys are boilerplate shingles, which land LAST in the
-    // order and never enter prefixes — their join fanout is the one
-    // skew surface, the q61 salting class); the prefix cuts the
-    // self-joined stream to half the shingle mass, and candidate
-    // buckets are rare-shingle-sized, not corpus-sized (common
-    // shingles can only enter the prefix of a doc that is half
-    // boilerplate). The per-doc rank windows partition on doc_id —
-    // maximal parallelism, no global sort anywhere. PlanSpec pins
-    // no-cartesian/BNLJ + the single corpus scan.
+    // provable-complete at Jaccard ≥ 0.5. See [[prefixJaccardPairs]]
+    // for the algorithm, the completeness proof, and the
+    // shingle-class collapse (the q66/q41 hot-bucket defense —
+    // PrefixJoinSpec pins both the brute-force equivalence and the
+    // clone-robust shape). The oracle states the DOC-level
+    // formulation with doc-level df order; the prefix order only
+    // steers candidate generation (completeness holds for ANY fixed
+    // total order), so both reach the identical exact pair set.
+    // PlanSpec pins no-cartesian/BNLJ + class-keyed rank windows.
     Q("q124_jaccard_prefix_join",
       s"""$sqlPrelude,
          |dfc AS (SELECT sh, count(*) AS dfc FROM dsh GROUP BY 1),
@@ -679,32 +778,7 @@ object LlmText {
          |       JOIN ssize sb ON sb.doc_id = i.doc_b
          |WHERE 2 * i.inter >= sa.n + sb.n - i.inter
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val dsh = docShingles(s, dir)
-      val ex = dsh.select(col("doc_id"), explode(col("sh")).as("sh"))
-      val dfc = ex.groupBy("sh").agg(count(lit(1)).as("dfc"))
-      val wd = Window.partitionBy("doc_id")
-      val pre = ex.join(dfc, "sh")
-        .select(col("doc_id"), col("sh"),
-          row_number().over(wd.orderBy(col("dfc"), col("sh"))).as("rn"),
-          count(lit(1)).over(wd).as("n"))
-        .filter(expr("rn <= n div 2 + 1"))
-        .select("doc_id", "sh")
-      val cand = pre.as("x").join(pre.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(dsh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(dsh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
-          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sum_n"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("sum_n") - col("inter")).as("uni"))
-        .filter(col("inter") * 2 >= col("uni"))
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
-          expr("(1000 * inter) div uni").as("jac_milli"))
-        .orderBy("doc_a", "doc_b")
+      prefixJaccardPairs(docShingles(s, dir))
     },
 
     // ---- near-dup CLUSTERING: pairs → connected components →

@@ -571,16 +571,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-30 lost its heap form")
   }
 
-  test("q124 prefix join: per-doc rank windows only, no cartesian/nested-loop") {
+  test("q124 prefix join: class-keyed rank windows only, no cartesian/nested-loop") {
     // the exact similarity join must never fall back to all-pairs: the
     // candidate self-join is an equi-join on the prefix shingle, the
-    // ranking windows partition on doc_id (|docs|-way parallel), and
-    // no unpartitioned window exists anywhere
+    // ranking windows partition on the shingle-class key (|classes|-way
+    // parallel — the clone-collapse shape), and no unpartitioned
+    // window exists anywhere
     val p = plan("q124_jaccard_prefix_join")
     assert(!p.contains("CartesianProduct"), s"prefix join degenerated to all-pairs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"prefix join nested-loop:\n$p")
-    assert("windowspecdefinition\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
-      s"per-doc rank window lost:\n$p")
+    assert("windowspecdefinition\\(cid#\\d+".r.findFirstIn(p).isDefined,
+      s"class-keyed rank window lost:\n$p")
     assert(!p.contains("SinglePartition"),
       s"global window/exchange appeared in the similarity join:\n$p")
     llm.LlmText.release(spark)
