@@ -594,8 +594,20 @@ object LlmText {
       .filter(col("dfc") >= 2)
     val wd = Window.partitionBy("cid")
     // fr = FULL (dfc, sh)-order rank: reduced rank + the r1 = n − r2
-    // singletons that all sort before any df-≥2 shingle
-    val pre = ex.join(dfc, "sh")
+    // singletons that all sort before any df-≥2 shingle.
+    // The df attach is SALTED (q61 machinery, deterministic 16-way):
+    // a boilerplate shingle present in 10⁹ classes would otherwise
+    // funnel its whole ex-side fanout through ONE reducer of the
+    // sh-keyed exchange — the single hot surface of this plan. The
+    // probe (ex, corpus-scale) takes a per-row deterministic salt;
+    // the build (dfc, one row per df-≥2 shingle) replicates 16×,
+    // bounded and shuffle-cheap relative to the probe. Values are
+    // join-identical to the unsalted form (SkewJoinSpec's law);
+    // PlanSpec pins the salt in the join keys. AQE skew-split stays
+    // as the backstop for residual block imbalance.
+    val pre = graft.ops.SkewJoin.saltedJoin(
+        ex, "sh", dfc.withColumnRenamed("sh", "sh_b"), "sh_b", 16)
+      .drop("sh_b")
       .select(col("cid"), col("sh"), col("n"),
         (row_number().over(wd.orderBy(col("dfc"), col("sh")))
           + (col("n") - count(lit(1)).over(wd))).as("fr"))
@@ -647,8 +659,13 @@ object LlmText {
     * instead of tokenizing twice. */
   private val bm25Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def bm25Pre(s: SparkSession, dir: String, terms: Seq[String]): DataFrame =
-    bm25Cache.computeIfAbsent((s, dir), _ =>
+  private[graft] def bm25Pre(s: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    // Key includes the (order-insensitive) term set: the projection is
+    // filtered to `terms`, so a second caller with different query
+    // terms must NOT reuse it — it would silently score against the
+    // first caller's postings. The dir+terms composite keeps the
+    // (session, String) key shape Caches.dropSession releases on.
+    bm25Cache.computeIfAbsent((s, dir + "|" + terms.sorted.mkString(",")), _ =>
       docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("dl"),

@@ -85,8 +85,11 @@ object TextMining {
     // 100 TB (N ~ 1e10, n_ab up to N), so the numerator runs in
     // decimal(38,0) (DuckDB: HUGEINT) UNCONDITIONALLY — same floor on
     // in-range values (PmiLiftSpec pins decimal ≡ int64 on the
-    // fixture), no wrap ever; the quotient is back under int64 because
-    // n_a,n_b ≥ n_ab. Min-support n_ab ≥ 5 prunes the hapax tail BEFORE the
+    // fixture), no wrap ever; the DENOMINATOR n_a·n_b takes the same
+    // decimal/HUGEINT cast (two hot words at n_w ~ N push the raw
+    // int64 product past 2^63 in the same regime — Spark would wrap
+    // silently where DuckDB raises); the quotient is back under int64
+    // because n_a,n_b ≥ n_ab. Min-support n_ab ≥ 5 prunes the hapax tail BEFORE the
     // unigram joins. Plan at 100 TB: adjacency pairs are built
     // map-only (zip of the token array against its own tail — no
     // posexplode self-join); bigram counts shuffle once with map-side
@@ -109,7 +112,7 @@ object TextMining {
         |        FROM (SELECT unnest(t) AS w FROM tl) GROUP BY 1),
         |n AS (SELECT sum(n_w)::BIGINT AS nt FROM uni)
         |SELECT bc.w1, bc.w2, bc.n_ab,
-        |       ((1000::HUGEINT * bc.n_ab * (SELECT nt FROM n)) // (a.n_w * b.n_w))::BIGINT AS lift_milli
+        |       ((1000::HUGEINT * bc.n_ab * (SELECT nt FROM n)) // (a.n_w::HUGEINT * b.n_w))::BIGINT AS lift_milli
         |FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2
         |WHERE bc.n_ab >= 5
         |ORDER BY lift_milli DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
@@ -126,7 +129,7 @@ object TextMining {
       bc.join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
         .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")
         .select(col("w1"), col("w2"), col("n_ab"),
-          expr(s"(cast(1000 as decimal(38,0)) * n_ab * ${nt}L) div (n_w1 * n_w2)")
+          expr(s"(cast(1000 as decimal(38,0)) * n_ab * ${nt}L) div (cast(n_w1 as decimal(38,0)) * n_w2)")
             .cast("long").as("lift_milli"))
         .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
         .limit(50)

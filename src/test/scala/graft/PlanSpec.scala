@@ -584,6 +584,11 @@ class PlanSpec extends SparkSpec {
       s"class-keyed rank window lost:\n$p")
     assert(!p.contains("SinglePartition"),
       s"global window/exchange appeared in the similarity join:\n$p")
+    // r11: the df attach is salted (q61 machinery) — the hot
+    // boilerplate-shingle fanout spreads across 16 reducers instead
+    // of one; the salt must appear in the join keys, not as a
+    // post-join filter
+    assert(p.contains("__salt"), s"df-attach join lost its salt:\n$p")
     llm.LlmText.release(spark)
   }
 

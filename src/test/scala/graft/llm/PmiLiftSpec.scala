@@ -42,6 +42,21 @@ class PmiLiftSpec extends SparkSpec {
     assert(!i64ok, "int64 no longer overflows here — guard premise changed")
   }
 
+  test("decimal denominator == int64 denominator in-range, survives hot-word wrap") {
+    // r11: the denominator n_w1·n_w2 takes the same decimal cast — two
+    // hot words at n_w ~ N push the raw int64 product past 2^63
+    for ((a, b) <- Seq((11L, 13L), (1L, 1L), (3037000499L, 3L), (123456789L, 987654321L))) {
+      val dec = lift(s"(cast(1000 as decimal(38,0)) * 7L * 1000L) div (cast(${a}L as decimal(38,0)) * ${b}L)")
+      val i64 = lift(s"(1000 * 7L * 1000L) div (${a}L * ${b}L)")
+      assert(dec == i64, s"decimal/int64 denominator floors diverge on ($a,$b)")
+    }
+    // n_w1·n_w2 past 2^63: numerator chosen so the true quotient is exact
+    val hot = 4000000000L // hot^2 = 1.6e19 > 2^63
+    val dec = lift(
+      s"(cast(1000 as decimal(38,0)) * ${hot}L * ${hot}L) div (cast(${hot}L as decimal(38,0)) * ${hot}L)")
+    assert(dec == 1000L, s"decimal denominator lost the true quotient: $dec")
+  }
+
   test("the registered q110 plans the decimal numerator") {
     val df = graft.SparkEntry.queries("q110_pmi_bigrams")(spark, "/root/testdata/sf0.001")
     val analyzed = df.queryExecution.analyzed.toString
