@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale sweep for the round-10 operators (q124–q127) — the r9
+  * CloneFixture discipline that caught q66's hot-bucket quadratic,
+  * applied to the newest batch, plus the isolated q124 median the r10
+  * sweep spread ([3.4, 15.9] s) calls for.
+  *
+  * Two axes:
+  *   - sf0.01 → sf0.1 (10× rows in documents/orders/lineitem/part):
+  *     each query's isolated median must grow ≈ linearly (well under
+  *     10× wall — local[32] has idle cores at sf0.01), never
+  *     super-linearly.
+  *   - ×10 duplicate-heavy clone fixture over sf0.01 (CloneFixture):
+  *     q124's adversarial shape — every document 10× under shifted
+  *     ids, so every shingle's df inflates 10× and every clone group
+  *     collapses into one shingle-class. A hot-shingle quadratic
+  *     would blow past linear here; the class collapse + salted df
+  *     attach must keep it bounded.
+  *
+  * Protocol: Bench.timedRun through the noop sink, Caches.releaseAll
+  * between runs (every run billed cold, like one sweep entry),
+  * median-of-5 for q124 at sf0.1 (the spread-bounding number),
+  * median-of-3 elsewhere. Prints one line per (query, fixture).
+  */
+object AnalyticsSweep {
+  def main(args: Array[String]): Unit = {
+    val cloneDir = sys.env.getOrElse("SPARK_GRAFT_CLONE_DIR", "/tmp/graft/clone10_sf001")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val qs = Seq("q124_jaccard_prefix_join", "q125_interval_islands",
+      "q126_countmin_sketch", "q127_skyline")
+      .map(n => graft.SparkEntry.all.find(_.name == n).get)
+
+    def med(q: graft.core.Q, dir: String, runs: Int): (Double, Double, Double) = {
+      val ts = (1 to runs).map { _ =>
+        val (dt, err) = graft.Bench.timedRun(spark, dir, q)
+        require(err.isEmpty, s"${q.name} failed on $dir: $err")
+        graft.Caches.releaseAll(spark)
+        dt
+      }
+      (graft.Bench.median(ts), ts.min, ts.max)
+    }
+
+    // warmup (codegen + page cache) — one throwaway run of each query
+    qs.foreach { q => graft.Bench.timedRun(spark, "/root/testdata/sf0.01", q) }
+    graft.Caches.releaseAll(spark)
+
+    val fixtures = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "clone10" -> cloneDir)
+    val results = for (q <- qs; (fl, dir) <- fixtures) yield {
+      // clone fixture only reshapes documents/embeddings — the TPC-H
+      // queries q125-q127 read identical tables there; skip them.
+      if (fl == "clone10" && q.name != "q124_jaccard_prefix_join") None
+      else {
+        val runs = if (q.name == "q124_jaccard_prefix_join" && fl == "sf0.1") 5 else 3
+        val (m, lo, hi) = med(q, dir, runs)
+        println(f"${q.name}%-26s $fl%-8s median $m%7.3f s  [$lo%.3f, $hi%.3f]  runs=$runs")
+        Some((q.name, fl, m))
+      }
+    }
+    val byQ = results.flatten.groupBy(_._1)
+    byQ.toSeq.sortBy(_._1).foreach { case (n, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      val ratio = m("sf0.1") / m("sf0.01")
+      val cl = m.get("clone10").map(c => f"  clone10/sf0.01 ${c / m("sf0.01")}%5.2fx").getOrElse("")
+      println(f"$n%-26s 10x-data ratio ${ratio}%5.2fx$cl")
+    }
+    spark.stop()
+  }
+}
