@@ -117,12 +117,29 @@ object StreamMerge {
     * back before the next apply (readers that find a bucket absent
     * must check `.old_` siblings before concluding loss — the compact
     * caveat); after the swaps → only orphaned `.old`/`.stage` dirs,
-    * cleaned by the pre-pass. Single-writer per table (foreachBatch
-    * serializes batches; the pre-pass may delete a CONCURRENT writer's
-    * stage). Renames are same-filesystem atomic; on an object store a
-    * real deployment swaps this for a table format's snapshot commit
-    * (Delta/Iceberg) — the sink contract is unchanged. */
+    * cleaned by the pre-pass. Single-writer per table, ENFORCED (r11):
+    * the whole apply runs under a pid-stamped `.writerlock` file —
+    * a second process attempting the table while the holder is alive
+    * fails fast with IllegalStateException instead of silently racing
+    * the swap, and a crashed holder's lock (dead pid) is stolen by the
+    * next writer. Belt-and-braces, the pre-pass also refuses to touch
+    * `.stage_`/`.old_` dirs whose embedded pid is a LIVE foreign
+    * process, so even a lock-bypassing concurrent caller cannot have
+    * its in-flight stage destroyed (it merely races the swap, which
+    * the lock exists to prevent). The fence is cross-PROCESS; within
+    * one JVM foreachBatch already serializes batches. Renames are
+    * same-filesystem atomic; on an object store a real deployment
+    * swaps this for a table format's snapshot commit (Delta/Iceberg)
+    * — the sink contract is unchanged. */
   def upsertBatch(batch: Dataset[TrialUpdate], tableDir: String, buckets: Int): Unit = {
+    import java.nio.file.Paths
+    val dir = Paths.get(tableDir)
+    acquireWriterLock(dir)
+    try upsertLocked(batch, tableDir, buckets)
+    finally releaseWriterLock(dir)
+  }
+
+  private def upsertLocked(batch: Dataset[TrialUpdate], tableDir: String, buckets: Int): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val s = batch.sparkSession
     import org.apache.spark.sql.functions._
@@ -176,16 +193,30 @@ object StreamMerge {
     * is moved back; superseded `.old` copies (live dir present) and
     * orphaned `.stage` dirs (incomplete stage writes — live table was
     * never touched) are deleted. Runs before every apply, so a torn
-    * table heals on the next batch without operator action. */
+    * table heals on the next batch without operator action.
+    *
+    * Writer-fence guard (r11): dirs whose `_<pid>` suffix names a LIVE
+    * process other than this one belong to a concurrent writer — they
+    * are left untouched rather than destroyed mid-write (the suffix
+    * has carried the writer's pid since r10 precisely so recovery can
+    * tell "crashed, mine to clean" from "alive, not mine"). With the
+    * `.writerlock` held such dirs should not exist; the guard defends
+    * against lock-bypassing callers and direct recoverTorn use. */
   private[streaming] def recoverTorn(dir: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val parent = dir.getParent
     if (parent == null || !Files.exists(parent)) return
     val name = dir.getFileName.toString
+    val self = ProcessHandle.current().pid()
+    def foreignLive(sn: String): Boolean = {
+      val pid = try sn.substring(sn.lastIndexOf('_') + 1).toLong
+                catch { case _: NumberFormatException => -1L }
+      pid != self && pid > 0 && pidAlive(pid)
+    }
     Files.list(parent).iterator().asScala.toList.foreach { sib =>
       val sn = sib.getFileName.toString
-      if (sn.startsWith(name + ".old_")) {
+      if (sn.startsWith(name + ".old_") && !foreignLive(sn)) {
         Files.list(sib).iterator().asScala.toList
           .filter(_.getFileName.toString.startsWith("bucket="))
           .foreach { bdir =>
@@ -194,8 +225,59 @@ object StreamMerge {
               Files.move(bdir, live, StandardCopyOption.ATOMIC_MOVE)
           }
         deleteTree(sib)
-      } else if (sn.startsWith(name + ".stage_")) deleteTree(sib)
+      } else if (sn.startsWith(name + ".stage_") && !foreignLive(sn)) deleteTree(sib)
     }
+  }
+
+  private def pidAlive(pid: Long): Boolean =
+    ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
+      .orElse(java.lang.Boolean.FALSE)
+
+  private def lockPath(dir: java.nio.file.Path): java.nio.file.Path =
+    dir.resolveSibling(dir.getFileName.toString + ".writerlock")
+
+  /** Take the table's cross-process writer lock: atomically create the
+    * pid-stamped `.writerlock` sibling. A live foreign holder is the
+    * single-writer contract violated → fail FAST (the caller must not
+    * proceed to race the swap); a dead holder (crashed writer) is
+    * stolen. The steal itself is race-safe: after deleteIfExists only
+    * one contender's CREATE_NEW succeeds, the loser loops and then
+    * sees the new live holder. */
+  private[streaming] def acquireWriterLock(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val lock = lockPath(dir)
+    val self = ProcessHandle.current().pid()
+    if (dir.getParent != null) Files.createDirectories(dir.getParent)
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      try {
+        Files.write(lock, self.toString.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val holder =
+            try Files.readString(lock).trim.toLong
+            catch { case _: Throwable => -1L }
+          if (holder == self) return // ours already (same-process re-entry)
+          if (holder > 0 && pidAlive(holder))
+            throw new IllegalStateException(
+              s"upsertBatch: table $dir is locked by live writer pid $holder " +
+                "— single-writer contract violated")
+          Files.deleteIfExists(lock) // dead holder: steal and retry
+      }
+    }
+    throw new IllegalStateException(s"could not acquire writer lock $lock")
+  }
+
+  private[streaming] def releaseWriterLock(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val lock = lockPath(dir)
+    try {
+      if (Files.readString(lock).trim.toLong == ProcessHandle.current().pid())
+        Files.deleteIfExists(lock)
+    } catch { case _: Throwable => () }
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {

@@ -39,6 +39,19 @@ class UpsertSwapSpec extends SparkSpec {
       else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
     }
 
+  /** A pid that provably belonged to a now-dead process (spawn + exit),
+    * so the recovery pre-pass must treat its dirs as crashed leftovers
+    * — never skip them as a live writer's. */
+  private def deadPid(): Long = {
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    p.pid()
+  }
+
+  /** A live helper process the fence must refuse to race; kill() when done. */
+  private def liveHelper(): Process =
+    new ProcessBuilder("sleep", "60").start()
+
   test("bucket stranded between the two renames is restored, then the replay lands") {
     // crash window: live bucket moved out to .old_<pid>, staged copy
     // never moved in — the live path is missing that one bucket
@@ -55,12 +68,13 @@ class UpsertSwapSpec extends SparkSpec {
       .filter(_.getFileName.toString.startsWith("bucket=")).toList
     assert(bucketDirs.size >= 2, "fixture keys must hash into >1 bucket")
     val someBucket = bucketDirs.head
-    val old = dir.resolveSibling("t.old_99999")
+    val crashed = deadPid()
+    val old = dir.resolveSibling(s"t.old_$crashed")
     Files.createDirectories(old)
     Files.move(someBucket, old.resolve(someBucket.getFileName.toString),
       StandardCopyOption.ATOMIC_MOVE)
     // plus an orphaned stage from the same crashed attempt
-    val stage = dir.resolveSibling("t.stage_99999")
+    val stage = dir.resolveSibling(s"t.stage_$crashed")
     Files.createDirectories(stage.resolve("bucket=0"))
     Files.write(stage.resolve("junk"), Array[Byte](1, 2, 3))
     assert(readTable(table).size < 3, "setup must actually tear the table")
@@ -114,7 +128,7 @@ class UpsertSwapSpec extends SparkSpec {
     val batch = Seq(up("A", 1), up("B", 2)).toDS()
     StreamMerge.upsertBatch(batch, table, buckets = 4)
     // a half-written stage dir (no rename ever happened)
-    val stage = Paths.get(table).resolveSibling("t.stage_11111")
+    val stage = Paths.get(table).resolveSibling(s"t.stage_${deadPid()}")
     Files.createDirectories(stage.resolve("bucket=1"))
     Files.write(stage.resolve("bucket=1").resolve("part-torn.parquet"),
       Array[Byte](0, 1, 2))
@@ -122,5 +136,51 @@ class UpsertSwapSpec extends SparkSpec {
     StreamMerge.upsertBatch(Seq(up("C", 1)).toDS(), table, buckets = 4)
     assert(readTable(table) == Seq(up("A", 1), up("B", 2), up("C", 1)))
     assert(siblings(table).isEmpty)
+  }
+
+  test("a LIVE foreign writer's lock fails the apply fast; its stage survives untouched") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fence")
+    val table = base.resolve("t").toString
+    StreamMerge.upsertBatch(Seq(up("A", 1)).toDS(), table, buckets = 4)
+    val dir = Paths.get(table)
+    val writer = liveHelper()
+    try {
+      // the foreign writer holds the lock and has an in-flight stage
+      Files.write(dir.resolveSibling("t.writerlock"),
+        writer.pid().toString.getBytes("UTF-8"))
+      val theirStage = dir.resolveSibling(s"t.stage_${writer.pid()}")
+      Files.createDirectories(theirStage.resolve("bucket=1"))
+      Files.write(theirStage.resolve("bucket=1").resolve("part-inflight.parquet"),
+        Array[Byte](9, 9, 9))
+      val e = intercept[IllegalStateException] {
+        StreamMerge.upsertBatch(Seq(up("B", 1)).toDS(), table, buckets = 4)
+      }
+      assert(e.getMessage.contains("single-writer"))
+      // their in-flight stage was NOT destroyed, the table not advanced
+      assert(Files.exists(theirStage.resolve("bucket=1").resolve("part-inflight.parquet")))
+      assert(readTable(table) == Seq(up("A", 1)))
+      // recoverTorn directly (a lock-bypassing caller) must also skip it
+      StreamMerge.recoverTorn(dir)
+      assert(Files.exists(theirStage.resolve("bucket=1").resolve("part-inflight.parquet")))
+    } finally { writer.destroyForcibly(); writer.waitFor() }
+    // writer now dead: the next apply steals the lock, cleans the
+    // crashed stage, and lands — then releases its own lock
+    StreamMerge.upsertBatch(Seq(up("B", 1)).toDS(), table, buckets = 4)
+    assert(readTable(table) == Seq(up("A", 1), up("B", 1)))
+    assert(siblings(table).isEmpty, s"got ${siblings(table)}")
+  }
+
+  test("a dead holder's lock is stolen and released cleanly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_steal")
+    val table = base.resolve("t").toString
+    val dir = Paths.get(table)
+    Files.createDirectories(dir.getParent)
+    Files.write(dir.resolveSibling("t.writerlock"),
+      deadPid().toString.getBytes("UTF-8"))
+    StreamMerge.upsertBatch(Seq(up("A", 1)).toDS(), table, buckets = 4)
+    assert(readTable(table) == Seq(up("A", 1)))
+    assert(siblings(table).isEmpty, s"got ${siblings(table)}")
   }
 }
