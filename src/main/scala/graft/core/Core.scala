@@ -25,15 +25,26 @@ object T {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader does not
-    * support natively; read it as raw long nanos and convert to microsecond
-    * timestamps (identical to DuckDB's nanos->micros truncation). */
+  /** events.ts has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS), which Spark's reader does not support
+    * natively (read as raw long nanos and truncate to microseconds — the
+    * same nanos->micros truncation DuckDB applies), and plain
+    * timestamp[us] WITHOUT UTC adjustment, which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to session-zone TIMESTAMP: every
+    * consumer (unix_micros, watermarks, windows) requires it, and with
+    * the UTC session zone the NTZ->LTZ cast re-labels the same wall
+    * clock DuckDB sees — values identical in both engines. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register all fixture tables as temp views (for spark.sql entries).

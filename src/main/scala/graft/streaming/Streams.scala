@@ -45,12 +45,20 @@ object Streams {
     val dst = landing.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst))
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
-    // schema from the batch reader (ts arrives as raw nano longs)
+    // schema from the batch reader; normalize ts to session-zone
+    // TIMESTAMP exactly as T.events does (the testdata has shipped both
+    // TIMESTAMP(NANOS) -> raw long nanos and timestamp[us] -> NTZ, and
+    // watermarks/windows require TimestampType)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(schema).parquet(landing.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   val qs: Seq[Q] = Seq(
