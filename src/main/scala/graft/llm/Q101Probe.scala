@@ -67,6 +67,7 @@ object Q101Probe {
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "5").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -29,6 +29,7 @@ object AnalyticsSweep {
     val cloneDir = sys.env.getOrElse("SPARK_GRAFT_CLONE_DIR", "/tmp/graft/clone10_sf001")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -12,6 +12,7 @@ object Explain {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

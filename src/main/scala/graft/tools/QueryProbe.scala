@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Generic isolated-median probe — the repo's established regression
+  * triage protocol (GraphProbe for q109/q113, StreamProbe for the
+  * streaming trio, Q101Probe for BM25), generalized to ANY registered
+  * query so a fresh sweep regression (BENCH_r11: q107 0.21 → 0.91 s,
+  * 4.28×, with zero r11 change to `ingest/JsonlSource.scala`) gets an
+  * isolated number without a bespoke tool per query.
+  *
+  * Protocol matches GraphProbe: page-cache warmup of every table, then
+  * per run `Caches.releaseAll` (the bench's between-sweep state) before
+  * a COLD timing and a HOT timing in the same session. The isolated
+  * cold median is directly comparable to the sweep's per-query median;
+  * a cold median at the previous round's level names the regression
+  * "sweep context load", a raised one names the query itself.
+  *
+  * Usage: `runMain graft.tools.QueryProbe q107,q109 [sfDir] [runs]`
+  * (query prefixes or full names; defaults /root/testdata/sf0.1, 5).
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val wanted = args.headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(sys.error("usage: QueryProbe q107[,q109...] [sfDir] [runs]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val selected = graft.SparkEntry.all.filter(q =>
+      wanted(q.name) || wanted(q.name.takeWhile(_ != '_')))
+    require(selected.nonEmpty, s"no query matches $wanted")
+
+    def time(q: graft.core.Q): Double = {
+      val t0 = System.nanoTime()
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // page-cache warmup (Bench does the same before timing)
+    graft.core.T.names.foreach { t =>
+      graft.core.T.df(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+    }
+    for (q <- selected) {
+      val cold = Vector.newBuilder[Double]
+      val hot = Vector.newBuilder[Double]
+      for (_ <- 1 to runs) {
+        graft.Caches.releaseAll(spark) // the bench's between-sweep state
+        cold += time(q)
+        hot += time(q)
+      }
+      val (c, h) = (cold.result(), hot.result())
+      def med(xs: Vector[Double]) = graft.Bench.median(xs)
+      println(f"${q.name}%-26s cold median ${med(c)}%5.2f s  hot median ${med(h)}%5.2f s" +
+        f"  (cold [${c.min}%.2f,${c.max}%.2f] hot [${h.min}%.2f,${h.max}%.2f])")
+    }
+    spark.stop()
+  }
+}
