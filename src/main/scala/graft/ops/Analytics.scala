@@ -175,32 +175,27 @@ object Analytics {
     * body, factored so SkylineSpec can drive it with adversarial
     * fixtures the part table cannot produce.
     *
-    * CORRECTNESS does not depend on the grid: the bound only ever
-    * discards CERTAINLY-dominated points (the cell-minimum witness has
-    * strictly lower price and ≥ size), so the exact windowed pass
-    * downstream returns the true frontier for ANY price distribution —
-    * including the degenerate one where every price lands in one
-    * 1000-cent cell and the prune admits every row (SkylineSpec pins
-    * exactly that case). What the fixed cell DOES control is the
-    * PRUNE RATE: an adversarially flat distribution (all prices within
-    * ~10 dollars) widens the admitted band toward |input|, pushing
-    * work onto the exact pass's windows. The scale upgrade is
-    * ADAPTIVE cells: set the cell width from a price quantile sketch
-    * (e.g. approx_percentile spacing, the q104 machinery) instead of
-    * the fixed 1000 cents, so the band tracks the frontier's actual
-    * local density; the bound-table shape and the proof are unchanged.
-    * The declared fixtures (2-decimal dollar prices spread over
-    * ~[900, 2000]) keep the fixed cell's band frontier-sized. */
+    * Cells are ADAPTIVE (round 12, the upgrade the r11 scaladoc
+    * declared): cut points come from a one-pass `percentile_approx`
+    * probe over pc — a mergeable sketch aggregate (the q104
+    * machinery), ≤ `cells` values to the driver — so the prune rate is
+    * distribution-independent: a flat distribution that packed every
+    * price into one fixed 1000-cent cell (prune admitted 100% of
+    * input) now splits into ~`cells` equal-mass cells and the band
+    * stays frontier-sized. CORRECTNESS never depended on the cells and
+    * still doesn't: with cuts c_1<…<c_m, cell(x) = |{i : c_i ≤ x}|
+    * and ub(k) = c_{k+1} (+∞ for the top cell), a point with
+    * pc ≥ ub(cellMin(sz)) is CERTAINLY dominated — the cell-minimum
+    * witness at ≥ its size sits strictly below that boundary — so only
+    * dominated points are discarded and the exact windowed pass
+    * returns the true frontier for ANY distribution, including the
+    * all-prices-equal degenerate where the cuts collapse to one value
+    * and the prune admits everything (SkylineSpec pins both the old
+    * one-cell adversary — now actually thinned — and the new
+    * all-equal one). The exact pass's global windows then run over a
+    * frontier-band-sized frame — the q116 bounded-window discipline. */
   private[graft] def skyline(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bnd = p.groupBy(col("sz").as("j"))
-      .agg(min(expr("pc div 1000")).as("ci"))
-      .select(col("j"),
-        ((min("ci").over(Window.orderBy(col("j").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1L) * 1000L)
-          .as("ub"))
-    val cand = p.join(broadcast(bnd), col("sz") === col("j"))
-      .filter(col("pc") < col("ub"))
-      .select("p_partkey", "pc", "sz")
+    val cand = skylineCandidates(p)
     val cheaper = Window.orderBy("pc")
       .rangeBetween(Window.unboundedPreceding, -1)
     val samePrice = Window.partitionBy("pc")
@@ -211,5 +206,41 @@ object Analytics {
       .filter(col("sz") === col("m2"))
       .select(col("p_partkey"), col("pc").as("price_cents"), col("sz").as("p_size"))
       .orderBy("price_cents", "p_size", "p_partkey")
+  }
+
+  /** The adaptive-cell prune pass: (p_partkey, pc, sz) in, the
+    * certainly-not-dominated candidate band out. Factored from
+    * `skyline` so AnalyticsSweep can measure the PRUNE RATE
+    * (|candidates| / |input|) per fixture directly.
+    *
+    * Shape at 100 TB: the probe is one sketch aggregate (partial-
+    * combined, ≤ cells values collected); the bound table is
+    * ≤ |distinct sizes| rows built with one hash exchange on sz plus a
+    * bounded unpartitioned running-min window (q116 discipline), then
+    * BROADCAST — the corpus-scale side is touched by exactly one
+    * map-side filter, no extra shuffle. */
+  private[graft] def skylineCandidates(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = 64
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    val cutRow = p.agg(
+      percentile_approx(col("pc"), lit(probs), lit(10000)).as("cuts")).first()
+    val cuts: Seq[Long] =
+      if (cutRow.isNullAt(0)) Seq.empty // empty input: no cuts, no prune
+      else cutRow.getSeq[Long](0).distinct.sorted
+    // cell(x) = #cuts ≤ x; ubArr(k) (0-indexed) = upper boundary of
+    // cell k, +∞ sentinel for the top cell
+    val ci = size(filter(typedLit(cuts), c => c <= col("pc"))).cast("long")
+    val ubArr = cuts :+ Long.MaxValue
+    val bnd = p.withColumn("ci", ci)
+      .groupBy(col("sz").as("j")).agg(min("ci").as("cimin"))
+      .select(col("j"),
+        element_at(typedLit(ubArr),
+          (min("cimin").over(Window.orderBy(col("j").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1L)
+            .cast("int"))
+          .as("ub"))
+    p.join(broadcast(bnd), col("sz") === col("j"))
+      .filter(col("pc") < col("ub"))
+      .select("p_partkey", "pc", "sz")
   }
 }

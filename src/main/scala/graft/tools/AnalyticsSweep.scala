@@ -75,6 +75,28 @@ object AnalyticsSweep {
       val cl = m.get("clone10").map(c => f"  clone10/sf0.01 ${c / m("sf0.01")}%5.2fx").getOrElse("")
       println(f"$n%-26s 10x-data ratio ${ratio}%5.2fx$cl")
     }
+
+    // ---- q127 prune-rate probe (round 12): the adaptive quantile
+    // cells must keep the skyline's candidate band frontier-sized on
+    // an adversarially FLAT price distribution — the fixture the old
+    // fixed 1000-cent grid could not thin (every price inside one
+    // cell → 100% of input admitted to the exact windowed pass).
+    {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val flat = (1L to 100000L)
+        .map(i => (i, 100L + i * 2654435761L % 900L, 1L + i % 50L))
+        .toDF("p_partkey", "pc", "sz")
+      val real = graft.core.T.df(spark, "/root/testdata/sf0.1", "part")
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("pc"),
+          col("p_size").cast("long").as("sz"))
+      for ((nm, df) <- Seq("flat100k" -> flat, "part_sf0.1" -> real)) {
+        val n = df.count()
+        val c = graft.ops.Analytics.skylineCandidates(df).count()
+        println(f"q127 prune $nm%-10s input $n%8d  candidates $c%8d  admit ${100.0 * c / n}%6.2f%%")
+      }
+    }
     spark.stop()
   }
 }

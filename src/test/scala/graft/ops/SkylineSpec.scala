@@ -31,17 +31,30 @@ class SkylineSpec extends SparkSpec {
     pts.toDF("p_partkey", "pc", "sz")
   }
 
-  test("degenerate: all prices inside ONE grid cell — prune admits everything, exact pass still exact") {
-    // 200 points, every price in [100, 999] cents: pc div 1000 == 0
-    // for every row, so every ub == 1000 and NO row is pruned — the
-    // adversarially flat distribution the fixed cell cannot thin.
+  test("flat distribution inside ONE fixed 1000-cent cell — adaptive cells restore the prune, result exact") {
+    // 200 points, every price in [100, 999] cents: the OLD fixed grid
+    // (pc div 1000) put every row in cell 0 and admitted 100% of the
+    // input; the adaptive quantile cells split the same range into
+    // ~64 equal-mass cells, so the prune must actually thin here
+    // while the answer stays the brute-force frontier.
     val rnd = new scala.util.Random(42)
     val pts = (1L to 200L).map { i =>
       (i, 100L + rnd.nextInt(900), 1L + rnd.nextInt(50)) }
     val p = frame(pts)
-    // prune really is a no-op here: candidate count == input count
-    val bnd = p.groupBy(col("sz").as("j")).agg(min(expr("pc div 1000")).as("ci"))
-    assert(bnd.agg(max("ci")).first().getLong(0) == 0L)
+    val nCand = Analytics.skylineCandidates(p).count()
+    assert(nCand < 200L, s"adaptive prune admitted all $nCand rows on the flat fixture")
+    assert(run(p) == brute(p))
+  }
+
+  test("degenerate: ALL prices equal — cuts collapse to one value, prune admits everything, exact pass still exact") {
+    // the adaptive grid's own worst case: every quantile is the same
+    // value, the distinct cut list has one element, every point lands
+    // in the top cell (ub = +inf) and nothing is pruned — correctness
+    // must come entirely from the exact windowed pass (max-size ties
+    // all kept, everything else dominated).
+    val pts = (1L to 100L).map { i => (i, 500L, 1L + i % 10) }
+    val p = frame(pts)
+    assert(Analytics.skylineCandidates(p).count() == 100L)
     assert(run(p) == brute(p))
   }
 
