@@ -22,11 +22,18 @@ import graft.core.{Q, T}
   *    Scala analogue of a PySpark `mapInPandas` batch UDF. q103
   *    oracle-gates the feature path end-to-end (byte-exact stats both
   *    engines).
-  *  - the actual codec call is STUBBED here (no image/audio libraries
-  *    in this environment): [[MediaStub.decode]] is a deterministic
-  *    fake (byte-slice "frames"); the Spark-side plumbing — schema,
-  *    batch shape, partitioning, frame explosion — is real and is
-  *    what q49/q103 oracle-check.
+  *  - the IMAGE codec is REAL (round 12): [[MediaCodec.decode]] is
+  *    `javax.imageio` (public JDK — same `ImageIO.read` entry point
+  *    for PNG and JPEG), and q128 oracle-gates it end-to-end: the
+  *    staged fixture holds real PNGs encoded from a deterministic
+  *    per-pixel formula, the query decodes them and sums the channels,
+  *    and the DuckDB oracle recomputes the identical sums from the
+  *    formula — PNG is lossless, so any decode deviation flips the
+  *    hash red. Audio/video frame sampling stays a deterministic
+  *    stub ([[MediaStub.decode]], no codec libs for those in this
+  *    environment); its Spark-side plumbing — schema, batch shape,
+  *    partitioning, frame explosion — is real and is what q49/q103
+  *    oracle-check.
   */
 object Multimodal {
 
@@ -49,6 +56,40 @@ object Multimodal {
       }
   }
 
+  /** Decoded-image scalar features: dimensions + exact per-channel
+    * sums — the real-decoder analogue of [[MediaFeat]]. */
+  final case class ImgStat(doc_id: Long, width: Int, height: Int,
+      n_px: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL image codec (round 12 — closes the declared stub gate for
+    * images): `javax.imageio.ImageIO.read` is format-sniffing, so the
+    * same call decodes PNG and JPEG payloads; channel stats come off
+    * the decoded raster. PNG is lossless, which is what lets q128's
+    * DuckDB oracle recompute the exact channel sums from the fixture's
+    * generative pixel formula — a decoder that mangles dimensions,
+    * channel order, or any pixel value hash-mismatches. (JPEG decodes
+    * through the identical path but is lossy, so only its dimensions
+    * would be oracle-exact.) */
+  object MediaCodec {
+    def decode(docId: Long, bytes: Array[Byte]): ImgStat = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload for doc $docId")
+      val w = img.getWidth; val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      ImgStat(docId, w, h, w.toLong * h, rs, gs, bs)
+    }
+  }
+
   object MediaBatch {
     /** Partition-batched decode: init-once-per-partition shape (the
       * place a codec/session handle would be created). */
@@ -57,6 +98,19 @@ object Multimodal {
       ds.mapPartitions { it =>
         // codec init would happen here, once per partition
         it.flatMap(m => MediaStub.decode(m, frames))
+      }
+    }
+
+    /** Partition-batched REAL image decode: the codec registry is
+      * touched once per partition (the init-once slot a heavier
+      * decoder/feature-net would occupy), then every payload in the
+      * partition streams through [[MediaCodec.decode]]. Map-only —
+      * payload bytes never shuffle. */
+    def decodeImages(ds: Dataset[(Long, Array[Byte])]): Dataset[ImgStat] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
+        it.map { case (id, bytes) => MediaCodec.decode(id, bytes) }
       }
     }
 
@@ -101,6 +155,62 @@ object Multimodal {
           (col("n_chars") * 40).cast("long").as("dur_ms"),
           octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
           encode(col("text"), "UTF-8").as("payload"))
+        .write.mode("overwrite").parquet(stage.toString)
+      def rmTree(p: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent run staged `base` first: its copy is identical
+        case _: java.nio.file.FileAlreadyExistsException => rmTree(stage)
+        case _: java.nio.file.DirectoryNotEmptyException => rmTree(stage)
+      }
+    }
+    s.read.parquet(base.toString)
+  }
+
+  /** Real-PNG fixture, staged once per fixture generation (same
+    * size+mtime stamp + write-to-temp + atomic-rename discipline as
+    * [[mediaTable]]): one genuine PNG per document, ENCODED IN THE
+    * EXECUTORS (mapPartitions — the driver never holds image bytes)
+    * from a deterministic per-pixel formula of (doc_id, x, y), with
+    * per-doc dimensions 8+doc_id%9 × 8+doc_id%7. The formula is the
+    * contract q128's oracle recomputes arithmetically — the fixture
+    * must round-trip encode→decode bit-exactly for the gate to pass. */
+  private[llm] def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "documents.parquet")
+    val stamp = Files.size(src) + "_" + Files.getLastModifiedTime(src).toMillis
+    val base = Paths.get(s"/tmp/graft/png_$stamp")
+    if (!Files.exists(base)) {
+      val stage = base.resolveSibling(
+        base.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
+      import s.implicits._
+      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          import java.awt.image.BufferedImage
+          it.map { id =>
+            val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((id * 7 + x * 5 + y * 3) % 256).toInt
+                val g = ((id * 11 + x * 2 + y * 7) % 256).toInt
+                val b = ((id * 13 + x * 3 + y) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, "image/png", bos.toByteArray)
+          }
+        }
+        .toDF("doc_id", "mime", "payload")
         .write.mode("overwrite").parquet(stage.toString)
       def rmTree(p: Path): Unit = {
         import scala.jdk.CollectionConverters._
@@ -195,6 +305,39 @@ object Multimodal {
       MediaBatch.features(media, 16)
         .filter(col("n_used") >= 1)
         .select("doc_id", "n_used", "byte_sum", "byte_max")
+        .orderBy("doc_id")
+    },
+
+    // ---- REAL decode, oracle-gated end to end (round 12): the staged
+    // fixture's payloads are genuine PNGs; the query decodes every one
+    // with javax.imageio and sums the decoded channels. The oracle
+    // never sees a PNG — it recomputes the identical numbers from the
+    // fixture's generative formula (lateral generate_series over each
+    // doc's w×h pixel grid), so the gate proves the ENCODE→DECODE
+    // round trip is bit-exact: wrong dimensions, channel order, or any
+    // mangled pixel hash-mismatches. Plan: scan → map-only batched
+    // decode (payload bytes never shuffle) → presentation sort; at
+    // 100 TB the decode cost parallelizes per input split and the only
+    // exchange carries 7 scalar columns per image.
+    Q("q128_media_decode",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 9)::INT AS w,
+        |                  (8 + doc_id % 7)::INT AS h
+        |           FROM documents),
+        |xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 13)) AS y),
+        |px AS (SELECT d.doc_id, d.w, d.h, xs.x, ys.y
+        |       FROM d, xs, ys WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id, max(w)::INT AS width, max(h)::INT AS height,
+        |       count(*)::BIGINT AS n_px,
+        |       sum((doc_id * 7 + x * 5 + y * 3) % 256)::BIGINT AS r_sum,
+        |       sum((doc_id * 11 + x * 2 + y * 7) % 256)::BIGINT AS g_sum,
+        |       sum((doc_id * 13 + x * 3 + y) % 256)::BIGINT AS b_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = pngTable(s, dir)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      MediaBatch.decodeImages(payloads)
+        .select("doc_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
         .orderBy("doc_id")
     }
   )
