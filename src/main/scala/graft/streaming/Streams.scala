@@ -38,13 +38,20 @@ object Streams {
     * front of every streaming query here. Each call returns a FRESH
     * readStream (required for stream-stream self-joins: each side
     * tracks its own offsets). */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+  private[streaming] def eventStream(s: SparkSession, dir: String): DataFrame = {
+    // landing dir is keyed by the SOURCE's size+mtime stamp (ADVICE
+    // r11): a regenerated fixture at the same path — possibly with the
+    // OTHER ts encoding — must never meet a stale staged copy whose
+    // physical type contradicts the freshly-read schema below.
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stamp = java.nio.file.Files.size(src) + "_" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
     val landing = java.nio.file.Paths.get(
-      "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode))
+      "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode) + "_" + stamp)
     java.nio.file.Files.createDirectories(landing)
     val dst = landing.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+      java.nio.file.Files.copy(src, dst)
     // schema from the batch reader; normalize ts to session-zone
     // TIMESTAMP exactly as T.events does (the testdata has shipped both
     // TIMESTAMP(NANOS) -> raw long nanos and timestamp[us] -> NTZ, and
