@@ -121,8 +121,10 @@ object StreamMerge {
     * the whole apply runs under a pid-stamped `.writerlock` file —
     * a second process attempting the table while the holder is alive
     * fails fast with IllegalStateException instead of silently racing
-    * the swap, and a crashed holder's lock (dead pid) is stolen by the
-    * next writer. Belt-and-braces, the pre-pass also refuses to touch
+    * the swap (or, on the cooperative path — `lockWaitMs > 0`, the
+    * sink's default — waits the holder out with backoff and applies
+    * serially, the supervisor-restart story), and a crashed holder's
+    * lock (dead pid) is stolen by the next writer. Belt-and-braces, the pre-pass also refuses to touch
     * `.stage_`/`.old_` dirs whose embedded pid is a LIVE foreign
     * process, so even a lock-bypassing concurrent caller cannot have
     * its in-flight stage destroyed (it merely races the swap, which
@@ -131,10 +133,24 @@ object StreamMerge {
     * same-filesystem atomic; on an object store a real deployment
     * swaps this for a table format's snapshot commit (Delta/Iceberg)
     * — the sink contract is unchanged. */
-  def upsertBatch(batch: Dataset[TrialUpdate], tableDir: String, buckets: Int): Unit = {
+  def upsertBatch(batch: Dataset[TrialUpdate], tableDir: String, buckets: Int): Unit =
+    upsertBatch(batch, tableDir, buckets, lockWaitMs = 0L)
+
+  /** As [[upsertBatch]], with a COOPERATIVE lock path (round 12): a
+    * live foreign `.writerlock` holder is waited out for up to
+    * `lockWaitMs` (exponential backoff, 25 ms doubling to a 1 s cap)
+    * before the single-writer IllegalStateException fires. This is the
+    * supervisor-restart story: a restarted stream whose predecessor is
+    * still draining its final slow batch QUEUES behind it and then
+    * applies — serial application, no crash loop — while two writers
+    * genuinely configured against one table still fail within the
+    * bound instead of silently racing the swap. `lockWaitMs = 0` keeps
+    * the r11 fail-fast contract exactly. */
+  def upsertBatch(batch: Dataset[TrialUpdate], tableDir: String, buckets: Int,
+                  lockWaitMs: Long): Unit = {
     import java.nio.file.Paths
     val dir = Paths.get(tableDir)
-    acquireWriterLock(dir)
+    acquireWriterLock(dir, lockWaitMs)
     try upsertLocked(batch, tableDir, buckets)
     finally releaseWriterLock(dir)
   }
@@ -238,19 +254,25 @@ object StreamMerge {
 
   /** Take the table's cross-process writer lock: atomically create the
     * pid-stamped `.writerlock` sibling. A live foreign holder is the
-    * single-writer contract violated → fail FAST (the caller must not
-    * proceed to race the swap); a dead holder (crashed writer) is
-    * stolen. The steal itself is race-safe: after deleteIfExists only
-    * one contender's CREATE_NEW succeeds, the loser loops and then
-    * sees the new live holder. */
-  private[streaming] def acquireWriterLock(dir: java.nio.file.Path): Unit = {
+    * single-writer contract violated → with `waitMs = 0` fail FAST
+    * (the caller must not proceed to race the swap); with `waitMs > 0`
+    * (the cooperative path) the holder is waited out with exponential
+    * backoff until it RELEASES (cooperative handoff) or DIES (lock
+    * stolen like any crashed writer's), and only a holder still alive
+    * at the deadline throws. A dead holder is always stolen
+    * immediately. The steal itself is race-safe: after deleteIfExists
+    * only one contender's CREATE_NEW succeeds, the loser loops and
+    * then sees the new live holder. */
+  private[streaming] def acquireWriterLock(dir: java.nio.file.Path,
+                                           waitMs: Long = 0L): Unit = {
     import java.nio.file.{Files, StandardOpenOption}
     val lock = lockPath(dir)
     val self = ProcessHandle.current().pid()
     if (dir.getParent != null) Files.createDirectories(dir.getParent)
-    var attempts = 0
-    while (attempts < 100) {
-      attempts += 1
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var backoff = 25L
+    var steals = 0
+    while (steals < 100) {
       try {
         Files.write(lock, self.toString.getBytes("UTF-8"),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -261,11 +283,18 @@ object StreamMerge {
             try Files.readString(lock).trim.toLong
             catch { case _: Throwable => -1L }
           if (holder == self) return // ours already (same-process re-entry)
-          if (holder > 0 && pidAlive(holder))
-            throw new IllegalStateException(
-              s"upsertBatch: table $dir is locked by live writer pid $holder " +
-                "— single-writer contract violated")
-          Files.deleteIfExists(lock) // dead holder: steal and retry
+          if (holder > 0 && pidAlive(holder)) {
+            if (System.nanoTime() >= deadline)
+              throw new IllegalStateException(
+                s"upsertBatch: table $dir is locked by live writer pid $holder " +
+                  "— single-writer contract violated" +
+                  (if (waitMs > 0) s" (still held after ${waitMs} ms lock-wait)" else ""))
+            Thread.sleep(backoff) // live holder inside the wait budget
+            backoff = math.min(backoff * 2, 1000L)
+          } else {
+            Files.deleteIfExists(lock) // dead holder: steal and retry
+            steals += 1
+          }
       }
     }
     throw new IllegalStateException(s"could not acquire writer lock $lock")
@@ -292,14 +321,21 @@ object StreamMerge {
     * trigger and starts; offsets checkpoint at `checkpoint`, so a
     * killed query resumed on the same checkpoint replays only
     * uncommitted batches — which [[upsertBatch]]'s idempotence turns
-    * into exactly-once table state. */
+    * into exactly-once table state. The sink runs the COOPERATIVE
+    * lock path (`lockWaitMs`, default 30 s): a supervisor restarting
+    * the stream while the predecessor process is still draining its
+    * final batch queues behind it and applies — serial table state,
+    * no crash loop — instead of failing fast; a genuinely concurrent
+    * second stream against the same table still fails within the
+    * bound. */
   def upsertSink(updates: Dataset[TrialUpdate], tableDir: String,
-                 checkpoint: String, buckets: Int = 32)
+                 checkpoint: String, buckets: Int = 32,
+                 lockWaitMs: Long = 30000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[TrialUpdate] =
     updates.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[TrialUpdate], _: Long) =>
-        upsertBatch(b, tableDir, buckets)
+        upsertBatch(b, tableDir, buckets, lockWaitMs)
       }
 }

@@ -171,6 +171,53 @@ class UpsertSwapSpec extends SparkSpec {
     assert(siblings(table).isEmpty, s"got ${siblings(table)}")
   }
 
+  test("cooperative path: writer B waits out a live holder's release and applies serially") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_coop")
+    val table = base.resolve("t").toString
+    val dir = Paths.get(table)
+    StreamMerge.upsertBatch(Seq(up("A", 1)).toDS(), table, buckets = 4)
+    val lock = dir.resolveSibling("t.writerlock")
+    // writer A: takes the lock with ITS pid, holds ~1.2 s, RELEASES,
+    // then stays alive — so B acquiring proves cooperative handoff,
+    // not a dead-holder steal
+    val a = new ProcessBuilder("bash", "-c",
+      s"echo -n $$$$ > '$lock'; sleep 1.2; rm -f '$lock'; sleep 60").start()
+    try {
+      var spins = 0
+      while (!Files.exists(lock) && spins < 200) { Thread.sleep(10); spins += 1 }
+      assert(Files.exists(lock), "helper must take the lock first")
+      StreamMerge.upsertBatch(Seq(up("B", 2)).toDS(), table, buckets = 4,
+        lockWaitMs = 20000L)
+      assert(a.isAlive, "B must have acquired via A's RELEASE, not A's death")
+      // table equals serial application of batch1 then batch2
+      assert(readTable(table) == Seq(up("A", 1), up("B", 2)))
+      assert(siblings(table).isEmpty, s"got ${siblings(table)}")
+    } finally { a.destroyForcibly(); a.waitFor() }
+  }
+
+  test("cooperative path: a holder still live at the deadline fails within the bound") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_coop_to")
+    val table = base.resolve("t").toString
+    val dir = Paths.get(table)
+    StreamMerge.upsertBatch(Seq(up("A", 1)).toDS(), table, buckets = 4)
+    val writer = liveHelper()
+    try {
+      Files.write(dir.resolveSibling("t.writerlock"),
+        writer.pid().toString.getBytes("UTF-8"))
+      val t0 = System.nanoTime()
+      val e = intercept[IllegalStateException] {
+        StreamMerge.upsertBatch(Seq(up("B", 1)).toDS(), table, buckets = 4,
+          lockWaitMs = 300L)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(e.getMessage.contains("lock-wait"))
+      assert(elapsedMs < 10000L, s"must fail near the 300 ms bound, took $elapsedMs ms")
+      assert(readTable(table) == Seq(up("A", 1)))
+    } finally { writer.destroyForcibly(); writer.waitFor() }
+  }
+
   test("a dead holder's lock is stolen and released cleanly") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_steal")
