@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * carries `runs` and the widest per-query `spread`s so a future
   * regression is immediately classifiable as noise vs real.
   *
+  * The line also carries `calib` (round 13): fixed-work calibration —
+  * a constant single-threaded hash loop and a constant SF-independent
+  * Spark job — timed before the first sweep and after the last, so a
+  * cross-round board drift is attributable to the machine (calibration
+  * moved too) or to the queries (calibration held) on hardware-level
+  * evidence rather than inference from untouched queries.
+  *
   * Failure honesty: a query that throws is reported as `-1` in the
   * queries map plus an entry in `errors` — never as a (fast) success.
   * Round 7 shipped a bare `catch { case _ => () }` here, which would
@@ -38,6 +45,54 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  /** Fixed-work calibration (round 13 — makes "machine drift" claims
+    * falsifiable, VERDICT r12 item 2): a constant single-threaded
+    * FNV-1a loop plus a constant small distributed hash-agg, timed at
+    * sweep start AND end and emitted in the JSON line. Identical work
+    * every round — if the board drifts 1.3× while both calibration
+    * numbers hold, the drift is in the queries; if the calibration
+    * drifts with it, the machine did. The Spark job's input is
+    * `range`, so the number is independent of SF and page cache. */
+  def calibrate(spark: SparkSession): (Double, Double) = {
+    // JIT/codegen warmup first — the instrument must measure the
+    // MACHINE, not this JVM's compilation state (the first measured
+    // pre/post pair showed 1.29× on the hash loop and 5× on the Spark
+    // job purely from C2/janino warm-in)
+    def loop(n: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      h
+    }
+    def job(n: Long): Unit =
+      spark.range(0, n, 1, 32).selectExpr("sum(hash(id)) as s", "count(*) as n")
+        .write.format("noop").mode("overwrite").save()
+    var sink = loop(20000000)
+    job(20000000L) // identical plan AND size: the measured run hits warm code
+    val t0 = System.nanoTime()
+    sink ^= loop(200000000)
+    val hashSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    job(20000000L)
+    val sparkSec = (System.nanoTime() - t1) / 1e9
+    // keep `sink` live (defeat dead-code elimination) without polluting output
+    if (sink == 0L) System.err.println("calibration hash collapsed")
+    (hashSec, sparkSec)
+  }
+
+  /** Process-wide GC + codegen-compilation counters, for the per-sweep
+    * diagnostic lines (SPARK_GRAFT_PERSWEEP=1). */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def codegenStats: (Long, Long) = {
+    val m = org.apache.spark.metrics.source.CodegenMetrics
+    (m.METRIC_COMPILATION_TIME.getCount,
+      m.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount)
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -58,7 +113,8 @@ object Bench {
     * the 5 widest-relative-spread queries. */
   def metricLine(sfDir: String, runs: Int,
                  times: Seq[(String, Seq[Double])],
-                 errors: Map[String, String]): String = {
+                 errors: Map[String, String],
+                 calib: Seq[(String, Double)] = Nil): String = {
     def short(n: String) = n.takeWhile(_ != '_')
     val meds = times.map { case (n, ts) =>
       n -> (if (errors.contains(n) || ts.isEmpty) -1.0 else median(ts))
@@ -85,8 +141,12 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (n, e) => "\"" + short(n) + "\":\"" + e + "\"" }
         .mkString(",\"errors\":{", ",", "}")
+    val cal =
+      if (calib.isEmpty) ""
+      else calib.map { case (n, v) => "\"" + n + "\":" + fmt(v) }
+        .mkString(",\"calib\":{", ",", "}")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
-      s""""error_count":${errors.size}$errs,"queries":$qs$spread,"sf":"$sfDir"}"""
+      s""""error_count":${errors.size}$errs,"queries":$qs$spread$cal,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,6 +158,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry codegen-class LRU thrashes under a
+      // 129-query board: the r13 persweep instrument measured ~1985
+      // recompilations in EVERY sweep, not just the first — size the
+      // cache to the workload, as a long-lived service would
+      // (sweep 2+3 compile deltas drop to ~0 with this set)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Registration order keeps each query family contiguous (the old
@@ -109,10 +175,21 @@ object Bench {
     // prefixes or full names); local-iteration knob, unset in driver runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    val preselected = only match {
       case Some(ns) => SparkEntry.all.filter(q =>
         ns(q.name) || ns(q.name.takeWhile(_ != '_')))
       case None => SparkEntry.all
+    }
+    // SPARK_GRAFT_SKIP=q128 -> bench everything EXCEPT the named
+    // queries; the ablation knob for attributing a sweep-context
+    // regression to one query's in-sweep presence (round-13 q128
+    // experiment). Local-diagnostic knob, unset in driver runs.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = skip match {
+      case Some(ns) => preselected.filterNot(q =>
+        ns(q.name) || ns(q.name.takeWhile(_ != '_')))
+      case None => preselected
     }
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt)
     val order = selected.map(_.name)
@@ -143,12 +220,24 @@ object Bench {
     } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to repeat) {
+    // SPARK_GRAFT_PERSWEEP=1 -> one stderr line per sweep with every
+    // per-query time plus the sweep's GC-time and codegen-compilation
+    // deltas; the raw material for classifying a regression as
+    // sweep-1-only (cold), cross-sweep poisoning, or board-wide load.
+    val perSweep = sys.env.get("SPARK_GRAFT_PERSWEEP").contains("1")
+    val calib = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val (h0, s0) = calibrate(spark)
+    calib += ("pre_hash" -> h0) += ("pre_spark" -> s0)
+    for (sweep <- 1 to repeat) {
+      val gc0 = gcMillis; val (cgN0, cgB0) = codegenStats
+      val sweepTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
       selected.foreach { q =>
         val (dt, err) = timedRun(spark, sfDir, q)
         err match {
           case Some(e) => errors.getOrElseUpdate(q.name, e)
-          case None => times(q.name) = times.getOrElse(q.name, Vector.empty) :+ dt
+          case None =>
+            times(q.name) = times.getOrElse(q.name, Vector.empty) :+ dt
+            sweepTimes(q.name) = dt
         }
         hooks.getOrElse(q.name, Nil).foreach(_(spark))
       }
@@ -156,9 +245,19 @@ object Bench {
       // its caches and bills the build to the same first consumer — the
       // per-sweep numbers stay comparable to rounds 1-7's single runs.
       Caches.releaseAll(spark)
+      if (perSweep) {
+        val (cgN1, cgB1) = codegenStats
+        val qd = sweepTimes.map { case (n, t) =>
+          n.takeWhile(_ != '_') + "=" + fmt(t) }.mkString(" ")
+        System.err.println(s"[persweep] sweep=$sweep total=" +
+          fmt(sweepTimes.values.sum) + s" gc_ms=${gcMillis - gc0}" +
+          s" codegen_compiles=${cgN1 - cgN0} codegen_classes=${cgB1 - cgB0} $qd")
+      }
     }
+    val (h1, s1) = calibrate(spark)
+    calib += ("post_hash" -> h1) += ("post_spark" -> s1)
     val ordered = order.map(n => n -> times.getOrElse(n, Vector.empty))
-    println(metricLine(sfDir, repeat, ordered, errors.toMap))
+    println(metricLine(sfDir, repeat, ordered, errors.toMap, calib.toSeq))
     spark.stop()
   }
 }

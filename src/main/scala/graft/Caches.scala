@@ -57,9 +57,27 @@ object Caches {
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
 
+  /** Ad-hoc persisted frames registered by operators whose plan
+    * CONSTRUCTION persists an intermediate (the skyline's probe frame,
+    * ADVICE r12): released alongside the named families by
+    * [[releaseAll]]. Weakly bounded by construction sites — each entry
+    * is a small projected frame, and re-registering after a release is
+    * safe (recompute + re-persist). */
+  private val adHoc = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.DataFrame, java.lang.Boolean]())
+  private[graft] def registerPersisted(df: org.apache.spark.sql.DataFrame): Unit =
+    adHoc.add(df)
+
   /** Drop every cache family's state owned by `s` (end of a sweep, or
     * a service evicting a corpus snapshot). */
-  def releaseAll(s: SparkSession): Unit = families.foreach(_._2(s))
+  def releaseAll(s: SparkSession): Unit = {
+    families.foreach(_._2(s))
+    val it = adHoc.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (df.sparkSession eq s) { df.unpersist(blocking = false); it.remove() }
+    }
+  }
 
   /** Remove + finalize every entry of a (session, key)-keyed memo map
     * owned by `s` — the shared shape of all the engine's caches. */

@@ -69,7 +69,17 @@ object Multimodal {
     * generative pixel formula — a decoder that mangles dimensions,
     * channel order, or any pixel value hash-mismatches. (JPEG decodes
     * through the identical path but is lossy, so only its dimensions
-    * would be oracle-exact.) */
+    * are oracle-exact — which is exactly what q129's mixed-mime gate
+    * checks, alongside the corrupt-payload quarantine.) */
+  /** Decode-or-quarantine record: a hostile or truncated payload must
+    * land as a COUNTED row, never an executor exception — at 100 TB a
+    * corpus WILL contain undecodable media, and one bad byte-run
+    * killing the stage is the difference between a pipeline and a
+    * demo. `status` is 'ok' or 'quarantined'; stats are null for
+    * quarantined rows. */
+  final case class ImgStatQ(doc_id: Long, mime: String, status: String,
+      width: Option[Int], height: Option[Int], n_px: Option[Long])
+
   object MediaCodec {
     def decode(docId: Long, bytes: Array[Byte]): ImgStat = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -88,6 +98,21 @@ object Multimodal {
       }
       ImgStat(docId, w, h, w.toLong * h, rs, gs, bs)
     }
+
+    /** Total decode: both ImageIO failure modes — `null` return (bytes
+      * match no registered reader, e.g. pure garbage) and a thrown
+      * `IIOException`/`Error` mid-parse (a reader claimed the payload
+      * by its magic bytes, then hit the truncation) — fold to the same
+      * quarantined row. */
+    def decodeSafe(docId: Long, mime: String, bytes: Array[Byte]): ImgStatQ =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) ImgStatQ(docId, mime, "quarantined", None, None, None)
+        else ImgStatQ(docId, mime, "ok", Some(img.getWidth), Some(img.getHeight),
+          Some(img.getWidth.toLong * img.getHeight))
+      } catch {
+        case _: Exception => ImgStatQ(docId, mime, "quarantined", None, None, None)
+      }
   }
 
   object MediaBatch {
@@ -114,6 +139,18 @@ object Multimodal {
       }
     }
 
+    /** Partition-batched TOTAL decode ([[MediaCodec.decodeSafe]]):
+      * same init-once-per-partition, map-only shape as
+      * [[decodeImages]], but undecodable payloads land as counted
+      * quarantine rows instead of failing the task. */
+    def decodeImagesSafe(ds: Dataset[(Long, String, Array[Byte])]): Dataset[ImgStatQ] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
+        it.map { case (id, mime, bytes) => MediaCodec.decodeSafe(id, mime, bytes) }
+      }
+    }
+
     /** Partition-batched feature extraction over the first `nBytes`
       * payload bytes (unsigned sum + max — a real deployment swaps in
       * the decoder + feature net here; the batch shape, schema and
@@ -135,27 +172,23 @@ object Multimodal {
     }
   }
 
-  /** Media table staged once per fixture (q90's staging discipline:
-    * snapshot key = source size+mtime, write-to-temp + atomic rename):
-    * payload bytes + typed metadata columns, all derived
-    * deterministically from `documents` so every oracle expresses the
-    * same values over the base table. */
-  private[llm] def mediaTable(s: SparkSession, dir: String): DataFrame = {
+  /** Stage a derived fixture table once per source-fixture generation
+    * (q90's staging discipline, shared by [[mediaTable]]/[[pngTable]]/
+    * [[mixedTable]]): snapshot key = `documents.parquet` size+mtime —
+    * a regenerated fixture at the same path can never meet a stale
+    * staged copy — and the writer lands in a pid-suffixed temp dir
+    * promoted with ATOMIC_MOVE, so a concurrent run either wins the
+    * move or discards its (identical) copy. */
+  private def stagedTable(s: SparkSession, dir: String, prefix: String)
+      (write: java.nio.file.Path => Unit): DataFrame = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val src = Paths.get(dir, "documents.parquet")
     val stamp = Files.size(src) + "_" + Files.getLastModifiedTime(src).toMillis
-    val base = Paths.get(s"/tmp/graft/media_$stamp")
+    val base = Paths.get(s"/tmp/graft/${prefix}_$stamp")
     if (!Files.exists(base)) {
       val stage = base.resolveSibling(
         base.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
-      T.df(s, dir, "documents")
-        .select(col("doc_id"),
-          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-            (col("doc_id") % 3 + 1).cast("int")).as("mime"),
-          (col("n_chars") * 40).cast("long").as("dur_ms"),
-          octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
-          encode(col("text"), "UTF-8").as("payload"))
-        .write.mode("overwrite").parquet(stage.toString)
+      write(stage)
       def rmTree(p: Path): Unit = {
         import scala.jdk.CollectionConverters._
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -170,6 +203,21 @@ object Multimodal {
     s.read.parquet(base.toString)
   }
 
+  /** Media table staged once per fixture: payload bytes + typed
+    * metadata columns, all derived deterministically from `documents`
+    * so every oracle expresses the same values over the base table. */
+  private[llm] def mediaTable(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "media") { stage =>
+      T.df(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+            (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+          (col("n_chars") * 40).cast("long").as("dur_ms"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+
   /** Real-PNG fixture, staged once per fixture generation (same
     * size+mtime stamp + write-to-temp + atomic-rename discipline as
     * [[mediaTable]]): one genuine PNG per document, ENCODED IN THE
@@ -178,53 +226,74 @@ object Multimodal {
     * per-doc dimensions 8+doc_id%9 × 8+doc_id%7. The formula is the
     * contract q128's oracle recomputes arithmetically — the fixture
     * must round-trip encode→decode bit-exactly for the gate to pass. */
-  private[llm] def pngTable(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    val src = Paths.get(dir, "documents.parquet")
-    val stamp = Files.size(src) + "_" + Files.getLastModifiedTime(src).toMillis
-    val base = Paths.get(s"/tmp/graft/png_$stamp")
-    if (!Files.exists(base)) {
-      val stage = base.resolveSibling(
-        base.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
+  /** The deterministic per-pixel test image: dims 8+id%9 × 8+id%7,
+    * channels a fixed linear formula of (id, x, y) — the contract the
+    * q128/q129 oracles recompute arithmetically. */
+  private def formulaImage(id: Long): java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
+    val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 5 + y * 3) % 256).toInt
+        val g = ((id * 11 + x * 2 + y * 7) % 256).toInt
+        val b = ((id * 13 + x * 3 + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private[llm] def pngTable(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "png") { stage =>
       import s.implicits._
       T.df(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          import java.awt.image.BufferedImage
-          it.map { id =>
-            val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
-            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val r = ((id * 7 + x * 5 + y * 3) % 256).toInt
-                val g = ((id * 11 + x * 2 + y * 7) % 256).toInt
-                val b = ((id * 13 + x * 3 + y) % 256).toInt
-                img.setRGB(x, y, (r << 16) | (g << 8) | b)
-                x += 1
-              }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            (id, "image/png", bos.toByteArray)
-          }
-        }
+        .mapPartitions(_.map(id =>
+          (id, "image/png", encodeImage(formulaImage(id), "png"))))
         .toDF("doc_id", "mime", "payload")
         .write.mode("overwrite").parquet(stage.toString)
-      def rmTree(p: Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-      try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
-      catch { // a concurrent run staged `base` first: its copy is identical
-        case _: java.nio.file.FileAlreadyExistsException => rmTree(stage)
-        case _: java.nio.file.DirectoryNotEmptyException => rmTree(stage)
-      }
     }
-    s.read.parquet(base.toString)
-  }
+
+  /** Mixed-mime + hostile-payload fixture (round 13): per doc_id%4 —
+    * 0,2 → valid PNG; 1 → valid JPEG (same formula image through the
+    * lossy encoder — dimensions survive exactly, pixels don't); 3 →
+    * CORRUPT, declared as PNG: id%8==3 truncates a real PNG to half
+    * (the reader claims it by magic bytes, then dies mid-parse —
+    * ImageIO's *throwing* failure mode), id%8==7 is formula-derived
+    * garbage with no magic at all (the *null-return* failure mode).
+    * Encoded in the executors like [[pngTable]]; the driver never
+    * holds payload bytes. */
+  private[llm] def mixedTable(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "mixed") { stage =>
+      import s.implicits._
+      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          id % 4 match {
+            case 1 =>
+              (id, "image/jpeg", encodeImage(formulaImage(id), "jpg"))
+            case 3 if id % 8 == 3 =>
+              val whole = encodeImage(formulaImage(id), "png")
+              (id, "image/png", whole.take(whole.length / 2))
+            case 3 =>
+              (id, "image/png",
+                Array.tabulate[Byte](64)(i => ((id * 31 + i * 7) % 251).toByte))
+            case _ =>
+              (id, "image/png", encodeImage(formulaImage(id), "png"))
+          }
+        })
+        .toDF("doc_id", "mime", "payload")
+        .write.mode("overwrite").parquet(stage.toString)
+    }
 
   val qs: Seq[Q] = Seq(
     // ---- binary column plumbing, oracle-checked: the documents' text
@@ -338,6 +407,40 @@ object Multimodal {
         .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       MediaBatch.decodeImages(payloads)
         .select("doc_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+        .orderBy("doc_id")
+    },
+
+    // ---- mixed-mime + hostile payloads (round 13): the fixture mixes
+    // valid PNGs, valid JPEGs, and two kinds of corrupt payload
+    // (truncated PNG → the reader THROWS mid-parse; magic-less garbage
+    // → ImageIO returns null); the total decode folds both failure
+    // modes into counted 'quarantined' rows — no executor exception,
+    // the property that keeps a 100 TB decode pass alive on a corpus
+    // that WILL contain bad media. Oracle-exact because dimensions
+    // survive JPEG's lossy encode exactly and the corrupt set is
+    // formula-determined: the oracle recomputes mime/status/dims per
+    // doc arithmetically; a decoder that throws (task dies → query
+    // errors), mis-quarantines a valid JPEG, or "decodes" garbage
+    // flips the hash.
+    Q("q129_media_mixed_quarantine",
+      """WITH d AS (SELECT doc_id,
+        |             doc_id % 4 AS kind,
+        |             CASE WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+        |                  ELSE 'image/png' END AS mime,
+        |             (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+        |           FROM documents)
+        |SELECT doc_id, mime,
+        |       CASE WHEN kind = 3 THEN 'quarantined' ELSE 'ok' END AS status,
+        |       CASE WHEN kind = 3 THEN NULL ELSE w END AS width,
+        |       CASE WHEN kind = 3 THEN NULL ELSE h END AS height,
+        |       CASE WHEN kind = 3 THEN NULL ELSE (w * h)::BIGINT END AS n_px
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = mixedTable(s, dir)
+        .select(col("doc_id"), col("mime"), col("payload"))
+        .as[(Long, String, Array[Byte])]
+      MediaBatch.decodeImagesSafe(payloads)
+        .select("doc_id", "mime", "status", "width", "height", "n_px")
         .orderBy("doc_id")
     }
   )

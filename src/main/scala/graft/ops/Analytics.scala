@@ -219,7 +219,16 @@ object Analytics {
     * bounded unpartitioned running-min window (q116 discipline), then
     * BROADCAST — the corpus-scale side is touched by exactly one
     * map-side filter, no extra shuffle. */
-  private[graft] def skylineCandidates(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def skylineCandidates(p0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // NOTE (ADVICE r12): construction is EAGER — the percentile probe
+    // runs `.first()` here, so building the plan already scans the
+    // input once. `p` is persisted so the probe, the bound-table pass,
+    // and the final filter share ONE materialization instead of three
+    // scans (released with every other memo by Caches.releaseAll; at
+    // corpus scale the persisted frame is the 3-column projection, not
+    // the table).
+    val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.registerPersisted(p)
     val cells = 64
     val probs = (1 until cells).map(_.toDouble / cells).toArray
     val cutRow = p.agg(

@@ -249,6 +249,45 @@ object StreamMerge {
     ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
       .orElse(java.lang.Boolean.FALSE)
 
+  /** Lifetime contended-acquire count per lock path (process-local).
+    * In correct single-writer operation a process waits out a live
+    * foreign holder a BOUNDED number of times, ever: once behind its
+    * predecessor's draining tail at startup, and at most once against
+    * an early-starting successor at shutdown. Two live streams
+    * configured against the same table contend on roughly every other
+    * batch FOREVER — so a cumulative count crossing a small budget is
+    * the misconfiguration signal the bounded wait alone cannot see
+    * (ADVICE r12: fast-batch writers interleave serially with each
+    * wait under the bound; a zero-gap rival instead STARVES this
+    * writer and trips the existing deadline throw). Cumulative, not
+    * consecutive: random interleaving lets a second stream slip in
+    * uncontended acquisitions that would reset any consecutive run. */
+  private val contendedAcquires =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[streaming] val MaxContendedAcquires = 8
+
+  /** Book a successful lock acquisition. An acquisition that had to
+    * wait out a live foreign holder counts against the table's
+    * lifetime budget; crossing [[MaxContendedAcquires]] releases the
+    * just-taken lock and fails — persistent re-contention IS the
+    * two-live-writers misconfiguration, even though every individual
+    * wait stayed inside the bound. */
+  private def noteAcquire(lock: java.nio.file.Path, contended: Boolean): Unit =
+    if (contended) {
+      val key = lock.toString
+      val n = contendedAcquires.merge(key, 1, (a, b) => Integer.valueOf(a + b))
+      if (n >= MaxContendedAcquires) {
+        contendedAcquires.remove(key)
+        java.nio.file.Files.deleteIfExists(lock) // don't strand the table
+        throw new IllegalStateException(
+          s"upsertBatch: $n acquisitions of $key over this process's lifetime " +
+            "each waited out a live foreign writer — a second live writer " +
+            "appears configured against this table (single-writer contract " +
+            "violated; a cooperative handoff contends only on the " +
+            "predecessor's draining tail)")
+      }
+    }
+
   private def lockPath(dir: java.nio.file.Path): java.nio.file.Path =
     dir.resolveSibling(dir.getFileName.toString + ".writerlock")
 
@@ -272,10 +311,12 @@ object StreamMerge {
     val deadline = System.nanoTime() + waitMs * 1000000L
     var backoff = 25L
     var steals = 0
+    var sawLiveForeign = false
     while (steals < 100) {
       try {
         Files.write(lock, self.toString.getBytes("UTF-8"),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        noteAcquire(lock, sawLiveForeign)
         return
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -289,6 +330,7 @@ object StreamMerge {
                 s"upsertBatch: table $dir is locked by live writer pid $holder " +
                   "— single-writer contract violated" +
                   (if (waitMs > 0) s" (still held after ${waitMs} ms lock-wait)" else ""))
+            sawLiveForeign = true
             Thread.sleep(backoff) // live holder inside the wait budget
             backoff = math.min(backoff * 2, 1000L)
           } else {
@@ -325,9 +367,16 @@ object StreamMerge {
     * lock path (`lockWaitMs`, default 30 s): a supervisor restarting
     * the stream while the predecessor process is still draining its
     * final batch queues behind it and applies — serial table state,
-    * no crash loop — instead of failing fast; a genuinely concurrent
-    * second stream against the same table still fails within the
-    * bound. */
+    * no crash loop — instead of failing fast. Two genuinely concurrent
+    * streams are detected two ways (ADVICE r12 — the bound alone only
+    * catches a holder that holds CONTINUOUSLY past it): a batch held
+    * out past `lockWaitMs` throws at the deadline, and fast-batch
+    * writers that interleave serially — each wait individually inside
+    * the bound — throw once [[MaxContendedAcquires]] acquisitions in
+    * this process's lifetime have each waited out a live foreign
+    * holder (a cooperative handoff contends only on the predecessor's
+    * draining tail, so cumulative re-contention is the
+    * misconfiguration signal). */
   def upsertSink(updates: Dataset[TrialUpdate], tableDir: String,
                  checkpoint: String, buckets: Int = 32,
                  lockWaitMs: Long = 30000L)

@@ -46,12 +46,35 @@ object Streams {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val stamp = java.nio.file.Files.size(src) + "_" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis
-    val landing = java.nio.file.Paths.get(
-      "/tmp/graft/stream_events_" + Integer.toHexString(dir.hashCode) + "_" + stamp)
+    val prefix = "stream_events_" + Integer.toHexString(dir.hashCode) + "_"
+    val landing = java.nio.file.Paths.get("/tmp/graft/" + prefix + stamp)
+    // a regenerated fixture leaves the PREVIOUS stamp's staged copy
+    // behind forever (ADVICE r12) — drop stale siblings before staging
+    val parent = java.nio.file.Paths.get("/tmp/graft")
+    if (java.nio.file.Files.isDirectory(parent)) {
+      val it = java.nio.file.Files.list(parent).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && n != prefix + stamp)
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+      }
+    }
     java.nio.file.Files.createDirectories(landing)
     val dst = landing.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(src, dst)
+    if (!java.nio.file.Files.exists(dst)) {
+      // write-to-temp + ATOMIC_MOVE (the pngTable/mediaTable staging
+      // discipline): a concurrent process computing the same stamp must
+      // never observe a half-copied file behind the exists-check
+      val tmp = landing.resolve(
+        "events.parquet." + java.lang.ProcessHandle.current().pid() + ".tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
     // schema from the batch reader; normalize ts to session-zone
     // TIMESTAMP exactly as T.events does (the testdata has shipped both
     // TIMESTAMP(NANOS) -> raw long nanos and timestamp[us] -> NTZ, and

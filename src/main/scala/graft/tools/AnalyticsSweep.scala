@@ -76,25 +76,51 @@ object AnalyticsSweep {
       println(f"$n%-26s 10x-data ratio ${ratio}%5.2fx$cl")
     }
 
-    // ---- q127 prune-rate probe (round 12): the adaptive quantile
-    // cells must keep the skyline's candidate band frontier-sized on
-    // an adversarially FLAT price distribution — the fixture the old
-    // fixed 1000-cent grid could not thin (every price inside one
-    // cell → 100% of input admitted to the exact windowed pass).
+    // ---- q127 prune-rate + wall-time grid (round 13, VERDICT r12
+    // item 3): the adaptive quantile-probe path PRICED, not just
+    // explained — admit rate, frontier size, candidate-pass seconds,
+    // and full-skyline seconds for uniform / skewed / flat synthetic
+    // price distributions at 1× and 10× (100k → 1M rows), plus the
+    // real part table and the all-equal degenerate. Committed next to
+    // the r11 grid-path numbers in README; the flat distribution is
+    // the fixture the old fixed 1000-cent grid could not thin (admit
+    // was 100%).
     {
       import org.apache.spark.sql.functions._
-      import spark.implicits._
-      val flat = (1L to 100000L)
-        .map(i => (i, 100L + i * 2654435761L % 900L, 1L + i % 50L))
-        .toDF("p_partkey", "pc", "sz")
+      def synth(n: Long, kind: String) = {
+        val base = spark.range(1, n + 1).toDF("p_partkey")
+          .withColumn("h", abs(xxhash64(col("p_partkey"))))
+        val pc = kind match {
+          case "uniform" => lit(100L) + pmod(col("h"), lit(1000000L))
+          case "skewed" => // long right tail, mass at low prices
+            (lit(100L) + pow(pmod(col("h"), lit(1000L)).cast("double"), lit(2.5)))
+              .cast("long")
+          case "flat" => lit(100L) + pmod(col("h"), lit(900L))
+          case "allequal" => lit(4242L)
+        }
+        base.select(col("p_partkey"), pc.as("pc"),
+          (lit(1L) + pmod(col("h"), lit(50L))).as("sz"))
+      }
+      val grid = for (kind <- Seq("uniform", "skewed", "flat");
+                      n <- Seq(100000L, 1000000L)) yield (kind, synth(n, kind), n)
       val real = graft.core.T.df(spark, "/root/testdata/sf0.1", "part")
         .select(col("p_partkey"),
           round(col("p_retailprice") * 100, 0).cast("long").as("pc"),
           col("p_size").cast("long").as("sz"))
-      for ((nm, df) <- Seq("flat100k" -> flat, "part_sf0.1" -> real)) {
-        val n = df.count()
+      val cases = grid ++ Seq(
+        ("part_sf0.1", real, real.count()),
+        ("allequal", synth(100000L, "allequal"), 100000L))
+      for ((kind, df, n) <- cases) {
+        val t0 = System.nanoTime()
         val c = graft.ops.Analytics.skylineCandidates(df).count()
-        println(f"q127 prune $nm%-10s input $n%8d  candidates $c%8d  admit ${100.0 * c / n}%6.2f%%")
+        val candSec = (System.nanoTime() - t0) / 1e9
+        graft.Caches.releaseAll(spark)
+        val t1 = System.nanoTime()
+        val k = graft.ops.Analytics.skyline(df).count()
+        val fullSec = (System.nanoTime() - t1) / 1e9
+        graft.Caches.releaseAll(spark)
+        println(f"q127 prune $kind%-10s n=$n%8d  admit ${100.0 * c / n}%6.2f%%  " +
+          f"frontier $k%6d  cand $candSec%6.3f s  full $fullSec%6.3f s")
       }
     }
     spark.stop()

