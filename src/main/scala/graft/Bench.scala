@@ -68,7 +68,11 @@ object Bench {
       spark.range(0, n, 1, 32).selectExpr("sum(hash(id)) as s", "count(*) as n")
         .write.format("noop").mode("overwrite").save()
     var sink = loop(20000000)
-    job(20000000L) // identical plan AND size: the measured run hits warm code
+    // identical plan AND size, twice: the first run triggers codegen +
+    // scheduler warm-in, the second settles JIT — the measured third
+    // run is the machine, not this JVM (pre/post pairs read 0.37/0.11 s
+    // with one warmup; two close most of the residual)
+    job(20000000L); job(20000000L)
     val t0 = System.nanoTime()
     sink ^= loop(200000000)
     val hashSec = (System.nanoTime() - t0) / 1e9

@@ -329,6 +329,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"batched feature path missing:\n$p")
   }
 
+  test("q129 mixed decode: map-only — payload bytes never cross an exchange") {
+    // the quarantine decode must keep the 100 TB shape of q128/q103:
+    // scan → batched total-decode, with only the presentation sort
+    // exchanging 6 scalar columns — a hash exchange anywhere means
+    // payload bytes shuffled
+    val p = plan("q129_media_mixed_quarantine")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quarantine decode re-shuffled payload bytes:\n$p")
+    assert(p.contains("MapPartitions"), s"batched decode path missing:\n$p")
+  }
+
   test("q104 quantile sketch: the rank-verification join broadcasts the sketch table") {
     val p = plan("q104_quantile_sketch")
     assert(p.contains("BroadcastHashJoin"), s"sketch table not broadcast:\n$p")

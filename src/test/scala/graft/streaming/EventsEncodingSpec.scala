@@ -127,5 +127,13 @@ class EventsEncodingSpec extends SparkSpec {
           i.toLong % 3, "click", 1.5, "{}")
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"), dir)
     assert(streamMicros(dir) == expected)
+    // ADVICE r12: regeneration must not strand the previous stamp's
+    // staged copy — after the re-stage, exactly ONE landing dir exists
+    // for this source path (the fresh stamp), the stale one is gone
+    import scala.jdk.CollectionConverters._
+    val prefix = "stream_events_" + Integer.toHexString(dir.toString.hashCode) + "_"
+    val staged = Files.list(Paths.get("/tmp/graft")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(prefix)).toList
+    assert(staged.size == 1, s"stale staged landing dirs not cleaned: $staged")
   }
 }
