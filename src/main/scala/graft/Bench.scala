@@ -163,10 +163,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the default 100-entry codegen-class LRU thrashes under a
-      // 129-query board: the r13 persweep instrument measured ~1985
+      // 130-query board: the r13 persweep instrument measured ~1985
       // recompilations in EVERY sweep, not just the first — size the
       // cache to the workload, as a long-lived service would
-      // (sweep 2+3 compile deltas drop to ~0 with this set)
+      // (sweep 2+3 compile deltas drop to ~80 with this set)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

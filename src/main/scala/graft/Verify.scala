@@ -15,7 +15,7 @@ object Verify {
       // session-wide so no per-read conf mutation (ADVICE r1): events.ts
       // is parquet TIMESTAMP(NANOS), unsupported by the vectorized reader
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // sized to the 129-query board (see Bench) — static conf, so set
+      // sized to the full query board (see Bench) — static conf, so set
       // at session create
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()

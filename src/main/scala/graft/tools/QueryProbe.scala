@@ -48,6 +48,10 @@ object QueryProbe {
     graft.core.T.names.foreach { t =>
       graft.core.T.df(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     }
+    // fixed-work calibration before and after (r13: the instrument that
+    // makes "machine drift" a measurement — same pair Bench emits)
+    val (h0, s0) = graft.Bench.calibrate(spark)
+    println(f"calib pre: hash $h0%.3f s  spark $s0%.3f s")
     for (q <- selected) {
       val cold = Vector.newBuilder[Double]
       val hot = Vector.newBuilder[Double]
@@ -61,6 +65,8 @@ object QueryProbe {
       println(f"${q.name}%-26s cold median ${med(c)}%5.2f s  hot median ${med(h)}%5.2f s" +
         f"  (cold [${c.min}%.2f,${c.max}%.2f] hot [${h.min}%.2f,${h.max}%.2f])")
     }
+    val (h1, s1) = graft.Bench.calibrate(spark)
+    println(f"calib post: hash $h1%.3f s  spark $s1%.3f s")
     spark.stop()
   }
 }
