@@ -261,6 +261,45 @@ object Streams {
           Window.orderBy(col("n").desc, col("user_id"))))
         .select(col("rk"), col("user_id"), col("n"))
         .orderBy("rk")
+    },
+
+    // ---- deterministic streaming uniform sample (round 13): bottom-k
+    // by a fixed multiplicative hash, folded as bucketed GroupState
+    // ([[StreamSample]]) — O(buckets·k) state FOREVER where a
+    // streaming ORDER BY hash LIMIT k would buffer the stream.
+    // Deterministic-by-construction: replayed batches, retries, and
+    // the DuckDB oracle all rank by the same arithmetic hash, so the
+    // sample is exactly-once under at-least-once replay AND exactly
+    // hash-comparable — no rand() anywhere. The final set is each
+    // bucket's LAST emission (q106's update-seq pattern) merged and
+    // re-ranked: a ≤ buckets·k presentation step.
+    Q("q131_stream_sample",
+      """WITH h AS (SELECT DISTINCT event_id,
+        |             (event_id * 2654435761) % 1000000007 AS hv
+        |           FROM events)
+        |SELECT event_id, hv FROM h ORDER BY hv, event_id LIMIT 100""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_sample_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = eventStream(s, dir)
+        .select(col("event_id")).as[Long]
+        .groupByKey(_ % StreamSample.NBuckets)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(StreamSample.update)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .withColumn("r", row_number().over(
+          Window.partitionBy("bucket").orderBy(col("seq").desc)))
+        .filter(col("r") === 1)
+        .select(explode(col("ids")).as("event_id"))
+        .withColumn("hv", (col("event_id") * lit(2654435761L)) % lit(1000000007L))
+        .orderBy("hv", "event_id").limit(StreamSample.K)
     }
   )
 }
