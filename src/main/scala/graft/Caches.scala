@@ -35,7 +35,8 @@ object Caches {
       "q62_text_contamination", "q63_text_repetition", "q66_dedup_simhash_ham",
       "q74_chunk_sliding", "q81_decontaminate_bloom", "q82_lm_perplexity",
       "q89_dedup_incremental", "q91_dedup_cluster_sizes",
-      "q100_split_leakage", "q101_bm25_topk", "q124_jaccard_prefix_join"),
+      "q100_split_leakage", "q101_bm25_topk", "q124_jaccard_prefix_join",
+      "q132_dedup_containment"),
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",

@@ -650,6 +650,57 @@ object LlmText {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT join (round 13): directed pairs (a, b)
+    * with |sh(a) ∩ sh(b)| / |sh(a)| ≥ num/den — the quote/subset
+    * duplication detector. Jaccard-family candidates systematically
+    * MISS these pairs: a small document fully contained in a large one
+    * has J = |A|/|B| → 0 while containment = 1, so q39/q41/q124 never
+    * surface it; training-data curation needs exactly this op to find
+    * documents subsumed by others (quotes, excerpts, re-hosted
+    * fragments).
+    *
+    * Candidate scheme (the containment variant of the Bayardo prefix
+    * filter): rank each doc's shingles by GLOBAL df ascending
+    * (rarest first); with p = n − ceil(n·num/den) + 1, if
+    * c(A→B) ≥ num/den then B misses < p of A's shingles, so B
+    * contains at least one of A's p rarest (pigeonhole) — probing the
+    * full posting list of just A's prefix shingles is complete. The
+    * prefix shingles are globally rarest BY CONSTRUCTION, so their
+    * posting lists are the corpus's shortest — that, not luck, bounds
+    * the candidate join. Exact verification is a set intersection on
+    * the two (distinct-element) shingle arrays; only prefix-filtered
+    * candidate pairs ever carry arrays through a join. `minShingles`
+    * floors the denominator so trivial shingle sets cannot flood the
+    * output. All arithmetic is integer-exact (`inter·den ≥ n_a·num`),
+    * so the DuckDB oracle states the independent brute-force
+    * formulation and must agree bit-for-bit. */
+  private[llm] def containmentPairs(dsh: DataFrame, num: Int = 9, den: Int = 10,
+                                    minShingles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dsh.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .filter(col("n") >= minShingles)
+    val ex = d.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val dfc = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
+    // p = n − ceil(n·num/den) + 1, exact in integer arithmetic
+    val p = col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1
+    val pfx = ex.join(dfc, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dfc"), col("s"))))
+      .filter(col("rn") <= p)
+      .select(col("doc_id").as("a"), col("s"))
+    val postings = ex.select(col("doc_id").as("b"), col("s"))
+    val cands = pfx.join(postings, "s").filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(d.select(col("doc_id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
+      .join(d.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(col("inter") * den >= col("na") * num)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter"),
+        col("na").as("size_a"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q101's index-time projection, persisted: (doc_id, dl, mt) where
     * mt keeps ONLY query-term occurrences. The expensive step is the
     * tokenization; this frame captures everything BM25 needs from it
@@ -796,6 +847,26 @@ object LlmText {
          |WHERE 2 * i.inter >= sa.n + sb.n - i.inter
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       prefixJaccardPairs(docShingles(s, dir))
+    },
+
+    // ---- asymmetric containment ≥ 0.9 (round 13): the fourth member
+    // of the similarity-join family — the quote/subset detector
+    // Jaccard-based candidates miss by construction (small-in-big
+    // pairs have J→0 at containment 1). See [[containmentPairs]] for
+    // the rarest-prefix pigeonhole scheme; the oracle is the
+    // INDEPENDENT brute directional formulation over shared shingles,
+    // integer-exact at 10·inter ≥ 9·|A|.
+    Q("q132_dedup_containment",
+      s"""$sqlPrelude,
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM dsh x JOIN dsh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter::BIGINT AS inter, sa.n::BIGINT AS size_a
+         |FROM inter i JOIN ssize sa ON sa.doc_id = i.doc_a
+         |             JOIN ssize sb ON sb.doc_id = i.doc_b
+         |WHERE 10 * i.inter >= 9 * sa.n AND sa.n >= 10 AND sb.n >= 10
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      containmentPairs(docShingles(s, dir))
     },
 
     // ---- near-dup CLUSTERING: pairs → connected components →
