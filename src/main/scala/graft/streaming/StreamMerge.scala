@@ -298,10 +298,12 @@ object StreamMerge {
     * (the cooperative path) the holder is waited out with exponential
     * backoff until it RELEASES (cooperative handoff) or DIES (lock
     * stolen like any crashed writer's), and only a holder still alive
-    * at the deadline throws. A dead holder is always stolen
-    * immediately. The steal itself is race-safe: after deleteIfExists
-    * only one contender's CREATE_NEW succeeds, the loser loops and
-    * then sees the new live holder. */
+    * at the deadline throws. A dead holder is always stolen (after a
+    * ~200 ms indeterminacy grace: empty/unparsable content is a
+    * creator's mid-write window, not a corpse — r13 race fix). The
+    * steal itself is race-safe: after deleteIfExists only one
+    * contender's CREATE_NEW succeeds, the loser loops and then sees
+    * the new live holder. */
   private[streaming] def acquireWriterLock(dir: java.nio.file.Path,
                                            waitMs: Long = 0L): Unit = {
     import java.nio.file.{Files, StandardOpenOption}
@@ -312,6 +314,7 @@ object StreamMerge {
     var backoff = 25L
     var steals = 0
     var sawLiveForeign = false
+    var unreadable = 0
     while (steals < 100) {
       try {
         Files.write(lock, self.toString.getBytes("UTF-8"),
@@ -325,6 +328,7 @@ object StreamMerge {
             catch { case _: Throwable => -1L }
           if (holder == self) return // ours already (same-process re-entry)
           if (holder > 0 && pidAlive(holder)) {
+            unreadable = 0
             if (System.nanoTime() >= deadline)
               throw new IllegalStateException(
                 s"upsertBatch: table $dir is locked by live writer pid $holder " +
@@ -333,7 +337,18 @@ object StreamMerge {
             sawLiveForeign = true
             Thread.sleep(backoff) // live holder inside the wait budget
             backoff = math.min(backoff * 2, 1000L)
+          } else if (holder <= 0 && unreadable < 40) {
+            // EMPTY/unparsable content is NOT proof of a dead holder:
+            // CREATE_NEW + write is two steps, so a reader in the
+            // creator's mid-write window sees "" — stealing here would
+            // leave TWO writers each believing they hold the lock.
+            // Indeterminate → brief wait and re-read; only content
+            // that STAYS unreadable (a writer crashed between create
+            // and write) falls through to the steal after ~200 ms.
+            unreadable += 1
+            Thread.sleep(5)
           } else {
+            unreadable = 0
             Files.deleteIfExists(lock) // dead holder: steal and retry
             steals += 1
           }

@@ -213,11 +213,18 @@ class UpsertSwapSpec extends SparkSpec {
       "java", "-cp", cp, "graft.streaming.LockHolder", table, "1500")
       .redirectErrorStream(true).start()
     try {
+      // wait for the lock to exist AND carry a parsable pid — the
+      // CREATE_NEW + write mid-window legitimately reads as "" (the
+      // same indeterminacy the production acquire now waits out)
+      def holderPid(): Option[Long] =
+        if (!Files.exists(lock)) None
+        else try { Some(Files.readString(lock).trim.toLong) }
+        catch { case _: Throwable => None }
       var spins = 0
-      while (!Files.exists(lock) && spins < 1500) { Thread.sleep(10); spins += 1 }
-      assert(Files.exists(lock), "the second JVM must take the lock first")
-      assert(Files.readString(lock).trim.toLong == holder.pid(),
-        "the lock must carry the HOLDER's pid — production acquire path")
+      var pid = holderPid()
+      while (pid.isEmpty && spins < 1500) { Thread.sleep(10); spins += 1; pid = holderPid() }
+      assert(pid.contains(holder.pid()),
+        s"the lock must carry the HOLDER's pid — production acquire path, got $pid")
       val t0 = System.nanoTime()
       StreamMerge.upsertBatch(Seq(up("B", 2)).toDS(), table, buckets = 4,
         lockWaitMs = 30000L)
