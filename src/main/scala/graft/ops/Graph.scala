@@ -283,6 +283,74 @@ object Graph {
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
         .orderBy(col("support").desc, col("a"), col("b"))
         .limit(30)
+    },
+
+    // ---- Frequent triples via Apriori candidate pruning (round 13 —
+    // the second market-basket pass q122 stops short of): customer-
+    // level baskets (parts across ALL a customer's orders), frequent
+    // 3-itemsets at support ≥ 3. The enumeration NEVER materializes
+    // raw basket triples (C(n,3) per basket — the thing that cannot
+    // ship at 100 TB): support anti-monotonicity (a triple's support
+    // ≤ each sub-pair's) means candidates are exactly the fp×fp×fp
+    // closures of the FREQUENT-pair table, which the support
+    // threshold makes small-by-construction (8,976 rows at sf0.1
+    // against 12.7M raw pairs) — broadcastable, so the only
+    // corpus-side work after the pair count is three broadcast-pruned
+    // equi-joins and one hash agg. The oracle states the SAME pruned
+    // formulation; the pruning is a theorem, not an approximation, so
+    // it computes exactly the brute triple counts (FrequentTriplesSpec
+    // pins that equivalence on adversarial synthetic baskets where
+    // the brute form is feasible, plus the support boundary).
+    Q("q133_frequent_triples",
+      """WITH items AS (SELECT DISTINCT o.o_custkey AS k, l.l_partkey AS p
+        |               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n
+        |          FROM items a JOIN items b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        |fp AS (SELECT pa, pb FROM pairs WHERE n >= 3),
+        |cand AS (SELECT f.pa, f.pb, g.pb AS pc
+        |         FROM fp f JOIN fp g ON f.pa = g.pa AND f.pb < g.pb
+        |                   JOIN fp h ON h.pa = f.pb AND h.pb = g.pb),
+        |tri AS (SELECT c.pa, c.pb, c.pc, count(*) AS n
+        |        FROM cand c JOIN items a ON a.p = c.pa
+        |                    JOIN items b ON b.k = a.k AND b.p = c.pb
+        |                    JOIN items d ON d.k = a.k AND d.p = c.pc
+        |        GROUP BY 1, 2, 3)
+        |SELECT pa, pb, pc, n::BIGINT AS support FROM tri WHERE n >= 3
+        |ORDER BY pa, pb, pc""".stripMargin) { (s, dir) =>
+      val items = T.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(T.df(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("l_partkey").as("p"))
+        .distinct()
+      frequentTriples(items, 3)
     }
   )
+
+  /** Apriori frequent-3-itemset mining over (basket `k`, item `p`)
+    * rows — see q133's scaladoc for the scale argument. Factored so
+    * FrequentTriplesSpec can drive it with synthetic baskets where
+    * brute C(n,3) enumeration is feasible to compare against. */
+  private[graft] def frequentTriples(items: org.apache.spark.sql.DataFrame,
+                                     minSup: Int): org.apache.spark.sql.DataFrame = {
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n"))
+    val fp = pairs.filter(col("n") >= minSup).select("pa", "pb")
+    val fpH = fp.select(col("pa").as("hpa"), col("pb").as("hpb"))
+    val cand = broadcast(fp).as("f")
+      .join(broadcast(fp).as("g"),
+        col("f.pa") === col("g.pa") && col("f.pb") < col("g.pb"))
+      .select(col("f.pa").as("pa"), col("f.pb").as("pb"), col("g.pb").as("pc"))
+      .join(broadcast(fpH),
+        col("hpa") === col("pb") && col("hpb") === col("pc"), "leftsemi")
+    items.as("x").join(broadcast(cand), col("x.p") === col("pa"))
+      .join(items.as("y"), col("y.k") === col("x.k") && col("y.p") === col("pb"))
+      .join(items.as("z"), col("z.k") === col("x.k") && col("z.p") === col("pc"))
+      .groupBy("pa", "pb", "pc").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSup)
+      .orderBy("pa", "pb", "pc")
+  }
 }
