@@ -103,7 +103,12 @@ object Multimodal {
       * match no registered reader, e.g. pure garbage) and a thrown
       * `IIOException`/`Error` mid-parse (a reader claimed the payload
       * by its magic bytes, then hit the truncation) — fold to the same
-      * quarantined row. */
+      * quarantined row. The catch covers NonFatal plus OutOfMemoryError:
+      * a hostile payload can declare huge dimensions and make the reader
+      * allocate its raster before parsing fails (the decompression-bomb
+      * case this quarantine exists for), which surfaces as OOME, not an
+      * Exception. Other Errors (LinkageError, ThreadDeath, ...) are JVM
+      * faults, not payload faults, and must still kill the task. */
     def decodeSafe(docId: Long, mime: String, bytes: Array[Byte]): ImgStatQ =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -111,7 +116,10 @@ object Multimodal {
         else ImgStatQ(docId, mime, "ok", Some(img.getWidth), Some(img.getHeight),
           Some(img.getWidth.toLong * img.getHeight))
       } catch {
-        case _: Exception => ImgStatQ(docId, mime, "quarantined", None, None, None)
+        case scala.util.control.NonFatal(_) =>
+          ImgStatQ(docId, mime, "quarantined", None, None, None)
+        case _: OutOfMemoryError =>
+          ImgStatQ(docId, mime, "quarantined", None, None, None)
       }
   }
 

@@ -54,11 +54,20 @@ object Layout {
     * bounds; constant-range inputs collapse to 0 (single z-cell). */
   private def scaled(x: Column, mn: Long, mx: Long, bits: Int): Column = {
     val top = (1L << bits) - 1
-    // (x−mn)·top ≤ range·255 stays well inside double-exact territory,
-    // and cast-truncation equals floor for non-negative operands — the
-    // same value DuckDB's integer `//` produces
+    // Double division + cast-truncation equals integer floor (DuckDB's
+    // `//`) ONLY while the numerator (x−mn)·top stays ≤ 2^53: both
+    // operands are then double-exact, and a quotient strictly below an
+    // integer k is at least 1/(mx−mn) below it while the division's
+    // rounding error is < k·2^-53 ≤ top·2^-53 ≤ 1/(mx−mn) — so it can
+    // never round UP onto k. The public API admits bits up to 31, where
+    // that precondition is not automatic; enforce it.
     if (mx == mn) lit(0L)
-    else ((x - lit(mn)) * lit(top) / lit(mx - mn)).cast("long")
+    else {
+      require(mx - mn <= (1L << 53) / top,
+        s"z-order scale overflow: range ${mx - mn} * top $top exceeds 2^53; " +
+          "reduce bits or pre-bucket the column")
+      ((x - lit(mn)) * lit(top) / lit(mx - mn)).cast("long")
+    }
   }
 
   /** The z-key for `df`'s columns (`a`, `b`): bounds from one

@@ -35,9 +35,12 @@ object StreamSample {
   val K = 100
 
   /** Knuth multiplicative hash, exact in any engine's BIGINT
-    * arithmetic (no overflow at fixture id scales; the modulus keeps
-    * products inside 63 bits for ids < ~4.3e9): */
-  def hashOf(id: Long): Long = (id * 2654435761L) % 1000000007L
+    * arithmetic for ALL Long ids: reducing mod 1e9+7 FIRST bounds the
+    * product at (1e9+6)·2654435761 ≈ 2.66e18 < 2^63−1 (the raw
+    * `id * 2654435761` wraps at id ≳ 3.47e9 — Spark would wrap
+    * silently while DuckDB raises, so the oracle compare would
+    * diverge; same guard as [[graft.llm.TextMining]]'s split hash). */
+  def hashOf(id: Long): Long = ((id % 1000000007L) * 2654435761L) % 1000000007L
 
   /** One bucket's emission: update-seq picks the LAST emission out of
     * an update-mode sink (the q106 pattern); `ids` are the bucket's

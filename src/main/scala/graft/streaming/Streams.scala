@@ -49,16 +49,27 @@ object Streams {
     val prefix = "stream_events_" + Integer.toHexString(dir.hashCode) + "_"
     val landing = java.nio.file.Paths.get("/tmp/graft/" + prefix + stamp)
     // a regenerated fixture leaves the PREVIOUS stamp's staged copy
-    // behind forever (ADVICE r12) — drop stale siblings before staging
+    // behind forever (ADVICE r12) — drop stale siblings before staging.
+    // AGE-GATED (ADVICE r13): a sibling younger than an hour may back a
+    // concurrently running process still on the previous fixture
+    // generation — deleting it mid-stream would break that run; stale
+    // copies only need to die EVENTUALLY, so old-only is safe AND
+    // complete. The Files.list stream is closed (one leaked
+    // directory-stream fd per call otherwise).
     val parent = java.nio.file.Paths.get("/tmp/graft")
     if (java.nio.file.Files.isDirectory(parent)) {
-      val it = java.nio.file.Files.list(parent).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith(prefix) && n != prefix + stamp)
-          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-      }
+      val listing = java.nio.file.Files.list(parent)
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix) && n != prefix + stamp &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        }
+      } finally listing.close()
     }
     java.nio.file.Files.createDirectories(landing)
     val dst = landing.resolve("events.parquet")
@@ -275,7 +286,7 @@ object Streams {
     // re-ranked: a ≤ buckets·k presentation step.
     Q("q131_stream_sample",
       """WITH h AS (SELECT DISTINCT event_id,
-        |             (event_id * 2654435761) % 1000000007 AS hv
+        |             ((event_id % 1000000007) * 2654435761) % 1000000007 AS hv
         |           FROM events)
         |SELECT event_id, hv FROM h ORDER BY hv, event_id LIMIT 100""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -298,7 +309,8 @@ object Streams {
           Window.partitionBy("bucket").orderBy(col("seq").desc)))
         .filter(col("r") === 1)
         .select(explode(col("ids")).as("event_id"))
-        .withColumn("hv", (col("event_id") * lit(2654435761L)) % lit(1000000007L))
+        .withColumn("hv",
+          ((col("event_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L))
         .orderBy("hv", "event_id").limit(StreamSample.K)
     }
   )
