@@ -123,6 +123,93 @@ object Multimodal {
       }
   }
 
+  /** Decoded-audio record (the WAV analogue of [[ImgStatQ]], round
+    * 14 — closes the last declared multimodal stub). Three statuses,
+    * one per real-world failure class the probe run demonstrated:
+    * 'ok' (header + declared frame count + payload all agree),
+    * 'truncated' (the header PARSES but the data chunk delivers fewer
+    * frames than it declares — javax.sound surfaces NO error for
+    * this, so an integrity check the decoder does itself is the only
+    * defense), 'quarantined' (the parser throws — header-mangled or
+    * magic-less payloads). Stats are the decoded PREFIX for
+    * 'truncated' (proving byte-exact partial reads), null for
+    * 'quarantined'. */
+  final case class WavStatQ(doc_id: Long, status: String,
+      sample_rate: Option[Int], n_samples: Option[Long],
+      amp_sum: Option[Long], amp_max: Option[Int])
+
+  /** REAL audio codec via `javax.sound.sampled` (public JDK — the
+    * audio counterpart of [[MediaCodec]]'s `javax.imageio`). PCM WAV
+    * is lossless, so q134's oracle recomputes the exact decoded
+    * sample statistics from the fixture's generative formula — any
+    * deviation in header parsing, endianness, sign handling, or
+    * truncation accounting flips the hash. */
+  object WavCodec {
+    /** The deterministic test signal: doc `id` has 64 + id%33 16-bit
+      * samples, sample i = ((id·7919 + i·4421) mod 65536) − 32768 —
+      * exact BIGINT arithmetic in both engines (the q128 formula
+      * discipline, one dimension instead of two). */
+    def sampleAt(id: Long, i: Int): Int =
+      (((id * 7919 + i * 4421L) % 65536) - 32768).toInt
+    def nSamples(id: Long): Int = (64 + id % 33).toInt
+
+    /** Encode 16-bit signed little-endian mono PCM at `rate` Hz into
+      * a complete WAV container. Runs IN THE EXECUTORS ([[wavTable]]);
+      * the driver never holds audio bytes. */
+    def encodeWav(samples: Array[Short], rate: Float): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xFF).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Total decode with the three-way status fold (see [[WavStatQ]]).
+      * The truncation check exists because `javax.sound` does NOT
+      * error on a short data chunk — it silently returns the bytes
+      * present (probed directly: a half-cut file with declFrames=73
+      * read back 25 frames, no exception). Catches NonFatal + OOME
+      * like [[MediaCodec.decodeSafe]]; other Errors are JVM faults
+      * and still kill the task. */
+    def decodeSafe(docId: Long, bytes: Array[Byte]): WavStatQ =
+      try {
+        import javax.sound.sampled._
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && !fmt.isBigEndian,
+          s"unexpected wav format for doc $docId: $fmt")
+        val declared = ais.getFrameLength // from the header, may exceed reality
+        val data = ais.readAllBytes()
+        val n = data.length / 2 // floor: a dangling odd byte can't be a sample
+        var sum = 0L; var mx = Int.MinValue; var i = 0
+        while (i < n) {
+          val v = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+          sum += v; if (v > mx) mx = v; i += 1
+        }
+        val status =
+          if (declared != AudioSystem.NOT_SPECIFIED && n < declared) "truncated"
+          else "ok"
+        WavStatQ(docId, status, Some(fmt.getSampleRate.toInt),
+          Some(n.toLong), Some(sum), Some(mx))
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          WavStatQ(docId, "quarantined", None, None, None, None)
+        case _: OutOfMemoryError =>
+          WavStatQ(docId, "quarantined", None, None, None, None)
+      }
+  }
+
   object MediaBatch {
     /** Partition-batched decode: init-once-per-partition shape (the
       * place a codec/session handle would be created). */
@@ -156,6 +243,18 @@ object Multimodal {
       ds.mapPartitions { it =>
         javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
         it.map { case (id, mime, bytes) => MediaCodec.decodeSafe(id, mime, bytes) }
+      }
+    }
+
+    /** Partition-batched TOTAL audio decode ([[WavCodec.decodeSafe]]):
+      * same init-once-per-partition, map-only shape as
+      * [[decodeImagesSafe]] — payload bytes never shuffle, corrupt
+      * payloads land as counted rows. */
+    def decodeWavsSafe(ds: Dataset[(Long, Array[Byte])]): Dataset[WavStatQ] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        // audio codec/mixer init would happen here, once per partition
+        it.map { case (id, bytes) => WavCodec.decodeSafe(id, bytes) }
       }
     }
 
@@ -300,6 +399,42 @@ object Multimodal {
           }
         })
         .toDF("doc_id", "mime", "payload")
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+
+  /** Real-WAV fixture (round 14), staged with [[stagedTable]]'s
+    * stamp + atomic-rename discipline and ENCODED IN THE EXECUTORS
+    * like [[pngTable]]. Per doc_id%4:
+    *  0 → valid 8 kHz WAV of the formula signal;
+    *  1 → valid 16 kHz WAV (same samples — rate is header metadata);
+    *  2 → DATA-TRUNCATED: a valid header declaring n frames over a
+    *      data chunk cut to n bytes (header length computed from the
+    *      encoder's own output, not assumed 44) — the silent failure
+    *      mode javax.sound does not report;
+    *  3 → doc_id%8==3: header cut to 16 bytes (parser throws);
+    *      doc_id%8==7: formula garbage, no RIFF magic (parser
+    *      throws). */
+  private[llm] def wavTable(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "wav") { stage =>
+      import s.implicits._
+      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = WavCodec.nSamples(id)
+          val samples = Array.tabulate(n)(i => WavCodec.sampleAt(id, i).toShort)
+          id % 4 match {
+            case 1 => (id, WavCodec.encodeWav(samples, 16000f))
+            case 2 =>
+              val whole = WavCodec.encodeWav(samples, 8000f)
+              val headerLen = whole.length - 2 * n
+              (id, whole.take(headerLen + n))
+            case 3 if id % 8 == 3 =>
+              (id, WavCodec.encodeWav(samples, 8000f).take(16))
+            case 3 =>
+              (id, Array.tabulate[Byte](64)(i => ((id * 31 + i * 7) % 251).toByte))
+            case _ => (id, WavCodec.encodeWav(samples, 8000f))
+          }
+        })
+        .toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(stage.toString)
     }
 
@@ -449,6 +584,51 @@ object Multimodal {
         .as[(Long, String, Array[Byte])]
       MediaBatch.decodeImagesSafe(payloads)
         .select("doc_id", "mime", "status", "width", "height", "n_px")
+        .orderBy("doc_id")
+    },
+
+    // ---- REAL audio decode (round 14 — the last multimodal stub
+    // replaced): the fixture's payloads are genuine PCM WAVs encoded
+    // in-executor from a deterministic sample formula; the query
+    // decodes every one with javax.sound.sampled and reports
+    // rate/count/sum/max per doc, with the THREE-way status fold:
+    // header+data consistent → ok; header parses but the data chunk
+    // under-delivers → 'truncated' WITH the decoded-prefix stats
+    // (javax.sound raises nothing for this — the decoder's own
+    // declared-vs-actual frame check is the only detection, and the
+    // oracle recomputing the exact prefix sums proves the partial
+    // read is byte-faithful); parser throws → counted 'quarantined'
+    // row, task survives. PCM is lossless, so the DuckDB oracle
+    // recomputes every number arithmetically from the formula — any
+    // endianness/sign/header deviation flips the hash. Plan: scan →
+    // map-only batched decode (payload bytes never shuffle) →
+    // presentation sort, same shape as q128/q129.
+    Q("q134_audio_decode",
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS kind,
+        |             (64 + doc_id % 33)::BIGINT AS n
+        |           FROM documents),
+        |e AS (SELECT doc_id, kind, n,
+        |        CASE WHEN kind = 2 THEN n // 2 ELSE n END AS m,
+        |        CASE WHEN kind = 1 THEN 16000 ELSE 8000 END AS rate
+        |      FROM d WHERE kind <> 3),
+        |xs AS (SELECT unnest(generate_series(0, 96)) AS i),
+        |sm AS (SELECT e.doc_id, e.kind, e.rate,
+        |         ((e.doc_id * 7919 + xs.i * 4421) % 65536) - 32768 AS a
+        |       FROM e, xs WHERE xs.i < e.m)
+        |SELECT doc_id,
+        |       CASE WHEN kind = 2 THEN 'truncated' ELSE 'ok' END AS status,
+        |       rate::INT AS sample_rate, count(*)::BIGINT AS n_samples,
+        |       sum(a)::BIGINT AS amp_sum, max(a)::INT AS amp_max
+        |FROM sm GROUP BY doc_id, kind, rate
+        |UNION ALL
+        |SELECT doc_id, 'quarantined', NULL, NULL, NULL, NULL
+        |FROM d WHERE kind = 3
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = wavTable(s, dir)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      MediaBatch.decodeWavsSafe(payloads)
+        .select("doc_id", "status", "sample_rate", "n_samples", "amp_sum", "amp_max")
         .orderBy("doc_id")
     }
   )
