@@ -73,13 +73,47 @@ object Layout {
   /** The z-key for `df`'s columns (`a`, `b`): bounds from one
     * aggregate (EAGER — runs at construction, see scaladoc), then a
     * map-only scaled interleave. Returns the input columns plus
-    * `zval`. */
+    * `zval`. This EXACT-bounds path is what the q130 oracle pins
+    * bit-for-bit; at scale prefer [[withZKeySketch]]. */
   def withZKey(df: DataFrame, a: String, b: String, bits: Int): DataFrame = {
     val r = df.agg(min(a), max(a), min(b), max(b)).first()
     require(!r.isNullAt(0), "z-order over an empty frame")
     val (mna, mxa, mnb, mxb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     df.withColumn("zval",
       zvalue(scaled(col(a), mna, mxa, bits), scaled(col(b), mnb, mxb, bits), bits))
+  }
+
+  /** The AT-SCALE bounds path the exact variant's scaladoc promises
+    * (round 14): grid bounds from one `percentile_approx` probe —
+    * the same mergeable-sketch machinery as the skyline cells /
+    * q104 — at (`lo`, `hi`) instead of exact (min, max), with
+    * out-of-range values CLAMPED to the edge cells.
+    *
+    * Why a sketch beats exact min/max at 100 TB even though both are
+    * one partial-combined aggregate over the same scan: exact bounds
+    * are FRAGILE — one corrupted record (a single 2^62 sentinel in a
+    * cents column) stretches the grid so far that every real value
+    * scales to cell 0 and the whole layout collapses to one z-cell,
+    * silently. Quantile bounds at p0.1/p99.9 are outlier-robust: the
+    * grid spans where the mass actually lives, the handful of
+    * stragglers land in edge cells (clamped — layout CORRECTNESS
+    * never depended on bounds, only file-skipping quality does), and
+    * a bad record costs two edge files instead of the operator.
+    * ZOrderSpec pins both: sketch-path layout quality matches the
+    * exact path on clean data, and a poisoned sentinel collapses the
+    * exact grid while the sketch grid stays tight. */
+  def withZKeySketch(df: DataFrame, a: String, b: String, bits: Int,
+      lo: Double = 0.001, hi: Double = 0.999, accuracy: Int = 10000): DataFrame = {
+    val r = df.agg(
+      percentile_approx(col(a), lit(Array(lo, hi)), lit(accuracy)).as("qa"),
+      percentile_approx(col(b), lit(Array(lo, hi)), lit(accuracy)).as("qb")).first()
+    require(!r.isNullAt(0), "z-order over an empty frame")
+    val qa = r.getSeq[Long](0); val qb = r.getSeq[Long](1)
+    def clamped(c: Column, mn: Long, mx: Long): Column =
+      least(greatest(c, lit(mn)), lit(mx))
+    df.withColumn("zval",
+      zvalue(scaled(clamped(col(a), qa(0), qa(1)), qa(0), qa(1), bits),
+        scaled(clamped(col(b), qb(0), qb(1)), qb(0), qb(1), bits), bits))
   }
 
   /** The matching oracle-side scaling+interleave SQL (DuckDB BIGINT
@@ -96,10 +130,14 @@ object Layout {
 
   /** Write `df` clustered by the z-order of (`a`, `b`) into `files`
     * files: one range exchange on the z-key, in-partition sort, key
-    * dropped before the write. */
+    * dropped before the write. `sketchBounds` selects the
+    * outlier-robust [[withZKeySketch]] grid (the at-scale default for
+    * a maintenance pass); exact bounds remain for oracle parity. */
   def writeZOrdered(df: DataFrame, a: String, b: String, bits: Int,
-                    files: Int, path: String): Unit =
-    withZKey(df, a, b, bits)
+                    files: Int, path: String,
+                    sketchBounds: Boolean = false): Unit =
+    (if (sketchBounds) withZKeySketch(df, a, b, bits)
+     else withZKey(df, a, b, bits))
       .repartitionByRange(files, col("zval"))
       .sortWithinPartitions("zval")
       .drop("zval")

@@ -69,4 +69,49 @@ class ZOrderSpec extends SparkSpec {
     assert(avgPcSpan(zDir) / globalPc < 0.9,
       "z-order left the primary column unbounded per file")
   }
+
+  // per-z-key grid-cell count: how many distinct z-cells the layout
+  // actually spreads rows over — a collapsed grid puts everything in
+  // a handful of cells and the layout stops bounding anything
+  private def distinctCells(keyed: org.apache.spark.sql.DataFrame): Long =
+    keyed.select(countDistinct(col("zval"))).first().getLong(0)
+
+  test("sketch bounds match the exact grid on clean data (round 14)") {
+    val df = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+    val exact = distinctCells(Layout.withZKey(df, "pc", "sz", 8))
+    val sketch = distinctCells(Layout.withZKeySketch(df, "pc", "sz", 8))
+    // same resolution regime: the sketch grid spans where the mass is,
+    // so cell occupancy is within a small factor of the exact grid
+    assert(sketch.toDouble / exact > 0.8 && sketch.toDouble / exact < 1.25,
+      s"sketch grid degenerated on clean data: exact=$exact sketch=$sketch")
+  }
+
+  test("a poisoned sentinel collapses the exact grid; the sketch grid survives") {
+    import spark.implicits._
+    val clean = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+    // one corrupted record: a 2^40-cents sentinel (the kind a broken
+    // upstream writes exactly once in 100 TB). Kept inside the exact
+    // path's 2^53/top exactness envelope — a bigger sentinel now fails
+    // the exact path LOUDLY via the scaled() require, which is itself
+    // the fragility the sketch path exists to remove.
+    val poisoned = clean.unionByName(
+      Seq((-1L, 1L << 40, 9999L)).toDF("p_partkey", "pc", "sz"))
+    val exactCells = distinctCells(Layout.withZKey(poisoned, "pc", "sz", 8))
+    val sketchCells = distinctCells(Layout.withZKeySketch(poisoned, "pc", "sz", 8))
+    val cleanCells = distinctCells(Layout.withZKey(clean, "pc", "sz", 8))
+    // exact bounds: every real pc scales to cell 0 -> pc resolution is
+    // gone and occupied cells collapse toward |distinct sz buckets|
+    assert(exactCells < cleanCells / 4,
+      s"expected the sentinel to collapse the exact grid: $exactCells vs clean $cleanCells")
+    // sketch bounds: the grid still spans the mass; the sentinel lands
+    // clamped in an edge cell
+    assert(sketchCells.toDouble / cleanCells > 0.8,
+      s"sketch grid should survive the sentinel: $sketchCells vs clean $cleanCells")
+  }
 }
