@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Q, T}
 
@@ -142,6 +142,32 @@ object Layout {
       .sortWithinPartitions("zval")
       .drop("zval")
       .write.mode("overwrite").parquet(path)
+
+  /** The maintenance pass proper (round 14): compaction and z-order
+    * clustering as ONE staged atomic rewrite — a table that needs its
+    * small files merged is being rewritten anyway, so paying a second
+    * full rewrite to cluster it is pure waste; the z-order range
+    * exchange replaces plain compaction's round-robin inside
+    * [[graft.sinks.Sinks.compactWith]]'s swap discipline (file count
+    * from bytes/target, staged sibling, two atomic renames, no mixed
+    * layout ever visible). `a`/`b` are Column EXPRESSIONS over the
+    * table (a maintenance pass often clusters on derived keys — a
+    * map-field cast, a rounded price); they exist only as temp
+    * columns during the rewrite and are dropped before the write.
+    * Sketch bounds by default — the outlier-robust grid is the right
+    * unattended-maintenance choice ([[withZKeySketch]]). */
+  def zorderCompact(spark: SparkSession, path: String, a: Column, b: Column,
+      bits: Int, targetFileBytes: Long = 128L * 1024 * 1024,
+      sketchBounds: Boolean = true): Int =
+    graft.sinks.Sinks.compactWith(spark, path, targetFileBytes) { (df, n) =>
+      val keyed0 = df.withColumn("__za", a).withColumn("__zb", b)
+      val keyed =
+        if (sketchBounds) withZKeySketch(keyed0, "__za", "__zb", bits)
+        else withZKey(keyed0, "__za", "__zb", bits)
+      keyed.repartitionByRange(n, col("zval"))
+        .sortWithinPartitions("zval")
+        .drop("zval", "__za", "__zb")
+    }
 
   // 8 bits per dimension = 256 equal-width cells each, z in 16 bits —
   // plenty of layout resolution for any file count a compaction uses.

@@ -78,7 +78,19 @@ object Sinks {
     * Row-identical by construction; CompactSpec asserts the
     * file-count drop and content equality. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    compactWith(spark, path, targetFileBytes)((df, n) => df.repartition(n))
+
+  /** The staged-rewrite-and-swap core of [[compact]], with the rewrite
+    * itself pluggable: `rewrite(df, nFiles)` shapes the new layout
+    * (round-robin for plain compaction; a z-order range exchange for
+    * [[graft.ops.Layout.zorderCompact]]'s cluster-while-compacting
+    * maintenance pass). Same atomicity contract as [[compact]]'s
+    * scaladoc: staged sibling + two atomic renames, never a mixed or
+    * half-written live directory. */
+  private[graft] def compactWith(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long)
+      (rewrite: (DataFrame, Int) => DataFrame): Int = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
@@ -89,7 +101,7 @@ object Sinks {
       dataBytes(dir).toDouble / targetFileBytes).toInt)
     val stage = dir.resolveSibling(
       dir.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
-    spark.read.parquet(path).repartition(nFiles)
+    rewrite(spark.read.parquet(path), nFiles)
       .write.mode("overwrite").parquet(stage.toString)
     val old = dir.resolveSibling(
       dir.getFileName.toString + ".old_" + ProcessHandle.current().pid())
