@@ -36,7 +36,7 @@ object Caches {
       "q74_chunk_sliding", "q81_decontaminate_bloom", "q82_lm_perplexity",
       "q89_dedup_incremental", "q91_dedup_cluster_sizes",
       "q100_split_leakage", "q101_bm25_topk", "q124_jaccard_prefix_join",
-      "q132_dedup_containment"),
+      "q132_dedup_containment", "q135_containment_incremental"),
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",

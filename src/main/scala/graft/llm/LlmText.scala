@@ -701,6 +701,103 @@ object LlmText {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL containment (round 14): [[containmentPairs]]'s
+    * rarest-prefix pigeonhole re-cut along q89's delta/index seam, so
+    * quote detection can run at the ingest front door instead of
+    * re-joining the whole corpus per cycle. Split: delta =
+    * doc_id%10 == 0 (today's batch), index = the rest (q89's
+    * convention). Reports every DIRECTED pair (contained a,
+    * container b) with c(a→b) ≥ num/den that CROSSES the split —
+    * within-index pairs were yesterday's output, and both directions
+    * matter at the front door: a new doc that quotes an old one
+    * (delta ⊂ index) and an old doc subsumed by a new one
+    * (index ⊂ delta).
+    *
+    * Why it's incremental: both candidate joins probe artifacts that
+    * are PRECOMPUTABLE at index-build time and keyed by shingle —
+    * direction delta→index probes the index's FULL posting lists with
+    * the delta's p rarest shingles; direction index→delta probes the
+    * delta's (small) posting lists with the index docs' PREFIX
+    * postings (each index doc's p rarest, a den/(den−num)-fold
+    * reduction of the posting table, precomputed). Persisted bucketed
+    * on the shingle key ([[writeContainmentIndex]]), the index side
+    * joins straight off its buckets with ZERO exchange
+    * (ContainmentIndexSpec pins the plan) — per-cycle shuffle is
+    * ∝ |delta|, never ∝ |corpus|.
+    *
+    * Completeness is the same pigeonhole as [[containmentPairs]] but
+    * sharper to state: if c(A→B) ≥ num/den then B misses fewer than
+    * p = n − ceil(n·num/den) + 1 of A's shingles, so ANY p-subset of
+    * A's shingles contains one that B holds — the theorem needs no
+    * ordering property at all, so ranking A's prefix by INDEX-side df
+    * (the df that exists at the front door; unseen shingles default
+    * to 0 = rarest, and their posting lists are empty) is a pure
+    * performance choice and cannot lose a pair. */
+  private[llm] def incrementalContainmentPairs(dsh: DataFrame, num: Int = 9,
+      den: Int = 10, minShingles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dsh.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .filter(col("n") >= minShingles)
+    val isDelta = col("doc_id") % 10 === 0
+    val delta = d.filter(isDelta)
+    val idx = d.filter(!isDelta)
+    def postings(side: DataFrame): DataFrame =
+      side.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val exIdx = postings(idx)
+    val exDelta = postings(delta)
+    // index-side df — the rarity order an ingest cycle actually has
+    val dfIdx = exIdx.groupBy("s").agg(count(lit(1)).as("dfc"))
+    val p = col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1
+    def prefixOf(ex: DataFrame): DataFrame =
+      ex.join(dfIdx, Seq("s"), "left").na.fill(0L, Seq("dfc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("dfc"), col("s"))))
+        .filter(col("rn") <= p)
+        .select(col("doc_id").as("a"), col("s"))
+    // delta ⊂ index: delta prefixes probe the index's full postings
+    val d1 = prefixOf(exDelta)
+      .join(exIdx.select(col("doc_id").as("b"), col("s")), "s")
+    // index ⊂ delta: precomputed index prefixes probe the delta's postings
+    val d2 = prefixOf(exIdx)
+      .join(exDelta.select(col("doc_id").as("b"), col("s")), "s")
+    val cands = d1.unionByName(d2).select("a", "b").distinct()
+    cands
+      .join(d.select(col("doc_id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
+      .join(d.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(col("inter") * den >= col("na") * num)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter"),
+        col("na").as("size_a"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The deployment artifact behind [[incrementalContainmentPairs]]
+    * (the containment counterpart of [[writeBandIndex]]): the index
+    * side's posting table — (s, index_id, n, in_prefix) — bucketed on
+    * the shingle key. One table serves both probe directions:
+    * delta→index scans all rows; index→delta scans the `in_prefix`
+    * subset (each index doc's p rarest shingles). A delta probe joins
+    * it bucket-aligned with zero index-side exchange; append-only
+    * corpora append posting rows. */
+  def writeContainmentIndex(s: SparkSession, dir: String, table: String,
+      buckets: Int = 32, num: Int = 9, den: Int = 10,
+      minShingles: Int = 10): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docShingles(s, dir)
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .filter(col("n") >= minShingles && col("doc_id") % 10 =!= 0)
+    val ex = d.select(col("doc_id").as("index_id"), col("n"), explode(col("sh")).as("s"))
+    val dfc = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
+    val p = col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1
+    ex.join(dfc, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("index_id").orderBy(col("dfc"), col("s"))))
+      .select(col("s"), col("index_id"), col("n"), (col("rn") <= p).as("in_prefix"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** q101's index-time projection, persisted: (doc_id, dl, mt) where
     * mt keeps ONLY query-term occurrences. The expensive step is the
     * tokenization; this frame captures everything BM25 needs from it
@@ -867,6 +964,28 @@ object LlmText {
          |WHERE 10 * i.inter >= 9 * sa.n AND sa.n >= 10 AND sb.n >= 10
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       containmentPairs(docShingles(s, dir))
+    },
+
+    // ---- INCREMENTAL containment (round 14): q132's detector on
+    // q89's delta/index seam — directed cross-split containment pairs
+    // in both directions, with the index side probed through
+    // precomputable shingle-keyed artifacts (full postings one way,
+    // prefix postings the other) so a deployed cycle shuffles ∝ delta
+    // only ([[writeContainmentIndex]] + ContainmentIndexSpec pin the
+    // bucketed zero-exchange plan). Oracle = the independent brute
+    // directional formulation restricted to cross-split pairs.
+    Q("q135_containment_incremental",
+      s"""$sqlPrelude,
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM dsh x JOIN dsh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |           AND ((x.doc_id % 10 = 0) <> (y.doc_id % 10 = 0))
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter::BIGINT AS inter, sa.n::BIGINT AS size_a
+         |FROM inter i JOIN ssize sa ON sa.doc_id = i.doc_a
+         |             JOIN ssize sb ON sb.doc_id = i.doc_b
+         |WHERE 10 * i.inter >= 9 * sa.n AND sa.n >= 10 AND sb.n >= 10
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      incrementalContainmentPairs(docShingles(s, dir))
     },
 
     // ---- near-dup CLUSTERING: pairs → connected components →
