@@ -35,8 +35,19 @@ object AnalyticsSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // clone-adversary members (VERDICT r13 item 4): the clone fixture
+    // reshapes documents/embeddings only, so the document-reading
+    // similarity joins get a clone10 column; q125–q127 read identical
+    // TPC-H tables there and are sf-axis only. For the containment
+    // pair class the clone shape is the worst case BY SEMANTICS:
+    // every clone contains every other at c = 1, so the TRUE directed
+    // output grows ~K² per doc — the number to watch is candidate
+    // growth staying proportional to that inherent output, not above.
+    val cloneQs = Set("q124_jaccard_prefix_join", "q132_dedup_containment",
+      "q135_containment_incremental")
     val qs = Seq("q124_jaccard_prefix_join", "q125_interval_islands",
-      "q126_countmin_sketch", "q127_skyline")
+      "q126_countmin_sketch", "q127_skyline", "q132_dedup_containment",
+      "q135_containment_incremental")
       .map(n => graft.SparkEntry.all.find(_.name == n).get)
 
     def med(q: graft.core.Q, dir: String, runs: Int): (Double, Double, Double) = {
@@ -60,7 +71,7 @@ object AnalyticsSweep {
     val results = for (q <- qs; (fl, dir) <- fixtures) yield {
       // clone fixture only reshapes documents/embeddings — the TPC-H
       // queries q125-q127 read identical tables there; skip them.
-      if (fl == "clone10" && q.name != "q124_jaccard_prefix_join") None
+      if (fl == "clone10" && !cloneQs(q.name)) None
       else {
         val runs = if (q.name == "q124_jaccard_prefix_join" && fl == "sf0.1") 5 else 3
         val (m, lo, hi) = med(q, dir, runs)

@@ -48,6 +48,25 @@ class FrequentTriplesSpec extends SparkSpec {
       "sub-pair-frequent triple below true support leaked through")
   }
 
+  test("sliced pair stage equals direct across the size threshold") {
+    // one basket ABOVE the tiling threshold (the mega-basket hedge
+    // path), several below it, overlapping parts so cross-basket
+    // pair supports mix both branches; then the same check with the
+    // threshold forced to 0 (EVERY basket tiled) so tile assignment
+    // is exercised on the small baskets too
+    val baskets = Seq[(Long, Seq[Long])](
+      1L -> (1L to 50L), 2L -> (20L to 45L), 3L -> (40L to 60L),
+      4L -> Seq[Long](1, 2, 3), 5L -> Seq[Long](2, 3, 44))
+    val items = itemsOf(baskets)
+    def counts(threshold: Int, slices: Int) =
+      Graph.pairCounts(items, threshold, slices).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val direct = counts(Int.MaxValue, 16)
+    assert(counts(30, 4) == direct, "tiled mega-basket branch diverged")
+    assert(counts(0, 4) == direct, "all-tiled pair stage diverged")
+    assert(counts(30, 1) == direct, "degenerate single-slice tiling diverged")
+  }
+
   test("empty when no pair reaches support") {
     val baskets = Seq[(Long, Seq[Long])](
       1L -> Seq[Long](1, 2, 3), 2L -> Seq[Long](4, 5, 6), 3L -> Seq[Long](7, 8, 9))

@@ -127,13 +127,23 @@ class EventsEncodingSpec extends SparkSpec {
           i.toLong % 3, "click", 1.5, "{}")
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"), dir)
     assert(streamMicros(dir) == expected)
-    // ADVICE r12: regeneration must not strand the previous stamp's
-    // staged copy — after the re-stage, exactly ONE landing dir exists
-    // for this source path (the fresh stamp), the stale one is gone
+    // ADVICE r12 + r13: regeneration must not strand the previous
+    // stamp's staged copy FOREVER, but cleanup is age-gated — a
+    // sibling younger than an hour may back a concurrent run still on
+    // the previous fixture generation, so it survives the re-stage...
     import scala.jdk.CollectionConverters._
     val prefix = "stream_events_" + Integer.toHexString(dir.toString.hashCode) + "_"
-    val staged = Files.list(Paths.get("/tmp/graft")).iterator().asScala
+    def staged = Files.list(Paths.get("/tmp/graft")).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith(prefix)).toList
-    assert(staged.size == 1, s"stale staged landing dirs not cleaned: $staged")
+    assert(staged.size == 2,
+      s"young stale sibling must survive the age gate (concurrent-run safety): $staged")
+    // ...and once aged past the gate it is reaped by the next call:
+    // back-date every sibling 2h, re-open the stream, and exactly ONE
+    // landing dir (the live stamp) remains
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600L * 1000)
+    staged.foreach(n => Files.setLastModifiedTime(Paths.get("/tmp/graft", n), old))
+    assert(streamMicros(dir) == expected)
+    assert(staged.size == 1, s"aged stale landing dirs not cleaned: $staged")
   }
 }
