@@ -17,7 +17,7 @@ object SparkEntry {
       llm.LlmText.qs ++ llm.LlmVector.qs ++ llm.Multimodal.qs ++
       streaming.Streams.qs ++ ingest.JsonlSource.qs ++
       ops.Profile.qs ++ ops.Graph.qs ++ llm.TextMining.qs ++ ops.Audit.qs ++
-      ops.Analytics.qs ++ ops.Layout.qs
+      ops.Analytics.qs ++ ops.Layout.qs ++ ops.Eval.qs
 
   /** Flagship: the end-to-end reference slice (SURVEY §7.2) — corpus →
     * record split → 47-field extract → single-shuffle merge → user

@@ -324,8 +324,145 @@ object Graph {
         .select(col("o_custkey").as("k"), col("l_partkey").as("p"))
         .distinct()
       frequentTriples(items, 3)
+    },
+
+    // ---- Multi-source BFS hop distance (round 14) — the graph-
+    // TRAVERSAL member the family lacked (q109 ranks, q113 counts
+    // closed structure, q57 finds components; none answers "how far").
+    // Sources = every customer in nation 0; the query labels each
+    // reachable node with its shortest hop count within 3 expansion
+    // rounds and reports the per-hop frontier census (count + id sum
+    // as a collision-resistant membership checksum). Frontier fold is
+    // min-hop: each round, relax every edge out of the labeled set
+    // and keep min(hop) per node — the textbook distributed
+    // Bellman-Ford step specialized to unit weights, which makes the
+    // round count the hop bound and the fold idempotent (re-relaxing
+    // a settled node can only re-derive its label, never lower it, so
+    // the unrolled form equals true BFS at hops ≤ 3). All-integer, so
+    // the DuckDB unrolled-CTE oracle hashes identically. The graph is
+    // bipartite customer↔supplier: odd hops land on suppliers
+    // (node ≥ 1e6), even hops on customers — the census exposes that
+    // parity, and a sources row at hop 0 survives even for customers
+    // with no orders (absent from the edge list ⇒ never relaxed).
+    // Plan at 100 TB: the label frame is O(|nodes|) and is the ONLY
+    // thing that shuffles per round — the degree-annotated edge list
+    // is the SAME persisted src-partitioned frame q109 iterates on
+    // (zero edge-side exchange per round, zero fact-table re-scans
+    // when q109/q136 share a session), relaxation is edge ⋈ labels on
+    // the cached partitioning, and the min-hop fold is a hash agg
+    // with map-side partials. The census output is |hops|-bounded.
+    Q("q136_bfs_hops",
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, s + 1000000 AS dst FROM e0
+        |          UNION ALL SELECT s + 1000000, c FROM e0),
+        |d0 AS (SELECT c_custkey AS node, 0 AS hop FROM customer WHERE c_nationkey = 0),
+        |d1 AS (SELECT node, min(hop) AS hop FROM (
+        |         SELECT e.dst AS node, d.hop + 1 AS hop FROM edges e JOIN d0 d ON d.node = e.src
+        |         UNION ALL SELECT node, hop FROM d0) GROUP BY 1),
+        |d2 AS (SELECT node, min(hop) AS hop FROM (
+        |         SELECT e.dst AS node, d.hop + 1 AS hop FROM edges e JOIN d1 d ON d.node = e.src
+        |         UNION ALL SELECT node, hop FROM d1) GROUP BY 1),
+        |d3 AS (SELECT node, min(hop) AS hop FROM (
+        |         SELECT e.dst AS node, d.hop + 1 AS hop FROM edges e JOIN d2 d ON d.node = e.src
+        |         UNION ALL SELECT node, hop FROM d2) GROUP BY 1)
+        |SELECT hop::BIGINT AS hop, count(*)::BIGINT AS n_nodes, sum(node)::BIGINT AS node_sum
+        |FROM d3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sources = T.df(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("node"))
+      bfsHops(edgesDeg(s, dir), sources, 3)
+        .groupBy("hop")
+        .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
+        .orderBy("hop")
+    },
+
+    // ---- Item-item co-purchase similarity / collaborative-filter
+    // recommendations (round 14) — the rec-sys read of the q122
+    // weighted co-purchase graph: for the 10 highest-degree parts
+    // (the "customers also bought" anchors), the top-5 neighbors by
+    // squared cosine over order baskets, sim²(a,b) = co(a,b)² /
+    // (deg(a)·deg(b)), in integer micro-units — numerator and
+    // denominator are exact bigint counts and the one division is
+    // integral on BOTH engines: Spark decimal(38,0) `div`, DuckDB
+    // HUGEINT `//` (DuckDB's DECIMAL `//` silently degrades to
+    // double true-division and its BIGINT cast ROUNDS — measured
+    // off-by-one — so the oracle pins the 128-bit integer domain
+    // where `//` truncates like `div`); no float ever orders the
+    // ranking and the oracle hashes bit-for-bit; ties break on the
+    // neighbor key.
+    // Plan at 100 TB: the pair-support frame reuses [[pairCounts]]
+    // (map-side bounded expansion ≤ C(7,2) per order, mega-basket
+    // bucket tiling if a basket ever crosses the threshold), degrees
+    // are one hash agg over the same distinct (order, part) frame,
+    // the 10-row seed table broadcast-prunes BOTH directions of the
+    // pair frame BEFORE any scoring — so the rank window runs over
+    // ≤ 10 × max-degree candidate rows, never the full pair table —
+    // and the per-seed top-5 is a row_number over that pruned frame.
+    // Nothing corpus-scale crosses the wire after the support agg.
+    Q("q137_item_similarity",
+      """WITH it AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |co AS (SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS n
+        |       FROM it a JOIN it b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        |deg AS (SELECT p, count(*)::BIGINT AS d FROM it GROUP BY 1),
+        |seeds AS (SELECT p AS sp, d AS sd FROM deg ORDER BY d DESC, p LIMIT 10),
+        |dr AS (SELECT pa AS a, pb AS b, n FROM co UNION ALL SELECT pb, pa, n FROM co),
+        |cand AS (SELECT s.sp AS a, r.b, r.n, s.sd AS da, db.d AS db
+        |         FROM dr r JOIN seeds s ON r.a = s.sp JOIN deg db ON db.p = r.b),
+        |sc AS (SELECT a, b,
+        |         CAST((CAST(n AS HUGEINT) * n * 1000000)
+        |              // (CAST(da AS HUGEINT) * db) AS BIGINT) AS sim_micro
+        |       FROM cand),
+        |rk AS (SELECT a, b, sim_micro,
+        |         row_number() OVER (PARTITION BY a ORDER BY sim_micro DESC, b) AS rnk
+        |       FROM sc)
+        |SELECT a AS p_item, b AS p_rec, sim_micro, rnk::BIGINT AS rnk
+        |FROM rk WHERE rnk <= 5 ORDER BY p_item, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val it = T.df(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .distinct()
+      val co = pairCounts(it)
+      val deg = it.groupBy("p").agg(count(lit(1)).as("d"))
+      val seeds = deg.orderBy(col("d").desc, col("p"))
+        .limit(10).select(col("p").as("sp"), col("d").as("sd"))
+      val dr = co.select(col("pa").as("a"), col("pb").as("b"), col("n"))
+        .unionByName(co.select(col("pb").as("a"), col("pa").as("b"), col("n")))
+      val cand = dr.join(broadcast(seeds), col("a") === col("sp"))
+        .join(deg.withColumnRenamed("p", "bp").withColumnRenamed("d", "db"),
+          col("b") === col("bp"))
+      val scored = cand.select(col("a"), col("b"),
+        expr("cast((cast(n as decimal(38,0)) * n * 1000000) div " +
+          "(cast(sd as decimal(38,0)) * db) as bigint)").as("sim_micro"))
+      scored.withColumn("rnk",
+          row_number().over(Window.partitionBy("a")
+            .orderBy(col("sim_micro").desc, col("b"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("a").as("p_item"), col("b").as("p_rec"), col("sim_micro"), col("rnk"))
+        .orderBy("p_item", "rnk")
     }
   )
+
+  /** Multi-source unit-weight BFS labels over a (`src`, `dst`) edge
+    * frame — the q136 core, factored so GraphSpec can drive it on
+    * hand graphs. Returns (node, hop) for every node reachable from
+    * `sources` (column `node`) within `rounds` relaxations, hop =
+    * shortest distance (min-hop fold makes re-relaxation idempotent,
+    * so the unrolled form equals true BFS at hops ≤ rounds). Only the
+    * O(|nodes|) label frame shuffles per round; pass a persisted
+    * src-partitioned edge frame (e.g. [[edgesDeg]]) so the edge side
+    * never re-exchanges. */
+  private[graft] def bfsHops(edges: DataFrame, sources: DataFrame,
+                             rounds: Int): DataFrame = {
+    var lab = sources.select(col("node")).withColumn("hop", lit(0L))
+    for (_ <- 1 to rounds) {
+      lab = edges.join(lab, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+        .unionByName(lab)
+        .groupBy("node").agg(min("hop").as("hop"))
+    }
+    lab
+  }
 
   /** Apriori frequent-3-itemset mining over (basket `k`, item `p`)
     * rows — see q133's scaladoc for the scale argument. Factored so
