@@ -657,4 +657,63 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") && p.contains("partial_max"),
       s"stats pass lost map-side partials:\n$p")
   }
+
+  test("q136 BFS: rounds read the cached edge frame — one lineitem scan subtree") {
+    // same invariant as q109: iterative relaxation must NOT re-derive
+    // the graph per round; the edge side is the persisted frame
+    val p = plan("q136_bfs_hops")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"rounds no longer read the cached edge frame:\n$p")
+    val scans = "FileScan parquet \\[l_orderkey#\\d+L,l_suppkey#\\d+L\\]"
+      .r.findAllIn(p).toSeq.distinct
+    assert(scans.size <= 1,
+      s"BFS re-scans the fact table per round: $scans\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q137 item similarity: seeds broadcast-prune before the rank window") {
+    // the window must see only seed candidates — a window over the
+    // full pair table is the 100 TB cliff
+    val p = plan("q137_item_similarity")
+    assert(p.contains("BroadcastHashJoin"), s"seed prune not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair build degenerated:\n$p")
+    // the rank window sits ABOVE the broadcast seed join in the tree
+    val wIdx = p.indexOf("Window")
+    val bIdx = p.indexOf("BroadcastHashJoin")
+    assert(wIdx >= 0 && bIdx > wIdx,
+      s"rank window does not run on the broadcast-pruned side:\n$p")
+  }
+
+  test("q138 AUC: rank window runs over the aggregate, never data rows") {
+    // q116 discipline: the (source, score) hash agg must sit BELOW the
+    // window — the textbook global sort-and-rank over documents rows
+    // must never appear
+    val p = plan("q138_auc_ranksum")
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, s"rank window missing:\n$p")
+    val below = p.substring(wIdx)
+    assert(below.contains("partial_count") || below.contains("HashAggregate"),
+      s"window no longer runs over the (source, score) aggregate:\n$p")
+    assert(!p.contains("Join"), s"AUC grew a join:\n$p")
+  }
+
+  test("q139 histogram: bounds broadcast back, apply map-only, nothing sorts but the output") {
+    val p = plan("q139_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row bounds frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bounds join shuffled the column:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"bounds pass lost map-side partials:\n$p")
+    assert("Sort ".r.findAllIn(p).size <= 1, s"extra sort appeared:\n$p")
+  }
+
+  test("q140 sigma outliers: the q123 broadcast-apply shape — no corpus window") {
+    val p = plan("q140_sigma_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"moments frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join |types| rows:\n$p")
+    assert(!p.contains("Window"), s"per-type corpus window appeared:\n$p")
+    assert(p.contains("partial_sum"), s"moments pass lost map-side partials:\n$p")
+  }
 }
