@@ -630,6 +630,44 @@ object Multimodal {
       MediaBatch.decodeWavsSafe(payloads)
         .select("doc_id", "status", "sample_rate", "n_samples", "amp_sum", "amp_max")
         .orderBy("doc_id")
+    },
+
+    // ---- Content-addressed media dedup manifest (round 14) — the
+    // binary-payload member of the dedup family: q38 keys on
+    // normalized TEXT, this keys on the payload BYTES (md5), the way
+    // an image/audio store dedups — identical bytes collapse even
+    // when their declared mime/metadata disagree (the fixture's
+    // doc_id%3 mime assignment makes byte-identical payloads carry
+    // DIFFERENT mimes, so n_mimes > 1 on real clusters proves the
+    // digest, not the metadata, is the key). Output = top-20 digest
+    // census rows (n_copies DESC) with the min-doc_id keeper — the
+    // manifest a garbage-collecting blob store applies; includes
+    // singletons so the gate stays populated at every fixture scale
+    // (sf0.01 has zero exact-dup payloads, sf0.1 has 8 clusters —
+    // both hash-compared). Spark md5 over UTF-8 payload bytes ≡
+    // DuckDB md5 over the source text: both digest the same byte
+    // string, so the oracle never touches the staged table.
+    // Plan at 100 TB: digest is map-side (payload bytes never
+    // shuffle — only 16-byte digests cross the wire, the same
+    // payload-locality rule q103/q129 pin), census is one hash agg
+    // with partials, top-20 is TakeOrderedAndProject.
+    Q("q143_media_dedup_manifest",
+      """WITH m AS (SELECT doc_id,
+        |             (['image/png', 'audio/wav', 'video/mp4'])[(CAST(doc_id % 3 AS INT) + 1)] AS mime,
+        |             md5(text) AS digest
+        |           FROM documents),
+        |d AS (SELECT digest, count(*)::BIGINT AS n_copies,
+        |        count(DISTINCT mime)::BIGINT AS n_mimes, min(doc_id) AS keeper
+        |      FROM m GROUP BY 1)
+        |SELECT digest, n_copies, n_mimes, keeper FROM d
+        |ORDER BY n_copies DESC, digest LIMIT 20""".stripMargin) { (s, dir) =>
+      mediaTable(s, dir)
+        .select(col("doc_id"), col("mime"), md5(col("payload")).as("digest"))
+        .groupBy("digest")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct("mime").as("n_mimes"), min("doc_id").as("keeper"))
+        .orderBy(col("n_copies").desc, col("digest"))
+        .limit(20)
     }
   )
 }

@@ -205,6 +205,56 @@ object Eval {
         .filter(col("value").isNotNull)
         .select(col("event_type"),
           expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("v")), 3)
+    },
+
+    // ---- Equi-depth (quantile) binning — q139's companion: equal
+    // COUNT per bin instead of equal width, the feature-engineering
+    // transform behind decile features / lift tables / monotone
+    // binning. Exact equi-depth needs global ranks, so this operator
+    // deliberately targets BOUNDED-DOMAIN columns (l_quantity has 50
+    // distinct values): one hash aggregate to (value, count), then
+    // the rank arithmetic runs over the |domain|-row frame — bin =
+    // cum·10 div N, every distinct value lands WHOLLY in one bin (a
+    // tie class is never split — the documented semantics, which is
+    // also why bins go uneven when ties dominate; the output exposes
+    // exactly that skew). For unbounded domains (near-unique money
+    // columns) exact global ranks are the 100 TB cliff by
+    // construction — that case is what the q104 mergeable GK sketch
+    // path is for; this pair of operators is the exact/sketch split,
+    // same shape as exact min/max vs withZKeySketch in Layout.
+    // Plan: one partial-combined aggregate over the corpus; the
+    // single-partition window stage is downstream of the ≤50-row
+    // aggregate (q116 discipline), then a ≤10-row census.
+    Q("q141_quantile_bins",
+      """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q, count(*)::BIGINT AS c
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(c)::BIGINT AS n FROM g),
+        |w AS (SELECT q, c,
+        |        coalesce(sum(c) OVER (ORDER BY q
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM g),
+        |b AS (SELECT (cum * 10) // n AS bin, q, c FROM w, t)
+        |SELECT bin::BIGINT AS bin, sum(c)::BIGINT AS n_rows,
+        |       count(*)::BIGINT AS n_values, min(q) AS lo, max(q) AS hi
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      quantileBins(T.df(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("q")), 10)
     }
   )
+
+  /** Equi-depth binning census of a bounded-domain `q` column — the
+    * q141 core. Every distinct value lands wholly in bin
+    * (cum·bins div N); ties are never split across bins. */
+  private[graft] def quantileBins(vals: DataFrame, bins: Int): DataFrame = {
+    val g = vals.groupBy("q").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    val t = g.agg(sum("c").as("n"))
+    g.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+      .crossJoin(broadcast(t))
+      .select(expr(s"(cum * $bins) div n").as("bin"), col("q"), col("c"))
+      .groupBy("bin")
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_values"),
+        min("q").as("lo"), max("q").as("hi"))
+      .orderBy("bin")
+  }
 }

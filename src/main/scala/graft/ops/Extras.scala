@@ -692,6 +692,40 @@ object Extras {
         .orderBy("from_type", "to_type")
     },
 
+    // ---- Top event-type trigram paths (round 14) — order-3 sequence
+    // mining, the step past q114's first-order transitions: frequent
+    // 3-step journeys ("view→cart→buy") for funnel discovery, with
+    // top-20 by support. Rides the SAME (ts, event_id)-total-ordered
+    // user window q85/q114 pinned (tie-broken, so both engines see
+    // identical sequences); two lead()s in ONE window pass emit every
+    // overlapping trigram map-side — no self-joins, no sequence
+    // materialization (the collect_list form holds whole user
+    // histories in task memory; this holds 2 lookahead rows).
+    // Plan at 100 TB: one user-keyed exchange for the window (the
+    // |types|³-bounded support agg and top-20 heap downstream), same
+    // shape the q114 PlanSpec pins — sessions are per-user bounded,
+    // so the window state never skews beyond a user's history.
+    Q("q142_trigram_paths",
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, count(*)::BIGINT AS n
+        |FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T.df(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    },
+
     // ---- per-group OLS trend (slope/intercept/r² of value over
     // time): the "is this metric drifting" regression every monitoring
     // pass runs per segment. Same cross-engine discipline as q93: NOT

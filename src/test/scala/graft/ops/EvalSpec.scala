@@ -92,6 +92,23 @@ class EvalSpec extends SparkSpec {
     assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 99L -> 0L))
   }
 
+  test("quantile bins: uniform domain splits evenly") {
+    // 1..10 once each, 5 bins → every bin exactly 2 values / 2 rows
+    val r = Eval.quantileBins((1L to 10L).toDF("q"), 5).collect()
+    assert(r.map(_.getLong(0)).toSeq == (0L to 4L))
+    assert(r.forall(x => x.getLong(1) == 2L && x.getLong(2) == 2L))
+  }
+
+  test("quantile bins: a dominant tie class is never split") {
+    // 5×1, 90×2, 5×3 into 10 bins: value 2 starts at cum=5 → bin 0,
+    // so bin 0 swallows 95 rows, bins 1..8 stay EMPTY, 3 lands in 9 —
+    // the documented uneven-under-ties semantics
+    val vals = (Seq.fill(5)(1L) ++ Seq.fill(90)(2L) ++ Seq.fill(5)(3L)).toDF("q")
+    val r = Eval.quantileBins(vals, 10).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3), x.getLong(4))).toMap
+    assert(r == Map(0L -> (95L, 1L, 2L), 9L -> (5L, 3L, 3L)))
+  }
+
   test("item similarity: identical baskets score a perfect 1e6 cosine") {
     // parts 10 and 20 co-occur in every basket → co=3, deg=3 each →
     // sim² = 9/9 → 1_000_000 micro; part 30 appears once with them
