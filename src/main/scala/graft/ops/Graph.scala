@@ -81,27 +81,47 @@ object Graph {
       edges.join(deg, "src").repartition(col("src")).persist()
     })
 
-  /** Canonical (a < b) distinct part pairs co-ordered in some order —
-    * q113's undirected edge set, persisted because the closing-edge
-    * join, the degree build, and the orientation all consume it.
-    * Built as ONE lineitem scan: per-order part sets (collect_set,
-    * bounded by order size — ≤ 7 lineitems per TPC-H order) expanded
-    * to pairs map-side (≤ 21 per order). The orderkey SELF-join form
-    * scans the fact table twice for the same rows; this form scans
-    * once and its pair fanout is bounded, never quadratic. */
-  private val partPairCache =
+  /** Distinct (order `k`, part `p`) items — ONE fact-table scan
+    * feeding the whole part-graph family (round 14: q113's pair set,
+    * q122's support counts, and q137's co/degree frames were three
+    * separate lineitem derivations of the same object; now every
+    * consumer reads these two persisted frames and the scan happens
+    * exactly once per (session, dir)). */
+  private val orderItemsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def partPairs(s: SparkSession, dir: String): DataFrame =
-    partPairCache.computeIfAbsent((s, dir), _ => {
-      T.df(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("a"), col("ps"))
-        .select(col("a"), explode(col("ps")).as("b"))
-        .filter(col("a") < col("b"))
-        .select("a", "b")
+  private def orderItems(s: SparkSession, dir: String): DataFrame =
+    orderItemsCache.computeIfAbsent((s, dir), _ =>
+      T.df(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
         .distinct()
+        .persist())
+
+  /** Order-basket pair SUPPORT (pa < pb, n) — the weighted co-purchase
+    * edge list, persisted once: q122 is its top-30, q113's canonical
+    * edge set is its key projection (support rows are distinct pairs
+    * by construction), q137's cosine numerator is its counts. Built
+    * from [[orderItems]] via per-order part sets (collect_set, bounded
+    * ≤ 7 lineitems per TPC-H order) expanded to ≤ C(7,2) pairs
+    * map-side — order baskets are schema-bounded, so the mega-basket
+    * tiling hedge stays where baskets are unbounded ([[pairCounts]],
+    * q133's customer baskets). */
+  private val pairSupportCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def pairSupport(s: SparkSession, dir: String): DataFrame =
+    pairSupportCache.computeIfAbsent((s, dir), _ => {
+      orderItems(s, dir)
+        .groupBy("k").agg(collect_set(col("p")).as("ps"))
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(col("ps")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
         .persist()
     })
+
+  /** Canonical (a < b) distinct part pairs — q113's undirected edge
+    * set, now a projection of the persisted [[pairSupport]] frame. */
+  private def partPairs(s: SparkSession, dir: String): DataFrame =
+    pairSupport(s, dir).select(col("pa").as("a"), col("pb").as("b"))
 
   /** Degree-ordered orientation of [[partPairs]] — each edge pointed
     * from its (degree, id)-smaller endpoint. Persisted: the wedge
@@ -150,7 +170,8 @@ object Graph {
     graft.Caches.dropSession(edCache, s)(_.unpersist())
     graft.Caches.dropSession(pairCache, s)(_.unpersist())
     graft.Caches.dropSession(oriCache, s)(_.unpersist())
-    graft.Caches.dropSession(partPairCache, s)(_.unpersist())
+    graft.Caches.dropSession(orderItemsCache, s)(_.unpersist())
+    graft.Caches.dropSession(pairSupportCache, s)(_.unpersist())
   }
 
   val qs: Seq[Q] = Seq(
@@ -268,19 +289,19 @@ object Graph {
     // TakeOrderedAndProject. At 100 TB the pair stream is ≤ 21× orders
     // rows and the aggregate is the only exchange past the basket
     // build; hot pairs are just heavy keys in a hash agg (partials
-    // absorb them — no skew cliff). PlanSpec pins one-scan + top-k.
+    // absorb them — no skew cliff). Round 14: the support frame is the
+    // family-shared persisted [[pairSupport]] (q113/q137 read the same
+    // object), so this query is a top-30 heap over the cache and the
+    // one fact scan is paid once per session, not per query. PlanSpec
+    // pins cached-read + top-k.
     Q("q122_frequent_pairs",
       """WITH b AS (SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps FROM lineitem GROUP BY 1),
         |p AS (SELECT u1.p1 AS a, u2.p2 AS b FROM b,
         |      unnest(ps) AS u1(p1), unnest(ps) AS u2(p2) WHERE u1.p1 < u2.p2)
         |SELECT a, b, count(*)::BIGINT AS support FROM p GROUP BY 1, 2
         |ORDER BY support DESC, a, b LIMIT 30""".stripMargin) { (s, dir) =>
-      T.df(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("a"), col("ps"))
-        .select(col("a"), explode(col("ps")).as("b"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      pairSupport(s, dir)
+        .select(col("pa").as("a"), col("pb").as("b"), col("n").as("support"))
         .orderBy(col("support").desc, col("a"), col("b"))
         .limit(30)
     },
@@ -391,10 +412,11 @@ object Graph {
     // where `//` truncates like `div`); no float ever orders the
     // ranking and the oracle hashes bit-for-bit; ties break on the
     // neighbor key.
-    // Plan at 100 TB: the pair-support frame reuses [[pairCounts]]
-    // (map-side bounded expansion ≤ C(7,2) per order, mega-basket
-    // bucket tiling if a basket ever crosses the threshold), degrees
-    // are one hash agg over the same distinct (order, part) frame,
+    // Plan at 100 TB: the pair-support frame IS the family-shared
+    // persisted [[pairSupport]] (map-side bounded expansion ≤ C(7,2)
+    // per schema-bounded order basket; unbounded baskets keep the
+    // [[pairCounts]] tiling hedge — q133's customer-level path),
+    // degrees are one hash agg over the same cached item frame,
     // the 10-row seed table broadcast-prunes BOTH directions of the
     // pair frame BEFORE any scoring — so the rank window runs over
     // ≤ 10 × max-degree candidate rows, never the full pair table —
@@ -419,11 +441,8 @@ object Graph {
         |SELECT a AS p_item, b AS p_rec, sim_micro, rnk::BIGINT AS rnk
         |FROM rk WHERE rnk <= 5 ORDER BY p_item, rnk""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val it = T.df(s, dir, "lineitem")
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-        .distinct()
-      val co = pairCounts(it)
-      val deg = it.groupBy("p").agg(count(lit(1)).as("d"))
+      val co = pairSupport(s, dir)
+      val deg = orderItems(s, dir).groupBy("p").agg(count(lit(1)).as("d"))
       val seeds = deg.orderBy(col("d").desc, col("p"))
         .limit(10).select(col("p").as("sp"), col("d").as("sd"))
       val dr = co.select(col("pa").as("a"), col("pb").as("b"), col("n"))
