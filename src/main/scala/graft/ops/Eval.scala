@@ -228,12 +228,13 @@ object Eval {
     Q("q141_quantile_bins",
       """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q, count(*)::BIGINT AS c
         |           FROM lineitem GROUP BY 1),
-        |t AS (SELECT sum(c)::BIGINT AS n FROM g),
         |w AS (SELECT q, c,
         |        coalesce(sum(c) OVER (ORDER BY q
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |        sum(c) OVER (ORDER BY q
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
         |      FROM g),
-        |b AS (SELECT (cum * 10) // n AS bin, q, c FROM w, t)
+        |b AS (SELECT (cum * 10) // n AS bin, q, c FROM w)
         |SELECT bin::BIGINT AS bin, sum(c)::BIGINT AS n_rows,
         |       count(*)::BIGINT AS n_values, min(q) AS lo, max(q) AS hi
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
@@ -244,13 +245,18 @@ object Eval {
 
   /** Equi-depth binning census of a bounded-domain `q` column — the
     * q141 core. Every distinct value lands wholly in bin
-    * (cum·bins div N); ties are never split across bins. */
+    * (cum·bins div N); ties are never split across bins. The total N
+    * rides the SAME ordered window as the running sum (one window
+    * pass, identical sort spec) instead of a separate count subtree —
+    * a broadcast total frame would re-derive the aggregate from a
+    * second corpus scan unless exchange reuse happens to rescue it. */
   private[graft] def quantileBins(vals: DataFrame, bins: Int): DataFrame = {
     val g = vals.groupBy("q").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-    val t = g.agg(sum("c").as("n"))
-    g.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
-      .crossJoin(broadcast(t))
+    val w = Window.orderBy("q")
+    g.withColumn("cum",
+        coalesce(sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(expr(s"(cum * $bins) div n").as("bin"), col("q"), col("c"))
       .groupBy("bin")
       .agg(sum("c").as("n_rows"), count(lit(1)).as("n_values"),

@@ -338,12 +338,15 @@ object Graph {
         |        GROUP BY 1, 2, 3)
         |SELECT pa, pb, pc, n::BIGINT AS support FROM tri WHERE n >= 3
         |ORDER BY pa, pb, pc""".stripMargin) { (s, dir) =>
-      val items = T.df(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
+      // customer baskets lift off the family's cached (order, part)
+      // frame (round 14): the orders side is the small dimension join,
+      // so the fact table is never re-scanned for this query
+      val items = orderItems(s, dir)
         .join(T.df(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("k"), col("l_partkey").as("p"))
+          col("k") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("p"))
         .distinct()
+        .select(col("ck").as("k"), col("p"))
       frequentTriples(items, 3)
     },
 

@@ -724,4 +724,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"per-type corpus window appeared:\n$p")
     assert(p.contains("partial_sum"), s"moments pass lost map-side partials:\n$p")
   }
+
+  test("q141 quantile bins: rank window above the domain aggregate, one scan") {
+    // the single-partition window must sit downstream of the ≤|domain|-
+    // row aggregate — a global window over data rows is the cliff this
+    // operator's bounded-domain contract exists to avoid
+    val p = plan("q141_quantile_bins")
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0 && p.substring(wIdx).contains("HashAggregate"),
+      s"rank window no longer runs over the (value, count) aggregate:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"total-N rides the window — a second scan subtree crept back:\n$p")
+    assert(!p.contains("Join"), s"quantile binning grew a join:\n$p")
+  }
+
+  test("q142 trigrams: one user-keyed window pass, no join, top-k heap") {
+    val p = plan("q142_trigram_paths")
+    assert(!p.contains("Join"), s"trigram mining grew a join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"user window no longer a single exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its heap form")
+  }
+
+  test("q143 media dedup: digest map-side — payload never crosses an exchange") {
+    val p = plan("q143_media_dedup_manifest")
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0, s"no exchange at all?\n$p")
+    assert(!p.substring(0, ex).contains("payload"),
+      s"payload column survives past the digest projection:\n$p")
+    assert(p.contains("partial_count"), "digest census lost map-side partials")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its heap form")
+  }
 }
