@@ -43,7 +43,7 @@ object Caches {
       "q83_dedup_semantic", "q105_pq_adc"),
       llm.LlmVector.release),
     (Set("q109_pagerank", "q113_triangle_count", "q122_frequent_pairs",
-      "q133_frequent_triples", "q136_bfs_hops", "q137_item_similarity"),
+      "q136_bfs_hops", "q137_item_similarity"),
       ops.Graph.release),
     (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift"),
       llm.TextMining.release))

@@ -123,6 +123,7 @@ object Graph {
   private def partPairs(s: SparkSession, dir: String): DataFrame =
     pairSupport(s, dir).select(col("pa").as("a"), col("pb").as("b"))
 
+
   /** Degree-ordered orientation of [[partPairs]] — each edge pointed
     * from its (degree, id)-smaller endpoint. Persisted: the wedge
     * self-join reads it twice, and caching it makes the degree
@@ -338,15 +339,22 @@ object Graph {
         |        GROUP BY 1, 2, 3)
         |SELECT pa, pb, pc, n::BIGINT AS support FROM tri WHERE n >= 3
         |ORDER BY pa, pb, pc""".stripMargin) { (s, dir) =>
-      // customer baskets lift off the family's cached (order, part)
-      // frame (round 14): the orders side is the small dimension join,
-      // so the fact table is never re-scanned for this query
-      val items = orderItems(s, dir)
+      // DELIBERATELY a fresh fact-scan lineage, NOT the family's
+      // cached (order, part) frame (round 14): frequentTriples
+      // consumes `items` four times, and with identical file-scan
+      // subtrees Spark's exchange reuse + file-stats-driven broadcast
+      // planning keep that cheap — rerooting on the InMemoryRelation
+      // (with or without persisting the derived basket frame) flipped
+      // the downstream join strategies and measured 2× SLOWER
+      // (TripleAb interleaved A/B at sf0.1: direct median 4.4 s vs
+      // cached 9.0 s cold). Cache reuse is not free when it changes
+      // the optimizer's evidence.
+      val items = T.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
         .join(T.df(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("k") === col("o_orderkey"))
-        .select(col("o_custkey").as("ck"), col("p"))
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("l_partkey").as("p"))
         .distinct()
-        .select(col("ck").as("k"), col("p"))
       frequentTriples(items, 3)
     },
 
