@@ -725,6 +725,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"moments pass lost map-side partials:\n$p")
   }
 
+  test("q144 KMV: three bottom-k sketch heaps; assembly is all-broadcast") {
+    // each sketch must be a TakeOrderedAndProject (per-partition
+    // bottom-k heaps = the KMV merge property); the final row is
+    // crossJoins of broadcast 1-row frames — nothing corpus-scale
+    // shuffles for the algebra
+    val p = plan("q144_kmv_overlap")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      s"sketches lost their bottom-k heap form:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 256-row sketch op shuffled as a data-scale join:\n$p")
+  }
+
   test("q141 quantile bins: rank window above the domain aggregate, one scan") {
     // the single-partition window must sit downstream of the ≤|domain|-
     // row aggregate — a global window over data rows is the cliff this
