@@ -29,11 +29,18 @@ import graft.core.{Q, T}
   *    per-pixel formula, the query decodes them and sums the channels,
   *    and the DuckDB oracle recomputes the identical sums from the
   *    formula — PNG is lossless, so any decode deviation flips the
-  *    hash red. Audio/video frame sampling stays a deterministic
-  *    stub ([[MediaStub.decode]], no codec libs for those in this
-  *    environment); its Spark-side plumbing — schema, batch shape,
-  *    partitioning, frame explosion — is real and is what q49/q103
-  *    oracle-check.
+  *    hash red. The AUDIO codec is real too (round 14, q134:
+  *    `javax.sound.sampled` PCM WAV with a three-way ok / truncated /
+  *    quarantined fold), and round 14 closes the FRAME-SAMPLING stub
+  *    with a real multi-frame decode: [[GifCodec]] reads animated GIF
+  *    — the one multi-frame container the public JDK can both write
+  *    and read — samples {first, middle, last} frames, and q145
+  *    oracle-gates per-frame pixel sums arithmetically (indexed
+  *    grayscale round-trips bit-exactly). [[MediaStub.decode]]
+  *    survives only as the q49 plumbing gate for formats the JDK has
+  *    no codec for (mp4/webm): schema, batch shape, partitioning and
+  *    frame explosion are the real, tested part; the 8-byte slice
+  *    stands where ffmpeg would sit.
   */
 object Multimodal {
 
@@ -210,6 +217,130 @@ object Multimodal {
       }
   }
 
+  /** Sampled-frame record (the multi-frame analogue of [[ImgStatQ]],
+    * round 14 — closes the frame-sampling stub with a REAL decoder).
+    * One row per SAMPLED frame for decodable payloads; one null row
+    * for quarantined ones. `status` is per-doc: 'ok' (decoded frame
+    * count matches the catalog's expectation), 'short' (the container
+    * silently delivered fewer frames — see [[GifCodec]] on why GIF
+    * cannot self-report this), 'quarantined' (the parser threw). */
+  final case class GifFrameQ(doc_id: Long, status: String,
+      frame_idx: Option[Int], width: Option[Int], height: Option[Int],
+      px_sum: Option[Long])
+
+  /** REAL multi-frame codec via `javax.imageio`'s GIF plugin (public
+    * JDK — the only container the JDK can both write AND read with
+    * multiple frames, so it is the honest stand-in for video frame
+    * sampling: seek, per-frame decode, sampled subset). Indexed
+    * grayscale frames round-trip bit-exactly (probed across all 200
+    * fixture shapes), which is what lets q145's oracle recompute every
+    * sampled frame's pixel sum from the generative formula.
+    *
+    * The failure modes, probed directly (all 200 fixture shapes):
+    *  - header-cut (16 bytes): the GIF reader claims the payload by
+    *    magic, then `getNumImages(true)` throws — the quarantine path;
+    *  - tail-cut (last 10 bytes): NO error anywhere — the reader
+    *    counts nf−1 frames and decodes them exactly. GIF carries no
+    *    declared frame count (frames are concatenated until the
+    *    trailer byte), so mid-stream truncation is UNDETECTABLE from
+    *    the container alone; the only defense is cross-checking an
+    *    expected frame count carried by catalog metadata — exactly
+    *    the declared-vs-actual discipline [[WavCodec.decodeSafe]]
+    *    applies where WAV's header DOES declare a length. */
+  object GifCodec {
+    /** The deterministic test animation: doc `id` has 2 + id%3 frames
+      * of 8+id%9 × 8+id%7 pixels; frame f's pixel (x,y) is the gray
+      * value (id·7 + f·17 + x·5 + y·3) mod 256 — exact BIGINT
+      * arithmetic in both engines (the q128 formula discipline plus a
+      * frame axis). */
+    def grayAt(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 7 + f * 17 + x * 5 + y * 3) % 256).toInt
+    def nFrames(id: Long): Int = (2 + id % 3).toInt
+
+    private def grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate[Byte](256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    private def formulaFrame(id: Long, f: Int): java.awt.image.BufferedImage = {
+      import java.awt.image.BufferedImage
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, grayAt(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode the formula animation as a multi-frame GIF. Runs IN THE
+      * EXECUTORS ([[gifTable]]); the driver never holds image bytes. */
+    def encodeGif(id: Long): Array[Byte] = {
+      import javax.imageio._
+      val wr = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames(id)) {
+          wr.writeToSequence(new IIOImage(formulaFrame(id, f), null, null), null)
+          f += 1
+        }
+        wr.endWriteSequence()
+      } finally { ios.close(); wr.dispose() }
+      bos.toByteArray
+    }
+
+    /** Total sampled decode: count the frames actually present, flag
+      * 'short' when the container under-delivers vs the catalog's
+      * `expected` (the silent tail-truncation mode — GIF raises
+      * nothing), sample {first, middle, last} of the PRESENT frames
+      * and decode only those (the frame-sampling semantics: a 10k-
+      * frame video costs 3 decodes, not 10k). Parser throw / no
+      * claiming reader / zero frames → one counted quarantine row;
+      * catches NonFatal + OOME like [[MediaCodec.decodeSafe]]. */
+    def decodeSampledSafe(docId: Long, expected: Int, bytes: Array[Byte]): Seq[GifFrameQ] =
+      try {
+        import javax.imageio.ImageIO
+        val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            val n = rd.getNumImages(true) // scans to EOF; throws on a header cut
+            if (n <= 0) Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
+            else {
+              val status = if (n < expected) "short" else "ok"
+              Seq(0, n / 2, n - 1).distinct.map { f =>
+                val img = rd.read(f)
+                val w = img.getWidth; val h = img.getHeight
+                var s = 0L; var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { s += img.getRGB(x, y) & 0xFF; x += 1 }
+                  y += 1
+                }
+                GifFrameQ(docId, status, Some(f), Some(w), Some(h), Some(s))
+              }
+            }
+          } finally rd.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
+        case _: OutOfMemoryError =>
+          Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
+      }
+  }
+
   object MediaBatch {
     /** Partition-batched decode: init-once-per-partition shape (the
       * place a codec/session handle would be created). */
@@ -255,6 +386,20 @@ object Multimodal {
       ds.mapPartitions { it =>
         // audio codec/mixer init would happen here, once per partition
         it.map { case (id, bytes) => WavCodec.decodeSafe(id, bytes) }
+      }
+    }
+
+    /** Partition-batched TOTAL sampled multi-frame decode
+      * ([[GifCodec.decodeSampledSafe]]): init-once-per-partition,
+      * map-only, payload bytes never shuffle — only the ≤3 sampled
+      * frames' scalar stats cross the wire per doc. */
+    def sampleGifFramesSafe(ds: Dataset[(Long, Int, Array[Byte])]): Dataset[GifFrameQ] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
+        it.flatMap { case (id, expected, bytes) =>
+          GifCodec.decodeSampledSafe(id, expected, bytes)
+        }
       }
     }
 
@@ -435,6 +580,36 @@ object Multimodal {
           }
         })
         .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+
+  /** Real multi-frame GIF fixture (round 14), staged with
+    * [[stagedTable]]'s stamp + atomic-rename discipline and ENCODED IN
+    * THE EXECUTORS like [[pngTable]]/[[wavTable]]. Carries
+    * `expected_frames` — the catalog-metadata frame count a real
+    * ingest manifest would hold, and the ONLY way to detect GIF's
+    * silent tail truncation (see [[GifCodec]]). Per doc_id%5:
+    *  0,1,2 → valid animation of 2+doc_id%3 frames;
+    *  3 → header-cut to 16 bytes (the reader claims it by magic, then
+    *      throws — the quarantine path);
+    *  4 → tail-cut by 10 bytes (the SILENT mode: the last frame's LZW
+    *      data is cut, the reader counts nf−1 frames and decodes them
+    *      exactly, raising nothing — probed across every fixture
+    *      shape). */
+  private[llm] def gifTable(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "gif") { stage =>
+      import s.implicits._
+      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val whole = GifCodec.encodeGif(id)
+          val payload = id % 5 match {
+            case 3 => whole.take(16)
+            case 4 => whole.take(whole.length - 10)
+            case _ => whole
+          }
+          (id, GifCodec.nFrames(id), payload)
+        })
+        .toDF("doc_id", "expected_frames", "payload")
         .write.mode("overwrite").parquet(stage.toString)
     }
 
@@ -668,6 +843,57 @@ object Multimodal {
           countDistinct("mime").as("n_mimes"), min("doc_id").as("keeper"))
         .orderBy(col("n_copies").desc, col("digest"))
         .limit(20)
+    },
+
+    // ---- REAL multi-frame decode + frame sampling (round 14 — the
+    // frame-sampling stub closed): the fixture's payloads are genuine
+    // animated GIFs encoded in-executor from a deterministic per-
+    // (frame,x,y) formula; the query counts the frames present,
+    // samples {first, middle, last}, decodes ONLY those (a 10k-frame
+    // video costs 3 decodes), and reports per-frame dims + exact
+    // pixel sums with a three-way status fold: 'ok'; 'short' when the
+    // container silently under-delivers frames (GIF carries NO
+    // declared frame count — a mid-stream cut is undetectable from
+    // the container, probed directly, so the decoder cross-checks the
+    // catalog's expected_frames the way q134 checks WAV's declared
+    // length); 'quarantined' when the parser throws on a header cut.
+    // Indexed grayscale round-trips bit-exactly, so the DuckDB oracle
+    // recomputes every sampled frame's sum arithmetically — a decoder
+    // that mis-seeks, drops the palette, or mis-counts frames flips
+    // the hash. Plan: scan → map-only batched decode (payload bytes
+    // never shuffle; ≤3 scalar rows per doc cross the wire) →
+    // presentation sort, the q128/q134 shape.
+    Q("q145_gif_frame_sample",
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
+        |             (2 + doc_id % 3)::INT AS nf,
+        |             (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+        |           FROM documents),
+        |e AS (SELECT doc_id, w, h,
+        |        CASE WHEN kind = 4 THEN nf - 1 ELSE nf END AS n,
+        |        CASE WHEN kind = 4 THEN 'short' ELSE 'ok' END AS status
+        |      FROM d WHERE kind <> 3),
+        |fr AS (SELECT doc_id, status, w, h,
+        |         unnest(list_distinct([0, n // 2, n - 1])) AS f
+        |       FROM e),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 13)) AS y),
+        |px AS (SELECT fr.doc_id, fr.status, fr.f, fr.w, fr.h, xs.x, ys.y
+        |       FROM fr, xs, ys WHERE xs.x < fr.w AND ys.y < fr.h)
+        |SELECT doc_id, status, f::INT AS frame_idx, max(w)::INT AS width,
+        |       max(h)::INT AS height,
+        |       sum((doc_id * 7 + f * 17 + x * 5 + y * 3) % 256)::BIGINT AS px_sum
+        |FROM px GROUP BY doc_id, status, f
+        |UNION ALL
+        |SELECT doc_id, 'quarantined', NULL, NULL, NULL, NULL
+        |FROM d WHERE kind = 3
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = gifTable(s, dir)
+        .select(col("doc_id"), col("expected_frames"), col("payload"))
+        .as[(Long, Int, Array[Byte])]
+      MediaBatch.sampleGifFramesSafe(payloads)
+        .select("doc_id", "status", "frame_idx", "width", "height", "px_sum")
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

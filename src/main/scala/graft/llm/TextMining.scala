@@ -341,6 +341,95 @@ object TextMining {
         .groupBy("thr")
         .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
         .orderBy("thr")
+    },
+
+    // ---- Winnowing local fingerprints + overlap pairs (round 14 —
+    // Schleimer/Wilkerson/Aiken's MOSS selection, cited by name): the
+    // POSITION-AWARE member of the similarity family. q48 fingerprints
+    // whole documents (any edit flips it); the Jaccard/containment
+    // family (q39/q41/q124/q132) compares set-of-shingles global
+    // profiles. Winnowing selects, per sliding window of W=4
+    // consecutive word-trigram hashes, the minimum hash (rightmost on
+    // ties) — a LOCAL fingerprint set with the guarantee that any
+    // shared run of ≥ K+W−1 = 6 tokens between two documents yields at
+    // least one shared fingerprint (the windows covering the run pick
+    // the same minimum) — the plagiarism/partial-overlap detector, at
+    // density 2/(W+1) of the grams.
+    //
+    // Arithmetic is engine-portable by construction: trigram hash =
+    // first 8 hex chars of md5 (identical bytes both engines), and the
+    // min-hash-then-RIGHTMOST-position tie-break is packed into ONE
+    // integer key = h·2²⁰ + (2²⁰−1−pos), so a plain MIN implements the
+    // full selection rule (pos < 2²⁰ pinned by the corpus scan; key <
+    // 2⁵²). Plan at 100 TB: selection is per-row HOF arithmetic INSIDE
+    // the scan stage — transform/slice/array_min over the gram array,
+    // no window exchange, no gram explosion (rows leaving the scan =
+    // selected fingerprints, ~2/(W+1)·grams); pairs then follow the
+    // posting-list discipline: one h-keyed exchange, per-hash doc list
+    // capped at df ≤ 64 (the q124/q132 hot-bucket rule — a stop-phrase
+    // fingerprint shared by 10⁶ docs must not enumerate C(10⁶,2)
+    // pairs; fixtures max out at df=24 so the cap is inert here and
+    // adversarially exercised in WinnowingSpec), map-side pair
+    // expansion, one (a,b)-keyed count, top-20 heap. The O(n·W) slice
+    // scan per doc is fine at W=4; a monotonic-deque kernel is the
+    // O(n) path if W ever grows large.
+    Q("q146_winnowing_overlap",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+        |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+        |      WHERE len(ws) >= 6),
+        |k AS (SELECT doc_id, i, h * 1048576 + (1048575 - i) AS key FROM g),
+        |win AS (SELECT doc_id,
+        |          min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |          count(*) OVER (PARTITION BY doc_id ORDER BY i
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |        FROM k),
+        |fp AS (SELECT DISTINCT doc_id, wkey // 1048576 AS h FROM win WHERE wn = 4),
+        |df AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+        |fpk AS (SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+        |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY shared DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
+      val fp = winnowFingerprints(docs(s, dir), w = 4)
+        .select(col("doc_id"), col("h")).distinct()
+      fp.groupBy("h")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 64))
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
     }
   )
+
+  /** Winnowing fingerprint selection ([[qs]] q146): word-trigram md5
+    * hashes, sliding-window-of-`w` minimum with rightmost tie-break
+    * via the packed key h·2²⁰ + (2²⁰−1−pos). Map-only: the per-doc
+    * HOF pipeline (gram keys → per-window array_min → array_distinct)
+    * runs inside the scan stage and only the selected fingerprints
+    * leave it. Exposed for WinnowingSpec's brute-force differential. */
+  private[llm] def winnowFingerprints(documents: DataFrame, w: Int): DataFrame = {
+    require(w >= 2 && w <= 64, s"window $w out of range")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= lit(w + 2)) // K + W - 1 grams minimum
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, size(ws) - 3), i ->
+          |  cast(conv(substring(md5(cast(concat_ws(' ',
+          |         element_at(ws, i + 1), element_at(ws, i + 2),
+          |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint)
+          |  * 1048576 + (1048575 - i))""".stripMargin).as("keys"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(keys) - $w), s -> array_min(slice(keys, s + 1, $w)))")))
+        .as("key"))
+      .select(col("doc_id"), expr("key div 1048576").as("h"),
+        (lit(1048575L) - col("key") % 1048576L).as("pos"))
+  }
 }
