@@ -406,6 +406,58 @@ object TextMining {
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
         .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
         .limit(20)
+    },
+
+    // ---- Per-source novelty yield (round 14 — the "what does each
+    // source actually ADD" curation signal): attribute every word-
+    // trigram occurrence to the corpus-order FIRST document containing
+    // that trigram (doc_id = arrival order), then roll up per source
+    // the fraction of its gram mass that is first-occurrence. This is
+    // the deduped-token-yield number behind source-mix decisions — a
+    // mirror/aggregator crawl can be byte-large (q116's token mass)
+    // yet contribute ~nothing new; novelty_milli is the integer-exact
+    // ratio that says so. Complements the pair detectors (q38–q146
+    // find WHICH docs overlap; this prices each source's marginal
+    // contribution in one number).
+    //
+    // Trigram identity is the q146 md5 hash (portable by construction);
+    // the ratio is integer-milli div so both engines floor identically.
+    // Plan at 100 TB: one corpus scan → map-side HOF gram explode →
+    // first-doc = one h-keyed partial agg; occurrences join the first-
+    // doc table on the SAME h partitioning (Spark reuses the identical
+    // gram-frame exchange on both subtrees) → |sources|-bounded final
+    // agg. No windows over corpus rows, no driver state; the gram
+    // frame is corpus-sized but only ever exchanged on its natural
+    // key. A Bloom-of-seen-grams approximation is the cheaper
+    // streaming path; this operator is the exact batch form.
+    Q("q147_novelty_yield",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+        |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+        |      WHERE len(ws) >= 3),
+        |f AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY 1)
+        |SELECT source, count(*)::BIGINT AS n_grams,
+        |       count(*) FILTER (WHERE doc_id = fd)::BIGINT AS n_novel,
+        |       (1000 * count(*) FILTER (WHERE doc_id = fd) // count(*))::BIGINT AS novelty_milli
+        |FROM g JOIN f USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(0, size(ws) - 3), i ->
+            |  cast(conv(substring(md5(cast(concat_ws(' ',
+            |         element_at(ws, i + 1), element_at(ws, i + 2),
+            |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint))""".stripMargin))
+          .as("h"))
+      val first = g.groupBy("h").agg(min(col("doc_id")).as("fd"))
+      g.join(first, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("doc_id") === col("fd"), 1)).as("n_novel"))
+        .withColumn("novelty_milli", expr("1000 * n_novel div n_grams"))
+        .orderBy("source")
     }
   )
 
