@@ -282,7 +282,10 @@ object Multimodal {
       import javax.imageio._
       val wr = ImageIO.getImageWritersByFormatName("gif").next()
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
+      // MemoryCache, NOT ImageIO.createImageOutputStream: the factory
+      // default is a FileCache stream — one temp file + fd per payload,
+      // 5000 per staging pass for zero benefit on an in-memory buffer
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try {
         wr.setOutput(ios)
         wr.prepareWriteSequence(null)
@@ -307,32 +310,41 @@ object Multimodal {
     def decodeSampledSafe(docId: Long, expected: Int, bytes: Array[Byte]): Seq[GifFrameQ] =
       try {
         import javax.imageio.ImageIO
-        val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext)
-          Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
-        else {
-          val rd = readers.next()
-          try {
-            rd.setInput(iis)
-            val n = rd.getNumImages(true) // scans to EOF; throws on a header cut
-            if (n <= 0) Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
-            else {
-              val status = if (n < expected) "short" else "ok"
-              Seq(0, n / 2, n - 1).distinct.map { f =>
-                val img = rd.read(f)
-                val w = img.getWidth; val h = img.getHeight
-                var s = 0L; var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) { s += img.getRGB(x, y) & 0xFF; x += 1 }
-                  y += 1
+        // MemoryCache, NOT ImageIO.createImageInputStream: the factory
+        // default is a FileCache stream — a temp file + fd per payload
+        // that outlives the call unless closed, and a decode pass
+        // touches EVERY payload (the leak surfaced as 'Too many open
+        // files' after ~4 full-table evaluations in one probe session);
+        // closed in the finally regardless
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
+          else {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis)
+              val n = rd.getNumImages(true) // scans to EOF; throws on a header cut
+              if (n <= 0) Seq(GifFrameQ(docId, "quarantined", None, None, None, None))
+              else {
+                val status = if (n < expected) "short" else "ok"
+                Seq(0, n / 2, n - 1).distinct.map { f =>
+                  val img = rd.read(f)
+                  val w = img.getWidth; val h = img.getHeight
+                  var s = 0L; var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { s += img.getRGB(x, y) & 0xFF; x += 1 }
+                    y += 1
+                  }
+                  GifFrameQ(docId, status, Some(f), Some(w), Some(h), Some(s))
                 }
-                GifFrameQ(docId, status, Some(f), Some(w), Some(h), Some(s))
               }
-            }
-          } finally rd.dispose()
-        }
+            } finally rd.dispose()
+          }
+        } finally iis.close()
       } catch {
         case scala.util.control.NonFatal(_) =>
           Seq(GifFrameQ(docId, "quarantined", None, None, None, None))

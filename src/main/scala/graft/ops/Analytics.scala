@@ -268,6 +268,56 @@ object Analytics {
           (abs(est("nu", "hku") - col("tu")) * 5 <= col("tu")).as("ok_union"),
           (abs(expr(s"(nj * (${estSql("nu", "hku")})) div nu") - col("ti")) * 5
             <= col("ti")).as("ok_inter"))
+    },
+
+    // ---- Bucketized interval–point overlap join (round 14): "which
+    // purchases landed inside each error's 10-minute incident window",
+    // with NO shared equi-key between the sides — the general form of
+    // the temporal-correlation join (q9 range join has an equi key to
+    // hash on; q86 is the streaming sibling with watermarks; q125
+    // merges intervals within one key). The naive plan is a theta
+    // join — BroadcastNestedLoopJoin, the |A|·|B| cliff. The cliff-free
+    // shape: quantize time into buckets the width of the interval
+    // (10 min), explode each interval to the ≤2 buckets it touches
+    // (map-side, bounded because bucket width ≥ interval length),
+    // map each point to its single bucket, EQUI-join on the bucket,
+    // then apply the exact [t, t+W) test as the residual. A point
+    // lives in exactly one bucket, so each (interval, point) hit is
+    // found exactly once — no dedup stage. Candidates per bucket ≈
+    // rate × W — work is data × local density, never |A|·|B|. All
+    // time arithmetic is integer epoch-micros; purchase values sum as
+    // decimal(12,2) (the q98 convention). The oracle is the
+    // INDEPENDENT naive theta-join formulation, so the bucket algebra
+    // (boundary rows included/excluded at [closed, open)) is what the
+    // hash compare proves. Plan at 100 TB: one events scan feeding
+    // both filtered branches, two bucket-keyed exchanges, residual
+    // filter inside the join, one incident-keyed partial agg;
+    // PlanSpec pins NO BroadcastNestedLoopJoin / cartesian.
+    Q("q148_interval_point_join",
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t, event_type,
+        |                  cast(value AS decimal(12,2)) AS v FROM events),
+        |err AS (SELECT event_id AS err_id, t FROM e WHERE event_type = 'error'),
+        |pur AS (SELECT t, v FROM e WHERE event_type = 'purchase')
+        |SELECT err_id, count(*)::BIGINT AS n_purchases,
+        |       (sum(p.v))::DOUBLE AS purchase_value
+        |FROM err JOIN pur p ON p.t >= err.t AND p.t < err.t + 600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val W = 600000000L // 10 min in micros = the bucket width
+      val ev = T.df(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("t"),
+          col("event_type"), T.dec(col("value")).as("v"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("t").as("t0"),
+          explode(array_distinct(array(
+            expr(s"t div $W"), expr(s"(t + $W) div $W")))).as("bucket"))
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("t").as("tp"), col("v"), expr(s"t div $W").as("bucket"))
+      incidents.join(points, Seq("bucket"))
+        .filter(col("tp") >= col("t0") && col("tp") < col("t0") + W)
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          T.dbl(sum(col("v"))).as("purchase_value"))
+        .orderBy("err_id")
     }
   )
 

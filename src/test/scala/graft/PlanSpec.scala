@@ -768,4 +768,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "digest census lost map-side partials")
     assert(p.contains("TakeOrderedAndProject"), "top-20 lost its heap form")
   }
+
+  test("q148 interval-point: bucket equi-join, never the theta-join nested loop") {
+    val p = plan("q148_interval_point_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval-point join degenerated to the |A|*|B| theta plan:\n$p")
+    assert(p.contains("partial_count"), "incident rollup lost map-side partials")
+  }
 }
