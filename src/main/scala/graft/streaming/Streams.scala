@@ -228,6 +228,75 @@ object Streams {
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
+    // ---- stream-stream LEFT OUTER interval join (round 14 — q86's
+    // inner join answers "which clicks converted"; the funnel question
+    // a pipeline actually asks is "which clicks did NOT", and in
+    // streaming that answer has a genuinely harder semantics: a
+    // null-extended row may only be emitted once the watermark proves
+    // no matching purchase can still arrive, i.e. the negative result
+    // is a STATE-EVICTION event, not a join result. Spark runs the
+    // final eviction in the no-data micro-batch after the last file
+    // batch. Determinism vs the batch oracle requires every click's
+    // join window to close below the FINAL watermark (max event ts −
+    // 1 h): clicks within the last day's horizon would have their
+    // null-rows withheld forever in a live stream, so the report is
+    // cut at Jan 29 — a real deployment reports that trailing band
+    // as 'pending', exactly what the watermark makes precise. The cut
+    // is a POST-JOIN predicate, deliberately: the global watermark is
+    // the MIN across both sides' watermark nodes, so cutting the
+    // click STREAM would cap the left watermark at the cutoff and
+    // withhold exactly the last 90 minutes of null-rows (measured: 6
+    // rows at sf0.01) — the stream must see its full input for its
+    // watermark to clear the report window. Within
+    // one click_id the output is either all-matched rows or ONE null
+    // row, never mixed, so cross-engine NULL-ordering cannot reorder
+    // the sorted compare.
+    Q("q149_stream_interval_outer",
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |           FROM events
+        |           WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-29 00:00:00'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, epoch_us(ts) AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id, c.cts AS click_ts_us,
+        |       p.pts AS purchase_ts_us
+        |FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |  AND p.pts >= c.cts AND p.pts <= c.cts + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      val name = "stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // state-store sizing, q86's rationale
+      try {
+        val clicks = eventStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val q = clicks
+          .join(purchases,
+            col("user_id") === col("p_user")
+              && col("p_ts") >= col("c_ts")
+              && col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+            "left_outer")
+          .filter(col("c_ts") < lit("2024-01-29 00:00:00").cast("timestamp"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            unix_micros(col("c_ts")).as("click_ts_us"),
+            unix_micros(col("p_ts")).as("purchase_ts_us"))
+          .orderBy("click_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    },
+
     // ---- streaming heavy hitters (hot-key detection): the event
     // stream folds into [[StreamTopK]]'s bucketed Misra–Gries state —
     // a few thousand state rows FOREVER, regardless of stream length
