@@ -318,6 +318,88 @@ object Analytics {
         .agg(count(lit(1)).as("n_purchases"),
           T.dbl(sum(col("v"))).as("purchase_value"))
         .orderBy("err_id")
+    },
+
+    // ---- EXACT distributed quantile selection (round 14): per-group
+    // median / p90 / p99 of lineitem price cents, exact to the rank —
+    // completing the quantile trio's missing member. q104 is the
+    // mergeable SKETCH (rank-error envelope); q141 is exact for
+    // BOUNDED domains (the |domain|-row aggregate); this is exact for
+    // UNBOUNDED domains, where the textbook answer (global sort /
+    // per-group rank window) is the 100 TB cliff. The cliff-free
+    // shape is two-pass histogram refinement (the distributed
+    // selection classic): pass 1 buckets each group's values into
+    // B=4096 equal-width cells and pulls the |groups|·B cell counts
+    // to the driver (bounded by CONSTRUCTION, not by data); the
+    // driver walks cumulative counts to find, per target rank, the
+    // one cell that contains it; pass 2 scans only rows in those ≤
+    // |groups|·|targets| cells and pulls per-VALUE counts (≤ cell
+    // width each) for the exact in-cell walk. A tie class maps to
+    // exactly one cell (the cell is a function of the value), so rank
+    // arithmetic never splits across cells. Every rank is an integer
+    // ceil(φ·n) — no interpolation semantics to diverge between
+    // engines; the oracle is the independent rank-window formulation.
+    // Total cost at any scale: two full scans + one cell-filtered
+    // scan, zero shuffles of data rows (the only exchanges carry
+    // per-cell partial counts), driver memory O(|groups|·(B + span/B)).
+    Q("q150_exact_quantile_select",
+      """WITH c AS (SELECT l_returnflag AS g,
+        |             cast(round(cast(l_extendedprice AS decimal(12,2)) * 100) AS bigint) AS c
+        |           FROM lineitem),
+        |r AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rk,
+        |             count(*) OVER (PARTITION BY g) AS n
+        |      FROM c)
+        |SELECT g, max(n)::BIGINT AS n,
+        |       max(CASE WHEN rk = (n + 1) // 2 THEN c END) AS median_c,
+        |       max(CASE WHEN rk = (9 * n + 9) // 10 THEN c END) AS p90_c,
+        |       max(CASE WHEN rk = (99 * n + 99) // 100 THEN c END) AS p99_c
+        |FROM r GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+      val B = 4096L
+      val base = T.df(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          expr("cast(round(cast(l_extendedprice as decimal(12,2)) * 100) as bigint)").as("c"))
+      val stats = base.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("c").as("mn"), max("c").as("mx"))
+      val bexpr = expr(s"(c - mn) * $B div (mx - mn + 1)")
+      // pass 1: per-(group, cell) counts — |groups|·B rows, bounded
+      val hist = base.join(broadcast(stats), "g")
+        .groupBy(col("g"), bexpr.as("b")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val gs = stats.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def ranks(n: Long) = Seq((n + 1) / 2, (9 * n + 9) / 10, (99 * n + 99) / 100)
+      // driver: cumulative cell walk → the one cell holding each rank,
+      // plus the in-cell residual rank
+      val wanted = for {
+        (g, n, _, _) <- gs.toSeq; k <- ranks(n)
+      } yield {
+        var cum = 0L; var cell = 0L; var before = 0L
+        while (cum < k) { before = cum; cum += hist.getOrElse((g, cell), 0L); cell += 1 }
+        (g, cell - 1, k, k - before)
+      }
+      val wantedCells = wanted.map { case (g, b, _, _) => (g, b) }.distinct
+      import s.implicits._
+      val cellsDf = broadcast(wantedCells.toDF("g", "wb"))
+      // pass 2: per-VALUE counts inside the wanted cells only — each
+      // cell holds ≤ span/B distinct values, so this collect is
+      // bounded by construction too
+      val inCell = base.join(broadcast(stats), "g")
+        .join(cellsDf, Seq("g")).filter(bexpr === col("wb"))
+        .groupBy(col("g"), col("wb"), col("c")).agg(count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(r => (r.getString(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1) }
+      val picked = wanted.map { case (g, b, k, kIn) =>
+        val vals = inCell((g, b))
+        var cum = 0L; var i = 0
+        while (cum < kIn) { cum += vals(i)._2; i += 1 }
+        (g, k) -> vals(i - 1)._1
+      }.toMap
+      gs.toSeq.map { case (g, n, _, _) =>
+        val Seq(k50, k90, k99) = ranks(n)
+        (g, n, picked((g, k50)), picked((g, k90)), picked((g, k99)))
+      }.toDF("g", "n", "median_c", "p90_c", "p99_c")
+        .orderBy("g")
     }
   )
 
