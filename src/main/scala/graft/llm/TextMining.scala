@@ -458,6 +458,45 @@ object TextMining {
           count(when(col("doc_id") === col("fd"), 1)).as("n_novel"))
         .withColumn("novelty_milli", expr("1000 * n_novel div n_grams"))
         .orderBy("source")
+    },
+
+    // ---- Group-aware train/val/test split (round 14 — the GroupKFold
+    // defense q112 deliberately lacks: q112 assigns per DOCUMENT, so
+    // near-duplicate docs from one crawl source can land on opposite
+    // sides of the split — exactly the leakage class q100 audits.
+    // Assigning at the SOURCE level makes within-source leakage
+    // impossible BY CONSTRUCTION (all of a source's docs share a
+    // split), which is the standard defense when duplication is
+    // source-correlated — mirrors, re-crawls, boilerplate farms. The
+    // split hash is the q146 md5 device over the source NAME (q112's
+    // integer Knuth hash needs an integer key; a string key gets the
+    // same engine-portable treatment the trigram hashes use), same
+    // 80/10/10 thresholds. Output: per-split source/doc/token masses
+    // — the rebalancing evidence (group splits trade exactness of the
+    // 80/10/10 ratio for the leakage guarantee; the skew is visible,
+    // not hidden). Plan at 100 TB: assignment is a map-side
+    // projection (join-free, rerun-stable), one |splits|-bounded agg.
+    Q("q151_grouped_split",
+      """WITH a AS (SELECT source,
+        |             ('0x' || substr(md5(source), 1, 8))::BIGINT % 1000 AS h,
+        |             len(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |s AS (SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
+        |             ELSE 'test' END AS split, source, toks FROM a)
+        |SELECT split, count(DISTINCT source)::BIGINT AS n_sources,
+        |       count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          (expr("cast(conv(substring(md5(cast(source as binary)), 1, 8), 16, 10) as bigint)")
+            % 1000).as("h"),
+          size(split(col("text"), " ")).as("toks"))
+        .select(when(col("h") < 800, "train").when(col("h") < 900, "val")
+          .otherwise("test").as("split"), col("source"), col("toks"))
+        .groupBy("split")
+        .agg(countDistinct("source").as("n_sources"), count(lit(1)).as("n_docs"),
+          sum("toks").as("n_tokens"))
+        .orderBy("split")
     }
   )
 

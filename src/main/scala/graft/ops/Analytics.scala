@@ -400,6 +400,59 @@ object Analytics {
         (g, n, picked((g, k50)), picked((g, k90)), picked((g, k99)))
       }.toDF("g", "n", "median_c", "p90_c", "p99_c")
         .orderBy("g")
+    },
+
+    // ---- Per-group KMV distinct sketch as a UDAF (round 14): distinct
+    // parts purchased per market segment, estimated by [[KmvAgg]] —
+    // the mergeable summary as a REAL aggregate where q144 assembled
+    // the global form from TakeOrderedAndProject frames. The shape
+    // this buys at 100 TB: per-group distinct counting WITHOUT the
+    // per-(group, value) DISTINCT shuffle of data rows — each task
+    // folds its partition into ≤k-element buffers (duplicates fold
+    // map-side, the sketch is a set), partial buffers union-bottom-k
+    // in the merge phase, and only |groups|·k hashes cross the wire.
+    // The bijective multiplicative hash (mod-prime, the q131/q144
+    // device) makes distinct hashes ≡ distinct partkeys, the sorted
+    // buffer makes the finished sketch bit-identical to the oracle's
+    // row_number≤k-over-DISTINCT formulation, and the estimator
+    // (k−1)·P div h_k is pure int64 — the approximate structure is
+    // exactly testable. Under-filled groups fall back to the exact
+    // |sketch| count via the same CASE both sides. true_parts + the
+    // 20%-slack ok bool are the verification columns (measured error
+    // ≲ 1/√k ≈ 6%); a pure-sketch deployment drops them — q126/q144's
+    // envelope discipline.
+    Q("q152_kmv_segments",
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |             ((l_partkey % 1000000007) * 2654435761) % 1000000007 AS h
+        |           FROM customer
+        |           JOIN orders ON o_custkey = c_custkey
+        |           JOIN lineitem ON l_orderkey = o_orderkey),
+        |d AS (SELECT DISTINCT seg, h FROM b),
+        |r AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rk FROM d),
+        |sk AS (SELECT seg, count(*) AS n, max(h) AS hk FROM r WHERE rk <= 256 GROUP BY 1),
+        |tr AS (SELECT seg, count(*) AS tn FROM d GROUP BY 1),
+        |e AS (SELECT sk.seg,
+        |        CASE WHEN sk.n < 256 THEN sk.n
+        |             ELSE (255::BIGINT * 1000000007) // sk.hk END AS est_parts,
+        |        tr.tn AS true_parts
+        |      FROM sk JOIN tr ON sk.seg = tr.seg)
+        |SELECT seg, est_parts, true_parts,
+        |       (abs(est_parts - true_parts) * 5 <= true_parts) AS ok_est
+        |FROM e ORDER BY seg""".stripMargin) { (s, dir) =>
+      val K = 256
+      val kmv = udaf(new KmvAgg(K))
+      val rows = T.df(s, dir, "customer")
+        .join(T.df(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(T.df(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("c_mktsegment").as("seg"),
+          expr("((l_partkey % 1000000007) * 2654435761) % 1000000007").as("h"))
+      val est = when(size(col("sk")) < K, size(col("sk")).cast("long"))
+        .otherwise(expr(s"(cast(${K - 1} as bigint) * 1000000007) div element_at(sk, $K)"))
+      rows.groupBy("seg")
+        .agg(kmv(col("h")).as("sk"), countDistinct(col("h")).as("true_parts"))
+        .select(col("seg"), est.as("est_parts"), col("true_parts"),
+          (abs(est - col("true_parts")) * 5 <= col("true_parts")).as("ok_est"))
+        .orderBy("seg")
     }
   )
 
