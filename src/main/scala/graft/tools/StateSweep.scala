@@ -41,9 +41,15 @@ object StateSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (factor <- Seq(1, k)) {
-      println(s"== q86 stream-stream interval join, ${factor}x event rate ==")
-      runJoin(spark, stage(spark, src, factor, chunks))
+    for (factor <- Seq(1, k); joinType <- Seq("inner", "left_outer")) {
+      // round 14: the q149 LEFT OUTER topology sweeps alongside q86's
+      // inner — the outer's null rows are state-EVICTION events, so
+      // the claim under test is the same ("state ∝ rate × horizon"),
+      // plus that eviction actually runs per batch (a plateau here
+      // proves the null-row path doesn't retain left rows forever)
+      val tag = if (joinType == "inner") "q86 inner" else "q149 left-outer"
+      println(s"== $tag stream-stream interval join, ${factor}x event rate ==")
+      runJoin(spark, stage(spark, src, factor, chunks), joinType)
     }
     // 3-point linearity probe through the noop sink (full evaluation;
     // count() would prune the window columns): cloned events share
@@ -94,7 +100,8 @@ object StateSweep {
 
   /** q86's exact topology (Streams.scala) over the staged chunk files,
     * one file per micro-batch; prints per-batch state metrics. */
-  private def runJoin(spark: SparkSession, landing: String): Unit = {
+  private def runJoin(spark: SparkSession, landing: String,
+      joinType: String = "inner"): Unit = {
     val schema = spark.read.parquet(landing).schema
     def stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(landing)
@@ -109,7 +116,8 @@ object StateSweep {
       .join(purchases,
         col("user_id") === col("p_user")
           && col("p_ts") >= col("c_ts")
-          && col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+          && col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+        joinType)
       .writeStream
       .outputMode("append")
       .format("noop")
