@@ -374,7 +374,9 @@ object TextMining {
     // scan per doc is fine at W=4; a monotonic-deque kernel is the
     // O(n) path if W ever grows large.
     Q("q146_winnowing_overlap",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM documents),
         |g AS (SELECT doc_id, i,
         |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
         |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
@@ -431,7 +433,9 @@ object TextMining {
     // key. A Bloom-of-seen-grams approximation is the cheaper
     // streaming path; this operator is the exact batch form.
     Q("q147_novelty_yield",
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, source,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM documents),
         |g AS (SELECT doc_id, source,
         |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
         |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
@@ -443,7 +447,8 @@ object TextMining {
         |FROM g JOIN f USING (h)
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val g = docs(s, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), col("source"), explode(expr(
           """transform(sequence(0, size(ws) - 3), i ->
@@ -479,7 +484,7 @@ object TextMining {
     Q("q151_grouped_split",
       """WITH a AS (SELECT source,
         |             ('0x' || substr(md5(source), 1, 8))::BIGINT % 1000 AS h,
-        |             len(string_split(text, ' ')) AS toks
+        |             len(list_filter(string_split(text, ' '), x -> x != '')) AS toks
         |           FROM documents),
         |s AS (SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
         |             ELSE 'test' END AS split, source, toks FROM a)
@@ -490,7 +495,7 @@ object TextMining {
         .select(col("source"),
           (expr("cast(conv(substring(md5(cast(source as binary)), 1, 8), 16, 10) as bigint)")
             % 1000).as("h"),
-          size(split(col("text"), " ")).as("toks"))
+          size(expr("filter(split(text, ' '), x -> x != '')")).as("toks"))
         .select(when(col("h") < 800, "train").when(col("h") < 900, "val")
           .otherwise("test").as("split"), col("source"), col("toks"))
         .groupBy("split")
@@ -509,8 +514,21 @@ object TextMining {
   private[llm] def winnowFingerprints(documents: DataFrame, w: Int): DataFrame = {
     require(w >= 2 && w <= 64, s"window $w out of range")
     documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // empty tokens filtered on BOTH engines (ADVICE r14): Java split
+      // drops trailing empties while DuckDB string_split keeps them, so
+      // unfiltered tokenization diverges on trailing whitespace — same
+      // hygiene q110/q116 already apply
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .filter(size(col("ws")) >= lit(w + 2)) // K + W - 1 grams minimum
+      // packed key h·2²⁰ + (2²⁰−1−pos) corrupts silently once pos ≥ 2²⁰
+      // (ADVICE r14): fail LOUDLY on a ≥ ~1M-token document instead of
+      // producing wrong fingerprints — max pos = size(ws)−3 ≤ 2²⁰−1
+      .filter(coalesce(
+        assert_true(size(col("ws")) <= lit(1048578),
+          lit("winnowFingerprints: document exceeds the 2^20-token " +
+            "packed-position bound (1048578 tokens max)")),
+        lit(true)))
       .select(col("doc_id"), expr(
         """transform(sequence(0, size(ws) - 3), i ->
           |  cast(conv(substring(md5(cast(concat_ws(' ',

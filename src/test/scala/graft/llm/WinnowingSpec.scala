@@ -15,7 +15,7 @@ class WinnowingSpec extends SparkSpec {
   /** Direct reference: md5-based trigram hashes, explicit window scan
     * with min-then-rightmost selection. */
   private def reference(text: String): Set[(Long, Int)] = {
-    val ws = text.split(" ", -1)
+    val ws = text.split(" ", -1).filter(_.nonEmpty)
     if (ws.length < W + 2) Set.empty
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -76,6 +76,36 @@ class WinnowingSpec extends SparkSpec {
       val got = run(Seq((1L, a), (2L, b)))
       assert(got(1L).map(_._1) == ha && got(2L).map(_._1) == hb)
     }
+  }
+
+  test("trailing/extra whitespace does not shift the tokenization (ADVICE r14)") {
+    // Java split drops trailing empties, DuckDB string_split keeps
+    // them; the empty-token filter makes both engines see the same
+    // token sequence. The Spark pipeline on a whitespace-dirty doc
+    // must equal the reference on its CLEAN form.
+    val clean = randWords(20)
+    val dirty = s"  ${clean.replace(" ", "  ")}   "
+    val got = run(Seq((1L, dirty)))
+    assert(got(1L) == reference(clean))
+  }
+
+  test("a document over the 2^20-token packed-position bound fails loudly (ADVICE r14)") {
+    // h·2²⁰ + (2²⁰−1−pos) silently corrupts the extracted hash once
+    // pos ≥ 2²⁰; the guard must raise, not fingerprint garbage.
+    import spark.implicits._
+    val over = Array.fill(1048579)("x").mkString(" ")
+    val df = Seq((1L, over)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextMining.winnowFingerprints(df, W).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packed-position bound")), e.toString)
+    // one token under the bound still fingerprints normally
+    val ok = Array.fill(1048578)("x").mkString(" ")
+    val n = TextMining.winnowFingerprints(
+      Seq((1L, ok)).toDF("doc_id", "text"), W).count()
+    assert(n > 0)
   }
 
   test("rightmost tie-break: a repeated trigram selects its LAST in-window position") {
