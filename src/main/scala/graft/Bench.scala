@@ -221,6 +221,30 @@ object Bench {
       graft.core.T.names.foreach { t =>
         graft.core.T.df(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       }
+      // kernel pre-warm (round 15, VERDICT r14 item 4): the 5-row
+      // warmup above touches the GENERIC paths, but each query's own
+      // whole-stage-codegen classes + C2-compiled kernel loops still
+      // compile on its sweep-1 first evaluation — the q73-class
+      // first-eval tail (BENCH_r14 spreads: q146 [1.83, 16.77] on a
+      // 1.9 s median). Evaluate every selected query ONCE, untimed,
+      // against the smallest fixture (sf0.001 — same plan shapes, so
+      // the codegen cache, keyed on generated source, is hot when the
+      // timed sweeps start; a production service would do exactly this
+      // at deploy). Per-sweep memoization rebuild stays billed to each
+      // sweep's first consumer — releaseAll below restores the same
+      // between-sweep state as always. SPARK_GRAFT_PREWARM=0 disables
+      // (the A/B knob).
+      if (!sys.env.get("SPARK_GRAFT_PREWARM").contains("0")) {
+        val pwDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (pwDir.isDirectory) {
+          selected.foreach { q =>
+            try q.run(spark, pwDir.toString).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            hooks.getOrElse(q.name, Nil).foreach(_(spark))
+          }
+          Caches.releaseAll(spark)
+        }
+      }
     } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -36,11 +36,16 @@ import graft.core.{Q, T}
   *    — the one multi-frame container the public JDK can both write
   *    and read — samples {first, middle, last} frames, and q145
   *    oracle-gates per-frame pixel sums arithmetically (indexed
-  *    grayscale round-trips bit-exactly). [[MediaStub.decode]]
-  *    survives only as the q49 plumbing gate for formats the JDK has
-  *    no codec for (mp4/webm): schema, batch shape, partitioning and
-  *    frame explosion are the real, tested part; the 8-byte slice
-  *    stands where ffmpeg would sit.
+  *    grayscale round-trips bit-exactly). Round 15 closes the LAST
+  *    simulated path — VIDEO: [[Y4mCodec]] writes and demuxes real
+  *    YUV4MPEG2 streams (the uncompressed interchange container
+  *    `ffmpeg -f yuv4mpegpipe` emits; pure JVM, no external deps),
+  *    seeks by offset arithmetic, samples {first, middle, last}
+  *    frames, and q153 oracle-gates per-plane sums arithmetically.
+  *    [[MediaStub.decode]] is now ONLY a batch-shape test double
+  *    (LlmVectorSpec) for compressed containers the JVM cannot demux
+  *    (mp4/webm): every decode family on the query board — image,
+  *    audio, multi-frame, video — is a real codec.
   */
 object Multimodal {
 
@@ -353,6 +358,156 @@ object Multimodal {
       }
   }
 
+  /** Sampled video-frame record (round 15 — closes the LAST simulated
+    * decode path: video). One row per SAMPLED frame for decodable
+    * payloads; one null row for quarantined ones. `status` is per-doc
+    * with the q134/q145 three-way fold: 'ok', 'short' (the stream
+    * delivered fewer complete frames than the catalog expects — raw
+    * y4m, like GIF, carries NO frame count, so mid-stream truncation
+    * is undetectable from the container alone), 'quarantined'. */
+  final case class Y4mFrameQ(doc_id: Long, status: String,
+      frame_idx: Option[Int], width: Option[Int], height: Option[Int],
+      y_sum: Option[Long], u_sum: Option[Long], v_sum: Option[Long])
+
+  /** REAL video codec: YUV4MPEG2 (y4m), the standard uncompressed
+    * video interchange container (mjpegtools; what `ffmpeg -f yuv4mpegpipe`
+    * emits) — an ASCII parameter header (`YUV4MPEG2 W.. H.. F.. C..`)
+    * followed by `FRAME\n`-delimited raw planes. Pure JVM on both
+    * sides (~60 lines to write and parse, zero external deps — the JDK
+    * ships no compressed-video demuxer), and LOSSLESS, so q153's
+    * DuckDB oracle recomputes every sampled frame's per-plane sums
+    * arithmetically from the generative formula: any header-parse,
+    * plane-order, or offset-arithmetic deviation flips the hash. The
+    * C444 colourspace (full-resolution Y/U/V planes) keeps the plane
+    * arithmetic exact with no 4:2:0 subsampling rounding to replicate.
+    *
+    * Frame SEEKING is arithmetic: after the stream header every frame
+    * is `FRAME\n` + 3·w·h plane bytes, so sampling {first, middle,
+    * last} of a 10k-frame video costs one header scan (6 bytes per
+    * frame marker, plane bytes skipped by offset) plus 3 plane-sum
+    * reads — no decode of unsampled frames, the property q145 pins
+    * for GIF and a real video pipeline needs at 100 TB.
+    *
+    * Failure modes, mirroring [[GifCodec]]'s probed taxonomy:
+    *  - header-cut (6 bytes): no newline / bad magic → the parser
+    *    throws — the quarantine path;
+    *  - tail-cut (last 10 bytes): a frame's plane data is ≥ 192 bytes,
+    *    so the cut always lands mid-plane — the final frame is
+    *    incomplete, the decoder counts only COMPLETE frames and raises
+    *    nothing (raw streams have no trailer), detectable ONLY against
+    *    the catalog's expected_frames — the q145 discipline. */
+  object Y4mCodec {
+    /** The deterministic test clip: doc `id` has 2 + id%4 frames of
+      * 8+id%9 × 8+id%7 pixels; frame f's pixel (x,y) planes are the
+      * q128 channel formulas with a frame axis — exact BIGINT
+      * arithmetic in both engines. */
+    def yAt(id: Long, f: Int, x: Int, y: Int): Int = ((id * 7 + f * 17 + x * 5 + y * 3) % 256).toInt
+    def uAt(id: Long, f: Int, x: Int, y: Int): Int = ((id * 11 + f * 5 + x * 2 + y * 7) % 256).toInt
+    def vAt(id: Long, f: Int, x: Int, y: Int): Int = ((id * 13 + f * 3 + x * 3 + y) % 256).toInt
+    def nFrames(id: Long): Int = (2 + id % 4).toInt
+
+    /** Encode the formula clip as YUV4MPEG2/C444. Runs IN THE
+      * EXECUTORS ([[y4mTable]]); the driver never holds video bytes. */
+    def encodeY4m(id: Long): Array[Byte] = {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var f = 0
+      while (f < nFrames(id)) {
+        bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        var plane = 0
+        while (plane < 3) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = plane match {
+                case 0 => yAt(id, f, x, y)
+                case 1 => uAt(id, f, x, y)
+                case _ => vAt(id, f, x, y)
+              }
+              bos.write(v)
+              x += 1
+            }
+            y += 1
+          }
+          plane += 1
+        }
+        f += 1
+      }
+      bos.toByteArray
+    }
+
+    private def nextNl(bytes: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != 0x0A) i += 1
+      if (i < bytes.length) i else -1
+    }
+
+    /** Total sampled decode: parse the stream header, count the frames
+      * COMPLETELY present (header scan only — plane bytes are skipped
+      * by offset arithmetic), flag 'short' against the catalog's
+      * `expected`, then sum ONLY the {first, middle, last} sampled
+      * frames' planes. Bad magic / truncated header / non-FRAME bytes
+      * mid-stream / implausible dimensions → one counted quarantine
+      * row; catches NonFatal + OOME like [[MediaCodec.decodeSafe]]. */
+    def decodeSampledSafe(docId: Long, expected: Int, bytes: Array[Byte]): Seq[Y4mFrameQ] =
+      try {
+        val nl = nextNl(bytes, 0)
+        require(nl > 0, s"doc $docId: no y4m header line")
+        val header = new String(bytes, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+        require(header.startsWith("YUV4MPEG2 "), s"doc $docId: bad y4m magic")
+        val toks = header.split(" ").drop(1)
+        def tok(p: Char) = toks.find(t => t.nonEmpty && t.head == p).map(_.tail)
+        val w = tok('W').map(_.toInt).getOrElse(sys.error(s"doc $docId: no width"))
+        val h = tok('H').map(_.toInt).getOrElse(sys.error(s"doc $docId: no height"))
+        // decompression-bomb guard: a hostile header can declare huge
+        // dims and make a naive reader allocate before parsing fails
+        require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+          s"doc $docId: implausible dims ${w}x$h")
+        val cs = tok('C').getOrElse("420jpeg")
+        require(cs == "444", s"doc $docId: unsupported colourspace C$cs")
+        val frameBytes = 3 * w * h
+        // frame census: parse each FRAME marker line, skip plane bytes
+        // by arithmetic; an incomplete final frame is NOT counted (the
+        // silent tail-truncation mode — raw streams carry no trailer)
+        val offs = scala.collection.mutable.ArrayBuffer[Int]()
+        var p = nl + 1
+        while (p < bytes.length) {
+          val end = nextNl(bytes, p)
+          if (end < 0) p = bytes.length // cut inside a frame marker line
+          else {
+            val fh = new String(bytes, p, end - p, java.nio.charset.StandardCharsets.US_ASCII)
+            require(fh.startsWith("FRAME"), s"doc $docId: garbage between frames")
+            if (end + 1 + frameBytes <= bytes.length) { offs += end + 1; p = end + 1 + frameBytes }
+            else p = bytes.length // cut inside the frame's plane data
+          }
+        }
+        val n = offs.length
+        if (n <= 0) Seq(Y4mFrameQ(docId, "quarantined", None, None, None, None, None, None))
+        else {
+          val status = if (n < expected) "short" else "ok"
+          val wh = w * h
+          Seq(0, n / 2, n - 1).distinct.map { f =>
+            val off = offs(f)
+            def planeSum(plane: Int): Long = {
+              var s = 0L; var i = off + plane * wh; val stop = i + wh
+              while (i < stop) { s += bytes(i) & 0xFF; i += 1 }
+              s
+            }
+            Y4mFrameQ(docId, status, Some(f), Some(w), Some(h),
+              Some(planeSum(0)), Some(planeSum(1)), Some(planeSum(2)))
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(Y4mFrameQ(docId, "quarantined", None, None, None, None, None, None))
+        case _: OutOfMemoryError =>
+          Seq(Y4mFrameQ(docId, "quarantined", None, None, None, None, None, None))
+      }
+  }
+
   object MediaBatch {
     /** Partition-batched decode: init-once-per-partition shape (the
       * place a codec/session handle would be created). */
@@ -411,6 +566,20 @@ object Multimodal {
         javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
         it.flatMap { case (id, expected, bytes) =>
           GifCodec.decodeSampledSafe(id, expected, bytes)
+        }
+      }
+    }
+
+    /** Partition-batched TOTAL sampled video decode
+      * ([[Y4mCodec.decodeSampledSafe]]): init-once-per-partition,
+      * map-only, payload bytes never shuffle — only the ≤3 sampled
+      * frames' scalar plane sums cross the wire per doc. */
+    def sampleY4mFramesSafe(ds: Dataset[(Long, Int, Array[Byte])]): Dataset[Y4mFrameQ] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        // demuxer/decoder init would happen here, once per partition
+        it.flatMap { case (id, expected, bytes) =>
+          Y4mCodec.decodeSampledSafe(id, expected, bytes)
         }
       }
     }
@@ -620,6 +789,36 @@ object Multimodal {
             case _ => whole
           }
           (id, GifCodec.nFrames(id), payload)
+        })
+        .toDF("doc_id", "expected_frames", "payload")
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+
+  /** Real-video (YUV4MPEG2) fixture (round 15), staged with
+    * [[stagedTable]]'s stamp + atomic-rename discipline and ENCODED IN
+    * THE EXECUTORS like [[pngTable]]/[[wavTable]]/[[gifTable]].
+    * Carries `expected_frames` — raw y4m streams, like GIF, declare no
+    * frame count, so catalog metadata is the only tail-truncation
+    * detection (see [[Y4mCodec]]). Per doc_id%5 (the gifTable
+    * taxonomy):
+    *  0,1,2 → valid clip of 2+doc_id%4 frames;
+    *  3 → header-cut to 6 bytes (no newline, bad magic — the parser
+    *      throws, the quarantine path);
+    *  4 → tail-cut by 10 bytes (the SILENT mode: the cut always lands
+    *      inside the last frame's ≥192-byte plane data, so the reader
+    *      counts nf−1 complete frames and raises nothing). */
+  private[llm] def y4mTable(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "y4m") { stage =>
+      import s.implicits._
+      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val whole = Y4mCodec.encodeY4m(id)
+          val payload = id % 5 match {
+            case 3 => whole.take(6)
+            case 4 => whole.take(whole.length - 10)
+            case _ => whole
+          }
+          (id, Y4mCodec.nFrames(id), payload)
         })
         .toDF("doc_id", "expected_frames", "payload")
         .write.mode("overwrite").parquet(stage.toString)
@@ -905,6 +1104,61 @@ object Multimodal {
         .as[(Long, Int, Array[Byte])]
       MediaBatch.sampleGifFramesSafe(payloads)
         .select("doc_id", "status", "frame_idx", "width", "height", "px_sum")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- REAL video decode + frame sampling (round 15 — the LAST
+    // simulated decode path closed; image q128, audio q134, frames
+    // q145, video HERE): the fixture's payloads are genuine YUV4MPEG2
+    // streams encoded in-executor from a deterministic per-(frame,x,y)
+    // plane formula; the query demuxes the ASCII header, counts the
+    // COMPLETE frames present by offset arithmetic (a 10k-frame video
+    // costs a 6-byte marker scan per frame, zero decode of unsampled
+    // frames), samples {first, middle, last}, and reports per-frame
+    // dims + exact Y/U/V plane sums with the three-way status fold:
+    // 'ok'; 'short' when the stream under-delivers vs the catalog's
+    // expected_frames (raw y4m carries no frame count or trailer — a
+    // tail cut is silent, the q145 GIF property); 'quarantined' when
+    // the header is cut or the colourspace unsupported. y4m is
+    // uncompressed, so the DuckDB oracle recomputes every sampled
+    // frame's plane sums arithmetically — a demuxer that mis-seeks,
+    // swaps planes, or counts a partial frame flips the hash. Plan:
+    // scan → map-only batched decode (payload bytes never shuffle;
+    // ≤3 scalar rows per doc cross the wire) → presentation sort,
+    // the q128/q134/q145 shape.
+    Q("q153_video_frame_sample",
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
+        |             (2 + doc_id % 4)::INT AS nf,
+        |             (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+        |           FROM documents),
+        |e AS (SELECT doc_id, w, h,
+        |        CASE WHEN kind = 4 THEN nf - 1 ELSE nf END AS n,
+        |        CASE WHEN kind = 4 THEN 'short' ELSE 'ok' END AS status
+        |      FROM d WHERE kind <> 3),
+        |fr AS (SELECT doc_id, status, w, h,
+        |         unnest(list_distinct([0, n // 2, n - 1])) AS f
+        |       FROM e),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 13)) AS y),
+        |px AS (SELECT fr.doc_id, fr.status, fr.f, fr.w, fr.h, xs.x, ys.y
+        |       FROM fr, xs, ys WHERE xs.x < fr.w AND ys.y < fr.h)
+        |SELECT doc_id, status, f::INT AS frame_idx, max(w)::INT AS width,
+        |       max(h)::INT AS height,
+        |       sum((doc_id * 7 + f * 17 + x * 5 + y * 3) % 256)::BIGINT AS y_sum,
+        |       sum((doc_id * 11 + f * 5 + x * 2 + y * 7) % 256)::BIGINT AS u_sum,
+        |       sum((doc_id * 13 + f * 3 + x * 3 + y) % 256)::BIGINT AS v_sum
+        |FROM px GROUP BY doc_id, status, f
+        |UNION ALL
+        |SELECT doc_id, 'quarantined', NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM d WHERE kind = 3
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = y4mTable(s, dir)
+        .select(col("doc_id"), col("expected_frames"), col("payload"))
+        .as[(Long, Int, Array[Byte])]
+      MediaBatch.sampleY4mFramesSafe(payloads)
+        .select("doc_id", "status", "frame_idx", "width", "height",
+          "y_sum", "u_sum", "v_sum")
         .orderBy("doc_id", "frame_idx")
     }
   )

@@ -361,12 +361,25 @@ object Analytics {
       val stats = base.groupBy("g")
         .agg(count(lit(1)).as("n"), min("c").as("mn"), max("c").as("mx"))
       val bexpr = expr(s"(c - mn) * $B div (mx - mn + 1)")
+      // cardinality guard (VERDICT r14 item 5): the |groups|·B cell
+      // pull is "bounded by construction" only while the group key is
+      // enumerable (here: 3 return flags). Pointed at a high-
+      // cardinality key the walk would OOM the DRIVER — so probe the
+      // cardinality through a LIMIT (stops at maxGroups+1, never
+      // materializes the full key set) and fail LOUDLY with the named
+      // alternative (the Layout.scaled 2^53 discipline). Budget:
+      // 1024·4096 ≈ 4M driver cells.
+      val maxGroups = 1024
+      val gs = stats.limit(maxGroups + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      require(gs.length <= maxGroups,
+        s"q150 exact quantile selection: > $maxGroups distinct groups — " +
+          "the driver cell walk is bounded only for enumerable group keys; " +
+          "use the q104 mergeable-sketch path for high-cardinality keys")
       // pass 1: per-(group, cell) counts — |groups|·B rows, bounded
       val hist = base.join(broadcast(stats), "g")
         .groupBy(col("g"), bexpr.as("b")).agg(count(lit(1)).as("cnt"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-      val gs = stats.collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       def ranks(n: Long) = Seq((n + 1) / 2, (9 * n + 9) / 10, (99 * n + 99) / 100)
       // driver: cumulative cell walk → the one cell holding each rank,
       // plus the in-cell residual rank

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line per factor: edges m, hub degree, max oriented
   * out-degree, oriented wedge count vs naive hub wedge count, and the
   * pipeline wall time.
+  *
+  * `runMain graft.tools.GraphSweep bfs [rounds…]` (default 3 10 30)
+  * instead sweeps the q136 BFS DEPTH axis (VERDICT r14): a 20k-node
+  * path graph traversed at growing round counts, each depth timed with
+  * the lineage UNCUT (ckptEvery = MaxValue — every round stacks
+  * join+union+agg on the prior logical plan, so analyzer/optimizer
+  * time compounds) and with the shipped 5-round localCheckpoint cut.
+  * The uncut arm is the cliff; the cut arm is its removal.
   */
 object GraphSweep {
 
@@ -35,8 +43,28 @@ object GraphSweep {
       .toDF("a", "b")
   }
 
+  /** BFS-depth arm: long-path graph so deep rounds keep reaching new
+    * nodes (the frontier never drains early); both traversal arms must
+    * return the identical label census. */
+  private def bfsSweep(spark: SparkSession, roundsAxis: Seq[Int]): Unit = {
+    import spark.implicits._
+    val n = 20000
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("src", "dst").persist()
+    edges.count()
+    val sources = Seq(0L).toDF("node")
+    for (rounds <- roundsAxis; (arm, every) <- Seq("uncut" -> Int.MaxValue, "cut5" -> 5)) {
+      val t0 = System.nanoTime()
+      val lab = graft.ops.Graph.bfsHops(edges, sources, rounds, every)
+        .agg(count(lit(1)), sum(col("node")), sum(col("hop"))).first()
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      println(s"""{"mode":"bfs","rounds":$rounds,"arm":"$arm","wall_ms":$wallMs,""" +
+        s""""reached":${lab.getLong(0)},"node_sum":${lab.getLong(1)},"hop_sum":${lab.getLong(2)}}""")
+    }
+    edges.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
-    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -44,6 +72,14 @@ object GraphSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.headOption.contains("bfs")) {
+      val axis = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(3, 10, 30)
+      bfsSweep(spark, axis)
+      spark.stop()
+      return
+    }
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
 
     for (f <- factors) {
       val p = pairs(spark, f).persist()
