@@ -395,17 +395,7 @@ object TextMining {
         |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |ORDER BY shared DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
-      val fp = winnowFingerprints(docs(s, dir), w = 4)
-        .select(col("doc_id"), col("h")).distinct()
-      fp.groupBy("h")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, 64))
-        .select(explode(expr(
-          """flatten(transform(ds, (a, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      winnowPairs(docs(s, dir), w = 4)
         .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
         .limit(20)
     },
@@ -502,6 +492,130 @@ object TextMining {
         .agg(countDistinct("source").as("n_sources"), count(lit(1)).as("n_docs"),
           sum("toks").as("n_tokens"))
         .orderBy("split")
+    },
+
+    // ---- Exact overlap verification of fingerprint candidates
+    // (round 15 — the MOSS verify stage q146 feeds): winnowing
+    // fingerprints GUARANTEE detection of any ≥6-token shared run but
+    // report only shared-fingerprint COUNTS; the curation decision
+    // (quote vs boilerplate vs wholesale copy) needs the exact extent.
+    // For the top-20 candidate pairs, compute the EXACT longest shared
+    // token run RELATIONALLY: join the two docs' raw trigram streams
+    // on hash, group matches by diagonal (ia − ib — a shared run
+    // advances both positions in lockstep), find the longest
+    // consecutive-ia island per diagonal (gaps-and-islands: ia −
+    // row_number is constant exactly on a consecutive run), and a
+    // longest island of L matching trigrams is L+2 shared tokens. No
+    // quadratic LCS DP, no per-pair driver work — every stage is a
+    // bounded join or a tiny window. Plan at 100 TB: candidates are a
+    // top-k frame (broadcast; BOTH gram streams semi-prune to
+    // candidate docs map-side before the hash join), matches are
+    // bounded by the pairs' shared-gram occurrences, and the island
+    // window partitions by (pair, diagonal) — thousands of tiny
+    // frames, never a global sort. Gram identity is the q146 md5
+    // device, so both engines see identical matches by construction.
+    Q("q154_overlap_verify",
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+        |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+        |      WHERE len(ws) >= 3),
+        |k AS (SELECT doc_id, i, h * 1048576 + (1048575 - i) AS key FROM g
+        |      WHERE doc_id IN (SELECT doc_id FROM w WHERE len(ws) >= 6)),
+        |win AS (SELECT doc_id,
+        |          min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |          count(*) OVER (PARTITION BY doc_id ORDER BY i
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |        FROM k),
+        |fp AS (SELECT DISTINCT doc_id, wkey // 1048576 AS h FROM win WHERE wn = 4),
+        |df AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+        |fpk AS (SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+        |          FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 ORDER BY shared DESC, doc_a, doc_b LIMIT 20),
+        |m AS (SELECT p.doc_a, p.doc_b, p.shared, ga.i AS ia, gb.i AS ib
+        |      FROM pairs p
+        |      JOIN g ga ON ga.doc_id = p.doc_a
+        |      JOIN g gb ON gb.doc_id = p.doc_b AND gb.h = ga.h),
+        |r AS (SELECT doc_a, doc_b, shared, ia - ib AS diag, ia,
+        |        row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+        |                           ORDER BY ia) AS rn
+        |      FROM m),
+        |runs AS (SELECT doc_a, doc_b, shared, count(*)::BIGINT AS len
+        |         FROM r GROUP BY doc_a, doc_b, shared, diag, ia - rn)
+        |SELECT doc_a, doc_b, shared, (max(len) + 2)::BIGINT AS longest_run_tokens
+        |FROM runs GROUP BY 1, 2, 3
+        |ORDER BY shared DESC, doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val cand = winnowPairs(docs(s, dir), w = 4)
+        .orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(20)
+      val g = trigramStream(docs(s, dir))
+      val ga = g.join(broadcast(cand), col("doc_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("i").as("ia"), col("h"))
+      val gb = g.select(col("doc_id").as("b_id"), col("i").as("ib"),
+          col("h").as("hb"))
+        .join(broadcast(cand.select(col("doc_b").as("b_id")).distinct()), "b_id")
+      ga.join(gb, col("h") === col("hb") && col("doc_b") === col("b_id"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("ia"), (col("ia") - col("ib")).as("diag"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")))
+        .groupBy(col("doc_a"), col("doc_b"), col("shared"), col("diag"),
+          (col("ia") - col("rn")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("doc_a", "doc_b", "shared")
+        .agg((max("len") + lit(2)).as("longest_run_tokens"))
+        .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+    },
+
+    // ---- Training-mix weights under temperature sampling (round 15 —
+    // the source-mix decision the curation family feeds): per-source
+    // token masses → sampling weights w_s ∝ n_s^τ at τ = 0.5, the
+    // standard low-resource up-weighting (multilingual / data-mix
+    // practice). τ = 0.5 is deliberately sqrt: IEEE-754 sqrt is
+    // correctly rounded, so both engines compute the IDENTICAL double
+    // where pow(x, 0.7) could drift a ulp; the double is quantized to
+    // an integer (floor ×1e6) BEFORE the distributed sum so no float
+    // addition order can diverge — weight arithmetic is pure int64
+    // from there (the q147 integer-milli discipline). Output per
+    // source: natural share, temperature weight, and the boost ratio
+    // (how much τ over/under-samples vs natural) — the numbers a mix
+    // decision reads. Plan at 100 TB: one corpus scan →
+    // |sources|-bounded agg → scalar broadcast; nothing else moves.
+    Q("q155_mix_weights",
+      """WITH t AS (SELECT source,
+        |             count(*)::BIGINT AS n_docs,
+        |             sum(len(list_filter(string_split(text, ' '), x -> x != '')))::BIGINT AS n_tokens
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS w_int
+        |      FROM t),
+        |s AS (SELECT sum(w_int)::BIGINT AS tw, sum(n_tokens)::BIGINT AS tt FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       (1000000 * w_int // tw)::BIGINT AS weight_micro,
+        |       (1000000 * n_tokens // tt)::BIGINT AS natural_micro,
+        |       CASE WHEN (1000000 * n_tokens // tt) = 0 THEN NULL
+        |            ELSE (1000 * (1000000 * w_int // tw) // (1000000 * n_tokens // tt))::BIGINT
+        |       END AS boost_milli
+        |FROM w, s ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(expr("filter(split(text, ' '), x -> x != '')"))).as("n_tokens"))
+        .withColumn("w_int",
+          expr("cast(floor(sqrt(cast(n_tokens as double)) * 1000000) as bigint)"))
+      val tot = t.agg(sum("w_int").as("tw"), sum("n_tokens").as("tt"))
+      t.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("1000000 * w_int div tw").as("weight_micro"),
+          expr("1000000 * n_tokens div tt").as("natural_micro"))
+        .withColumn("boost_milli",
+          expr("CASE WHEN natural_micro = 0 THEN NULL " +
+            "ELSE 1000 * weight_micro div natural_micro END"))
+        .orderBy("source")
     }
   )
 
@@ -541,4 +655,38 @@ object TextMining {
       .select(col("doc_id"), expr("key div 1048576").as("h"),
         (lit(1048575L) - col("key") % 1048576L).as("pos"))
   }
+  /** q146's candidate-pair census over [[winnowFingerprints]]: per-hash
+    * posting lists capped at df ≤ 64 (hot-fingerprint rule), map-side
+    * ordered pair expansion, one (a,b)-keyed count. Factored so q154's
+    * verify stage consumes the same candidates q146 reports. */
+  private[llm] def winnowPairs(documents: DataFrame, w: Int): DataFrame = {
+    val fp = winnowFingerprints(documents, w)
+      .select(col("doc_id"), col("h")).distinct()
+    fp.groupBy("h")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+  }
+
+  /** Raw word-trigram hash stream WITH positions (doc_id, i, h) — the
+    * q146/q147 md5 gram device exposed positionally for q154's
+    * diagonal arithmetic. Map-side HOF: posexplode inside the scan
+    * stage, no shuffle of its own. */
+  private[llm] def trigramStream(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(ws) - 3), i ->
+          |  cast(conv(substring(md5(cast(concat_ws(' ',
+          |         element_at(ws, i + 1), element_at(ws, i + 2),
+          |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint))""".stripMargin)))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
 }
+
