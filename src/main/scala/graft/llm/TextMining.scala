@@ -583,8 +583,13 @@ object TextMining {
     // from there (the q147 integer-milli discipline). Output per
     // source: natural share, temperature weight, and the boost ratio
     // (how much τ over/under-samples vs natural) — the numbers a mix
-    // decision reads. Plan at 100 TB: one corpus scan →
-    // |sources|-bounded agg → scalar broadcast; nothing else moves.
+    // decision reads. Plan at 100 TB: ONE corpus scan →
+    // |sources|-bounded agg → the totals as an unpartitioned window
+    // over that aggregate frame (the q116 device: |sources| rows, so
+    // the single-partition WindowExec is bounded by the aggregate,
+    // never the data — and it avoids the second corpus scan a
+    // separate totals subtree would cost, since the DataFrame API has
+    // no CTE reuse). PlanSpec pins the single scan and the zero joins.
     Q("q155_mix_weights",
       """WITH t AS (SELECT source,
         |             count(*)::BIGINT AS n_docs,
@@ -601,14 +606,15 @@ object TextMining {
         |            ELSE (1000 * (1000000 * w_int // tw) // (1000000 * n_tokens // tt))::BIGINT
         |       END AS boost_milli
         |FROM w, s ORDER BY source""".stripMargin) { (s, dir) =>
-      val t = docs(s, dir)
+      val all = Window.partitionBy()
+      docs(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(expr("filter(split(text, ' '), x -> x != '')"))).as("n_tokens"))
         .withColumn("w_int",
           expr("cast(floor(sqrt(cast(n_tokens as double)) * 1000000) as bigint)"))
-      val tot = t.agg(sum("w_int").as("tw"), sum("n_tokens").as("tt"))
-      t.crossJoin(broadcast(tot))
+        .withColumn("tw", sum("w_int").over(all))
+        .withColumn("tt", sum("n_tokens").over(all))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           expr("1000000 * w_int div tw").as("weight_micro"),
           expr("1000000 * n_tokens div tt").as("natural_micro"))

@@ -775,4 +775,24 @@ class PlanSpec extends SparkSpec {
       s"interval-point join degenerated to the |A|*|B| theta plan:\n$p")
     assert(p.contains("partial_count"), "incident rollup lost map-side partials")
   }
+
+  test("q154 overlap verify: gram streams broadcast-prune to candidates, no cartesian") {
+    val p = plan("q154_overlap_verify")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"verify stage degenerated to an all-pairs plan:\n$p")
+    // both full gram streams must hit a broadcast prune (the top-20
+    // candidate frame) BEFORE the hash match join — the property that
+    // keeps the verify candidate-bounded at corpus scale
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"a gram stream lost its candidate broadcast prune:\n$p")
+  }
+
+  test("q155 mix weights: ONE corpus scan, totals via the bounded window, no join") {
+    val p = plan("q155_mix_weights")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"totals grew a second corpus scan:\n$p")
+    assert(!p.contains("Join"), s"mix weights grew a join:\n$p")
+    assert(p.contains("Window"), "totals no longer the aggregate-bounded window")
+    assert(p.contains("partial_count"), "source rollup lost map-side partials")
+  }
 }
