@@ -45,7 +45,8 @@ object Caches {
     (Set("q109_pagerank", "q113_triangle_count", "q122_frequent_pairs",
       "q136_bfs_hops", "q137_item_similarity"),
       ops.Graph.release),
-    (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift"),
+    (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift",
+      "q156_source_overlap"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

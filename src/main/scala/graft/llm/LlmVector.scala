@@ -652,6 +652,69 @@ object LlmVector {
          |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vb
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       semanticDedup(s, dir)
+    },
+
+    // ---- Per-class embedding outliers (round 15 — mislabeled-data
+    // screening: the vectors farthest from their own label's centroid
+    // are the annotation errors / off-distribution rows a curation
+    // pass reviews first). Exactness discipline: components quantize
+    // to integer MILLI units (round half-away-from-zero — identical
+    // in both engines) BEFORE any aggregation, the centroid is the
+    // integer-MICRO floor quotient (1000·Σq) div n (div truncates
+    // toward zero in BOTH Spark and DuckDB — verified, including
+    // negatives), and the distance is the exact int64 Σ(1000·q−μ)² —
+    // bounded by 64·(2·10⁶)² ≈ 2.6e14 regardless of corpus size, so
+    // no float ever crosses an aggregation boundary. (The one
+    // size-dependent term is the centroid's 1000·Σq, which overflows
+    // int64 only past ~1.7e13 rows per label; the oracle's HUGEINT
+    // sum has no such bound — document, don't guard, per the
+    // Layout.scaled 2^53 discipline.) Plan at 100 TB: centroids are
+    // ONE partial-agg shuffle of |labels|·(dim+1) cells (the
+    // trainKmeans dimSums device — no posexplode of rows×dim), ship
+    // back by broadcast, distance is a per-row projection, and the
+    // top-3-per-label rank window collapses to WindowGroupLimit —
+    // each shuffle partition forwards at most 3 rows per label, so
+    // the final exchange moves O(|labels|·3·partitions) tuples, not
+    // the corpus (PlanSpec pins the limit push and the broadcast).
+    Q("q157_embed_outliers",
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(round(v::DOUBLE * 1000) AS BIGINT) AS q, i
+        |           FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |                        generate_subscripts(embedding, 1) AS i
+        |                 FROM embeddings)),
+        |c AS (SELECT label, i, (1000 * sum(q)) // count(*) AS mu
+        |      FROM e GROUP BY 1, 2),
+        |d AS (SELECT e.vec_id, e.label,
+        |             sum((1000 * e.q - c.mu) * (1000 * e.q - c.mu)) AS d2
+        |      FROM e JOIN c ON c.label = e.label AND c.i = e.i
+        |      GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, d2,
+        |             row_number() OVER (PARTITION BY label
+        |               ORDER BY d2 DESC, vec_id) AS rank
+        |      FROM d)
+        |SELECT label, rank::BIGINT AS rank, vec_id, d2::BIGINT AS d2
+        |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin) { (s, dir) =>
+      val e = T.df(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+      val withQ = e.select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+        .as("q"))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      val aggs = count(lit(1)).as("n") +: sums
+      val cent = withQ.groupBy("label").agg(aggs.head, aggs.tail: _*)
+        .select(col("label"),
+          array((0 until dim).map(i => expr(s"(1000 * s$i) div n")): _*).as("mu"))
+      withQ.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"), expr(
+          """aggregate(zip_with(q, mu, (a, b) -> (1000 * a - b) * (1000 * a - b)),
+            |          cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin).as("d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("d2"))
+        .orderBy("label", "rank")
     }
   )
 

@@ -62,11 +62,36 @@ object TextMining {
         .persist()
     })
 
-  /** Unpersists the vocab + split-count frames for `s` (fires after
-    * the family's last consumer). */
+  /** q156's per-trigram source-set frame: one corpus pass → groupBy(h)
+    * with a map-side-partial collect_set bounded at |sources| elements
+    * per group. Persisted because BOTH q156 consumers (per-source
+    * distinct-gram totals and the pair matrix) read it — without the
+    * persist each consumer re-runs the corpus explode+shuffle, turning
+    * one 100 TB pass into two. |rows| = distinct trigrams (corpus
+    * vocabulary of grams), each row ≤ |sources| strings. */
+  private val sourceGramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sourceGrams(s: SparkSession, dir: String): DataFrame =
+    sourceGramCache.computeIfAbsent((s, dir), _ => {
+      docs(s, dir)
+        .select(col("source"), expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(ws) - 3), i ->
+            |  cast(conv(substring(md5(cast(concat_ws(' ',
+            |         element_at(ws, i + 1), element_at(ws, i + 2),
+            |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint))""".stripMargin))
+          .as("h"))
+        .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+        .persist()
+    })
+
+  /** Unpersists the vocab + split-count + source-gram frames for `s`
+    * (fires after the family's last consumer). */
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
     graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
+    graft.Caches.dropSession(sourceGramCache, s)(_.unpersist())
   }
 
   /** q111's dirty external term list — the misspelled query/entity
@@ -622,6 +647,62 @@ object TextMining {
           expr("CASE WHEN natural_micro = 0 THEN NULL " +
             "ELSE 1000 * weight_micro div natural_micro END"))
         .orderBy("source")
+    },
+
+    // ---- Cross-source duplication matrix (round 15 — the OTHER half
+    // of the mix decision q155/q147 feed: q147 says how much of a
+    // source is novel vs the whole corpus; this says WHICH PAIRS of
+    // sources share content, i.e. where the duplication lives —
+    // mirrors, re-crawls, syndication). Unit is the distinct word
+    // trigram (the q147 hash); per source-pair we emit shared-gram
+    // count, Jaccard, and containment-of-the-smaller — the three
+    // numbers that separate "near-identical mirrors" (high Jaccard)
+    // from "B embeds A" (high containment, low Jaccard). All ratios
+    // integer-milli (div both engines). Plan at 100 TB: ONE corpus
+    // pass → groupBy(h) with map-side-partial collect_set (bounded at
+    // |sources| per group — never a row-scale set), persisted
+    // ([[sourceGrams]]) because both consumers read it; per-source
+    // totals explode that |grams|-row frame (NOT the corpus), the
+    // pair matrix explodes ordered pairs only for grams in ≥ 2
+    // sources (≤ C(|sources|,2) per row), and the ≤ C(|sources|,2)-row
+    // result joins the |sources|-row totals twice by broadcast. No
+    // self-join of the gram table — the oracle's a.h = b.h form is
+    // O(Σ k_h²) shuffled twice; the collect_set form moves each gram
+    // once.
+    Q("q156_source_overlap",
+      """WITH w AS (SELECT source,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+        |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+        |      WHERE len(ws) >= 3),
+        |t AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        |      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, n_shared::BIGINT AS n_shared,
+        |       (1000 * n_shared // (ta.n + tb.n - n_shared))::BIGINT AS jaccard_milli,
+        |       (1000 * n_shared // least(ta.n, tb.n))::BIGINT AS containment_milli
+        |FROM p JOIN t ta ON ta.source = p.s1 JOIN t tb ON tb.source = p.s2
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val perH = sourceGrams(s, dir)
+      val totals = perH.select(explode(col("ss")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = perH.filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)), b -> struct(a AS s1, b AS s2))))""".stripMargin))
+          .as("p"))
+        .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(totals.select(col("source").as("s1"), col("n").as("na"))), "s1")
+        .join(broadcast(totals.select(col("source").as("s2"), col("n").as("nb"))), "s2")
+        .select(col("s1"), col("s2"), col("n_shared"),
+          expr("1000 * n_shared div (na + nb - n_shared)").as("jaccard_milli"),
+          expr("1000 * n_shared div least(na, nb)").as("containment_milli"))
+        .orderBy("s1", "s2")
     }
   )
 

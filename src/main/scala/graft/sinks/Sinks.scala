@@ -18,6 +18,17 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Partitioned ORC — the interchange sink for ORC-native estates
+    * (Hive/Trino warehouses). Same layout contract as [[parquet]];
+    * ORC is a first-class Spark source (no extra deps), and scans
+    * back through it keep predicate pushdown, column pruning, and
+    * partition pruning — SinksSpec pins all three, so the format
+    * claim is gated, not assumed. */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Single-file CSV with header — the human-export path. coalesce(1)
     * is deliberate and ONLY for exports of human-sized result sets;
     * never use on large frames (single-task write). */

@@ -787,6 +787,39 @@ class PlanSpec extends SparkSpec {
       s"a gram stream lost its candidate broadcast prune:\n$p")
   }
 
+  test("q156 source overlap: both consumers read ONE cached gram frame; totals join by broadcast") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q156_source_overlap")(spark, dir).queryExecution
+    try {
+      // the per-trigram source-set frame is persisted and read by BOTH
+      // the pair matrix and the per-source totals — an unpersisted
+      // plan re-runs the corpus explode+shuffle once per consumer
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size >= 2, s"a consumer lost the cached gram frame:\n${qe.optimizedPlan}")
+      assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
+        "consumers materialize DIFFERENT gram frames instead of sharing one")
+      val p = qe.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"a |sources|-row totals join degenerated to a shuffle join:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"pair matrix grew a shuffle/cartesian join:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
+  test("q157 embed outliers: top-3 rank collapses to WindowGroupLimit; centroids broadcast") {
+    val p = plan("q157_embed_outliers")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 filter no longer pushes a per-partition group limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"|labels|-row centroid join degenerated to a shuffle join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan grew a shuffle join:\n$p")
+    // exactly two corpus passes — the centroid reduction and the
+    // distance projection; anything more means a lost reuse
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"embeddings scanned more than twice:\n$p")
+    assert(p.contains("partial_count"), "centroid reduction lost map-side partials")
+  }
+
   test("q155 mix weights: ONE corpus scan, totals via the bounded window, no join") {
     val p = plan("q155_mix_weights")
     assert("Scan parquet".r.findAllIn(p).size == 1,

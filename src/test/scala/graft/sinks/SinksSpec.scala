@@ -24,6 +24,27 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == t.location.count())
   }
 
+  test("ORC sink round-trips partitioned; scans back with pushdown + pruning (S6)") {
+    import org.apache.spark.sql.functions.col
+    val t = Registry.load(spark, SyntheticCorpus.ensure())
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/loc"
+    Sinks.orc(t.location, out, partitionBy = Seq("eudract_id"))
+    val back = spark.read.orc(out)
+    assert(back.count() == t.location.count())
+    assert(back.select("eudract_id", "location").collect().map(_.toSeq).toSet ==
+      t.location.collect().map(_.toSeq).toSet, "ORC round-trip lost or altered rows")
+    // the format keeps the scan properties the parquet path is pinned
+    // on: data-column predicate pushdown and partition-column pruning
+    val one = t.location.select("eudract_id").first().getString(0)
+    val q = back.filter(col("eudract_id") === one && col("location") > "A")
+      .select("location")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(location)"),
+      s"ORC scan lost data-filter pushdown:\n$p")
+    assert(p.contains("PartitionFilters: [") && p.contains("isnotnull(eudract_id"),
+      s"ORC scan lost partition pruning:\n$p")
+  }
+
   test("JDBC sink round-trips through an embedded database (S6, reference Postgres goal)") {
     // no network DB exists in the sandbox, but embedded Derby rides on
     // Spark's own classpath — a REAL DriverManager/JDBC round-trip, so
