@@ -86,12 +86,45 @@ object TextMining {
         .persist()
     })
 
-  /** Unpersists the vocab + split-count + source-gram frames for `s`
-    * (fires after the family's last consumer). */
+  /** q158's (split, token-count, docs) frame — the ONE corpus pass
+    * behind the KS screen, persisted because both the per-split
+    * totals and the pair-fanned ECDF read it (≤ 3·|distinct doc
+    * lengths| rows — value-bounded, not corpus-bounded). */
+  private val splitLenCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def splitLenCounts(s: SparkSession, dir: String): DataFrame =
+    splitLenCache.computeIfAbsent((s, dir), _ => {
+      docs(s, dir)
+        .select(splitHash(col("doc_id")).as("hh"),
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("v"))
+        .select(when(col("hh") < 800, "train").when(col("hh") < 900, "val")
+          .otherwise("test").as("split"), col("v"))
+        .groupBy("split", "v").agg(count(lit(1)).as("c"))
+        .persist()
+    })
+
+  /** q159's (source, token, count) frame — one corpus pass, persisted
+    * because the per-source totals and the lift scoring both read it
+    * (≤ |sources|·|vocab| rows, Heaps-bounded). */
+  private val sourceTermCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sourceTermCounts(s: SparkSession, dir: String): DataFrame =
+    sourceTermCache.computeIfAbsent((s, dir), _ => {
+      docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .persist()
+    })
+
+  /** Unpersists the vocab + split-count + source-gram + split-length +
+    * source-term frames for `s` (fires after the family's last
+    * consumer). */
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
     graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
     graft.Caches.dropSession(sourceGramCache, s)(_.unpersist())
+    graft.Caches.dropSession(splitLenCache, s)(_.unpersist())
+    graft.Caches.dropSession(sourceTermCache, s)(_.unpersist())
   }
 
   /** q111's dirty external term list — the misspelled query/entity
@@ -703,6 +736,130 @@ object TextMining {
           expr("1000 * n_shared div (na + nb - n_shared)").as("jaccard_milli"),
           expr("1000 * n_shared div least(na, nb)").as("containment_milli"))
         .orderBy("s1", "s2")
+    },
+
+    // ---- Two-sample KS drift between splits (round 15 — the
+    // DISTRIBUTION-level companion to q117's vocabulary chi²: a split
+    // whose documents are systematically longer/shorter than train's
+    // biases eval loss even when the vocabulary matches. Exact
+    // two-sided Kolmogorov–Smirnov D over the doc token-count
+    // distribution, per split pair, in pure integer arithmetic:
+    // D·n_a·n_b = max over the pooled support of |ca·n_b − cb·n_a|
+    // (ca/cb = cumulative doc counts) — no float ECDF ever exists, so
+    // the engines agree bit-for-bit; the reported d_milli is the
+    // floored 1000·D. Products run in decimal(38,0)/HUGEINT
+    // UNCONDITIONALLY (the q110 device: ca·n_b ≈ n² outgrows int64 at
+    // ~3e9 docs per split; d_num's final BIGINT cast is in-range until
+    // the same regime — DuckDB raises there, documented not guarded).
+    // Plan at 100 TB: ONE corpus pass → (split, len) counts
+    // ([[splitLenCounts]], persisted — value-bounded at 3·|distinct
+    // lengths| rows, shared by totals and ECDF consumers), pair fan
+    // via a 6-row broadcast membership join, per-pair cumulative sums
+    // as windows over the value-bounded frame (3 partitions — bounded
+    // by the support, never the corpus), |pairs|-row result.
+    Q("q158_ks_split_drift",
+      s"""WITH d AS (SELECT CASE WHEN $splitHashSql < 800 THEN 'train'
+         |                      WHEN $splitHashSql < 900 THEN 'val'
+         |                      ELSE 'test' END AS split,
+         |                 len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS v
+         |           FROM documents),
+         |cv AS (SELECT split, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+         |n AS (SELECT split, sum(c)::BIGINT AS n FROM cv GROUP BY 1),
+         |pairs(sa, sb) AS (VALUES ('train', 'val'), ('train', 'test'), ('val', 'test')),
+         |ev AS (SELECT p.sa, p.sb, cv.v,
+         |              sum(CASE WHEN cv.split = p.sa THEN cv.c ELSE 0 END) AS ca_at,
+         |              sum(CASE WHEN cv.split = p.sb THEN cv.c ELSE 0 END) AS cb_at
+         |       FROM pairs p JOIN cv ON cv.split IN (p.sa, p.sb)
+         |       GROUP BY 1, 2, 3),
+         |cum AS (SELECT sa, sb, v,
+         |               sum(ca_at) OVER (PARTITION BY sa, sb ORDER BY v) AS ca,
+         |               sum(cb_at) OVER (PARTITION BY sa, sb ORDER BY v) AS cb
+         |        FROM ev),
+         |ks AS (SELECT sa, sb, na.n AS na, nb.n AS nb,
+         |              max(abs(ca * nb.n::HUGEINT - cb * na.n::HUGEINT)) AS d_dec
+         |       FROM cum JOIN n na ON na.split = cum.sa
+         |                JOIN n nb ON nb.split = cum.sb
+         |       GROUP BY 1, 2, 3, 4)
+         |SELECT sa, sb, na, nb, d_dec::BIGINT AS d_num,
+         |       (1000 * d_dec // (na::HUGEINT * nb))::BIGINT AS d_milli
+         |FROM ks ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      val cv = splitLenCounts(s, dir)
+      val n = cv.groupBy("split").agg(sum("c").as("n"))
+      import s.implicits._
+      val members = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+        .flatMap { case (a, b) => Seq((a, b, a), (a, b, b)) }
+        .toDF("sa", "sb", "split")
+      val wi = Window.partitionBy("sa", "sb").orderBy("v")
+      cv.join(broadcast(members), "split")
+        .groupBy("sa", "sb", "v")
+        .agg(sum(when(col("split") === col("sa"), col("c")).otherwise(0L)).as("ca_at"),
+          sum(when(col("split") === col("sb"), col("c")).otherwise(0L)).as("cb_at"))
+        .select(col("sa"), col("sb"), col("v"),
+          sum("ca_at").over(wi).as("ca"), sum("cb_at").over(wi).as("cb"))
+        .join(broadcast(n.select(col("split").as("sa"), col("n").as("na"))), "sa")
+        .join(broadcast(n.select(col("split").as("sb"), col("n").as("nb"))), "sb")
+        .groupBy("sa", "sb", "na", "nb")
+        .agg(max(abs(expr("cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na")))
+          .as("d_dec"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          col("d_dec").cast("long").as("d_num"),
+          expr("(cast(1000 as decimal(38,0)) * d_dec) div (cast(na as decimal(38,0)) * nb)")
+            .cast("long").as("d_milli"))
+        .orderBy("sa", "sb")
+    },
+
+    // ---- Per-source distinctive terms (round 15 — corpus exploration:
+    // WHICH vocabulary a source over-represents, the qualitative
+    // companion to q156's how-much-overlap. Score is the q110
+    // PMI-monotone integer lift applied to (source, term): 1000·c·N
+    // div (n_w·n_s), decimal(38,0)/HUGEINT products unconditionally
+    // (same overflow regime), min-support c ≥ 5 pruning the hapax
+    // tail BEFORE the joins, top-5 per source by (lift, term). Plan at
+    // 100 TB: ONE corpus pass → (source, term) counts
+    // ([[sourceTermCounts]], persisted, Heaps-bounded); global term
+    // counts are the memoized [[vocab]] frame (shared with
+    // q110/q111 — its shuffle already paid) joined by broadcast
+    // post-support-filter; per-source totals + the corpus total derive
+    // from the persisted frame (|sources|-row agg, scalar via its
+    // bounded unpartitioned window); top-5 is a rank window that
+    // collapses to WindowGroupLimit — partitions forward ≤ 5 rows per
+    // source.
+    Q("q159_source_terms",
+      """WITH sw AS (SELECT source, w, count(*)::BIGINT AS c
+        |            FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |uni AS (SELECT w, sum(c)::BIGINT AS n_w FROM sw GROUP BY 1),
+        |st AS (SELECT source, sum(c)::BIGINT AS n_s FROM sw GROUP BY 1),
+        |n AS (SELECT sum(n_s)::BIGINT AS nt FROM st),
+        |sc AS (SELECT sw.source, sw.w, sw.c,
+        |              ((1000::HUGEINT * sw.c * (SELECT nt FROM n))
+        |               // (uni.n_w::HUGEINT * st.n_s))::BIGINT AS lift_milli
+        |       FROM sw JOIN uni USING (w) JOIN st USING (source)
+        |       WHERE sw.c >= 5),
+        |r AS (SELECT source, w, c, lift_milli,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY lift_milli DESC, w) AS rank
+        |      FROM sc)
+        |SELECT source, rank::BIGINT AS rank, w, c, lift_milli
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      val sw = sourceTermCounts(s, dir)
+      val st = sw.groupBy("source").agg(sum("c").as("n_s"))
+        .withColumn("nt", sum("n_s").over(Window.partitionBy()))
+      val uni = vocab(s, dir)
+      sw.filter(col("c") >= 5)
+        .join(broadcast(uni), "w")
+        .join(broadcast(st), "source")
+        .select(col("source"), col("w"), col("c"),
+          expr("""(cast(1000 as decimal(38,0)) * c * nt)
+                 |  div (cast(n_w as decimal(38,0)) * n_s)""".stripMargin)
+            .cast("long").as("lift_milli"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("lift_milli").desc, col("w"))))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("w"), col("c"), col("lift_milli"))
+        .orderBy("source", "rank")
     }
   )
 

@@ -820,6 +820,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "centroid reduction lost map-side partials")
   }
 
+  test("q158 KS drift: totals and ECDF share ONE cached count frame; all joins broadcast") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q158_ks_split_drift")(spark, dir).queryExecution
+    try {
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size >= 2, s"a consumer lost the cached (split,len) frame:\n${qe.optimizedPlan}")
+      assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
+        "consumers materialize DIFFERENT count frames instead of sharing one")
+      val p = qe.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        s"membership/totals joins degenerated to shuffle joins:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"KS plan grew a shuffle/cartesian join:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
+  test("q159 source terms: cached counts shared; top-5 collapses to WindowGroupLimit") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q159_source_terms")(spark, dir).queryExecution
+    try {
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      // the (source,term) frame feeds totals + scoring; vocab is its
+      // own (q110-shared) cache — at most two DISTINCT materializations
+      assert(imrs.size >= 3, s"a consumer lost its cached frame:\n${qe.optimizedPlan}")
+      assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size <= 2,
+        "more than the two expected cached frames (source-term + vocab)")
+      val p = qe.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"rank<=5 filter no longer pushes a per-partition group limit:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"vocab/totals joins degenerated to shuffle joins:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan grew a shuffle join:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
   test("q155 mix weights: ONE corpus scan, totals via the bounded window, no join") {
     val p = plan("q155_mix_weights")
     assert("Scan parquet".r.findAllIn(p).size == 1,
