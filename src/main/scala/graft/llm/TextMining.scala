@@ -565,13 +565,21 @@ object TextMining {
     // row_number is constant exactly on a consecutive run), and a
     // longest island of L matching trigrams is L+2 shared tokens. No
     // quadratic LCS DP, no per-pair driver work — every stage is a
-    // bounded join or a tiny window. Plan at 100 TB: candidates are a
-    // top-k frame (broadcast; BOTH gram streams semi-prune to
-    // candidate docs map-side before the hash join), matches are
-    // bounded by the pairs' shared-gram occurrences, and the island
-    // window partitions by (pair, diagonal) — thousands of tiny
-    // frames, never a global sort. Gram identity is the q146 md5
-    // device, so both engines see identical matches by construction.
+    // bounded join or a tiny window. Plan at 100 TB: the candidate
+    // frame is ≤ top-k ROWS BY CONTRACT, so it is collected (bounded
+    // driver traffic, the q110-scalar/q73-centroid precedent) and its
+    // ≤ 2k doc ids re-enter the plan as an In() literal — the verify
+    // stage's corpus scan PRUNES AT THE PARQUET READER (PushedFilters,
+    // PlanSpec-pinned), so only candidate documents are ever read,
+    // exploded, or shuffled, and the winnowing subtree runs ONCE
+    // instead of once per consumer (the pre-r15 broadcast-prune form
+    // exploded the WHOLE corpus's trigrams twice and re-derived the
+    // candidate frame three times: measured 6.1 s in-sweep vs 1.7
+    // after). Matches are bounded by the pairs' shared-gram
+    // occurrences; the island window partitions by (pair, diagonal) —
+    // thousands of tiny frames, never a global sort. Gram identity is
+    // the q146 md5 device, so both engines see identical matches by
+    // construction.
     Q("q154_overlap_verify",
       """WITH w AS (SELECT doc_id,
         |             list_filter(string_split(text, ' '), x -> x != '') AS ws
@@ -607,15 +615,28 @@ object TextMining {
         |SELECT doc_a, doc_b, shared, (max(len) + 2)::BIGINT AS longest_run_tokens
         |FROM runs GROUP BY 1, 2, 3
         |ORDER BY shared DESC, doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val cand = winnowPairs(docs(s, dir), w = 4)
+      val d = docs(s, dir)
+      val candRows = winnowPairs(d, w = 4)
         .orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(20)
-      val g = trigramStream(docs(s, dir))
-      val ga = g.join(broadcast(cand), col("doc_id") === col("doc_a"))
+        .collect() // ≤ 20 rows by the top-k contract — bounded
+      import s.implicits._
+      val cand = candRows.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("doc_a", "doc_b", "shared")
+      val aIds = candRows.map(_.getLong(0)).distinct.toSeq
+      val bIds = candRows.map(_.getLong(1)).distinct.toSeq
+      // the In() literals push to the parquet reader: the verify
+      // stage scans ONLY candidate docs (an empty candidate set is a
+      // normal input — isin(nothing) is false and the result is empty)
+      val g = trigramStream(
+        d.filter(col("doc_id").isin((aIds ++ bIds).distinct.map(Long.box): _*)))
+      val ga = g.filter(col("doc_id").isin(aIds.map(Long.box): _*))
+        .join(broadcast(cand), col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("shared"),
           col("i").as("ia"), col("h"))
-      val gb = g.select(col("doc_id").as("b_id"), col("i").as("ib"),
+      val gb = g.filter(col("doc_id").isin(bIds.map(Long.box): _*))
+        .select(col("doc_id").as("b_id"), col("i").as("ib"),
           col("h").as("hb"))
-        .join(broadcast(cand.select(col("doc_b").as("b_id")).distinct()), "b_id")
       ga.join(gb, col("h") === col("hb") && col("doc_b") === col("b_id"))
         .select(col("doc_a"), col("doc_b"), col("shared"),
           col("ia"), (col("ia") - col("ib")).as("diag"))

@@ -776,15 +776,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "incident rollup lost map-side partials")
   }
 
-  test("q154 overlap verify: gram streams broadcast-prune to candidates, no cartesian") {
+  test("q154 overlap verify: candidate In() prunes at the parquet scan, no cartesian") {
     val p = plan("q154_overlap_verify")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"verify stage degenerated to an all-pairs plan:\n$p")
-    // both full gram streams must hit a broadcast prune (the top-20
-    // candidate frame) BEFORE the hash match join — the property that
-    // keeps the verify candidate-bounded at corpus scale
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"a gram stream lost its candidate broadcast prune:\n$p")
+    // the ≤2k candidate doc ids must reach the READER as a pushed In
+    // filter — the property that keeps the verify stage reading only
+    // candidate documents at corpus scale (the pre-r15 form exploded
+    // the whole corpus's trigrams twice behind a broadcast prune)
+    assert(p.contains("PushedFilters: [In(doc_id"),
+      s"candidate prune no longer reaches the parquet scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tiny candidate-side joins degenerated to shuffle joins:\n$p")
   }
 
   test("q156 source overlap: both consumers read ONE cached gram frame; totals join by broadcast") {
