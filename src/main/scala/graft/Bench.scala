@@ -155,7 +155,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine, not a fixed small number: the driver
+    // always sets SPARK_GRAFT_CPUS=32 explicitly, but round-15 lost a
+    // night of board arms to the old "4" default — local ablation
+    // boards silently ran at local[4] while the isolated QueryProbe
+    // anchors ran at local[32], manufacturing a phantom 2-7x "in-sweep
+    // regression" on every CPU-bound family. A measurement tool's
+    // default must match the measurement protocol.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

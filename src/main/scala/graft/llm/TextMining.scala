@@ -574,8 +574,8 @@ object TextMining {
     // exploded, or shuffled, and the winnowing subtree runs ONCE
     // instead of once per consumer (the pre-r15 broadcast-prune form
     // exploded the WHOLE corpus's trigrams twice and re-derived the
-    // candidate frame three times: measured 6.1 s in-sweep vs 1.7
-    // after). Matches are bounded by the pairs' shared-gram
+    // candidate frame three times: isolated anchor 3.85 s before,
+    // 2.10 after). Matches are bounded by the pairs' shared-gram
     // occurrences; the island window partitions by (pair, diagonal) —
     // thousands of tiny frames, never a global sort. Gram identity is
     // the q146 md5 device, so both engines see identical matches by
