@@ -881,6 +881,83 @@ object TextMining {
         .select(col("source"), col("rank").cast("long").as("rank"),
           col("w"), col("c"), col("lift_milli"))
         .orderBy("source", "rank")
+    },
+
+    // ---- Multi-signal quality blend (round 15 — the curation
+    // capstone: combine heterogeneous quality signals with different
+    // units/scales into one score by QUANTILE position, the standard
+    // rank-blend. The naive form ranks the whole corpus per signal —
+    // three unpartitioned corpus-scale windows, a global sort each at
+    // 100 TB. This form is rank-free: each signal's value→decile map
+    // is built from its count-by-VALUE histogram (value-bounded, not
+    // corpus-bounded — token counts, ratio millis, and word lengths
+    // have bounded support by construction), the three histograms
+    // come from ONE corpus pass via a 3-way signal explode into a
+    // single partial-agg shuffle, the cumulative windows run over the
+    // value-bounded frame (3 partitions), and the per-doc decile
+    // assignment is three BROADCAST lookups — map-side, no row-scale
+    // window, no sort. decile = (10·|strictly below|) div N, exact
+    // integers both engines. Top-20 by (blend, doc_id) is
+    // TakeOrderedAndProject — a heap, never a global sort. The decile
+    // frame persists (small) because three lookups read it; adHoc-
+    // registered for releaseAll.
+    Q("q160_quality_blend",
+      """WITH d AS (SELECT doc_id,
+        |             len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n,
+        |             len(list_distinct(list_filter(string_split(text, ' '), x -> x != '')))::BIGINT AS nd,
+        |             n_chars
+        |           FROM documents),
+        |s AS (SELECT doc_id, n AS v1, (1000 * nd // n)::BIGINT AS v2,
+        |             (n_chars // n)::BIGINT AS v3
+        |      FROM d WHERE n >= 1),
+        |u AS (SELECT 1 AS sig, v1 AS v FROM s
+        |      UNION ALL SELECT 2, v2 FROM s
+        |      UNION ALL SELECT 3, v3 FROM s),
+        |cv AS (SELECT sig, v, count(*)::BIGINT AS c FROM u GROUP BY 1, 2),
+        |dq AS (SELECT sig, v,
+        |         ((10 * (sum(c) OVER (PARTITION BY sig ORDER BY v) - c))
+        |          // sum(c) OVER (PARTITION BY sig))::BIGINT AS dc
+        |       FROM cv)
+        |SELECT s.doc_id, d1.dc AS dec_tokens, d2.dc AS dec_distinct,
+        |       d3.dc AS dec_wordlen,
+        |       (d1.dc + d2.dc + d3.dc)::BIGINT AS blend
+        |FROM s JOIN dq d1 ON d1.sig = 1 AND d1.v = s.v1
+        |       JOIN dq d2 ON d2.sig = 2 AND d2.v = s.v2
+        |       JOIN dq d3 ON d3.sig = 3 AND d3.v = s.v3
+        |ORDER BY blend DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val ws = "filter(split(text, ' '), x -> x != '')"
+      val sig = docs(s, dir)
+        .select(col("doc_id"),
+          expr(s"cast(size($ws) as bigint)").as("n"),
+          expr(s"cast(size(array_distinct($ws)) as bigint)").as("nd"),
+          col("n_chars"))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("n").as("v1"),
+          expr("1000 * nd div n").as("v2"), expr("n_chars div n").as("v3"))
+      val cum = Window.partitionBy("sig").orderBy("v")
+      val all = Window.partitionBy("sig")
+      val dq = sig
+        .select(explode(array(
+          struct(lit(1).as("sig"), col("v1").as("v")),
+          struct(lit(2).as("sig"), col("v2").as("v")),
+          struct(lit(3).as("sig"), col("v3").as("v")))).as("u"))
+        .select(col("u.sig").as("sig"), col("u.v").as("v"))
+        .groupBy("sig", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(cum))
+        .withColumn("tot", sum("c").over(all))
+        .select(col("sig"), col("v"), expr("(10 * (cum - c)) div tot").as("dc"))
+        .persist()
+      graft.Caches.registerPersisted(dq)
+      def look(i: Int, vc: String, out: String) =
+        broadcast(dq.filter(col("sig") === i)
+          .select(col("v").as(vc), col("dc").as(out)))
+      sig.join(look(1, "v1", "dec_tokens"), "v1")
+        .join(look(2, "v2", "dec_distinct"), "v2")
+        .join(look(3, "v3", "dec_wordlen"), "v3")
+        .select(col("doc_id"), col("dec_tokens"), col("dec_distinct"),
+          col("dec_wordlen"),
+          (col("dec_tokens") + col("dec_distinct") + col("dec_wordlen")).as("blend"))
+        .orderBy(col("blend").desc, col("doc_id")).limit(20)
     }
   )
 
