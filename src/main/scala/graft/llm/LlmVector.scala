@@ -715,6 +715,63 @@ object LlmVector {
         .select(col("label"), col("rank").cast("long").as("rank"),
           col("vec_id"), col("d2"))
         .orderBy("label", "rank")
+    },
+
+    // ---- Cross-modal source diversity matrix (round 15 — the
+    // embedding-space companion to q156's lexical overlap: how far
+    // apart each source PAIR sits in embedding space, the domain-
+    // diversity signal a mix decision reads next to the duplication
+    // matrix — two sources can share zero trigrams yet cover the same
+    // semantic region, and this is the operator that says so). The
+    // corpus-side join documents⋈embeddings on doc_id = vec_id is the
+    // one real exchange (at deployment both tables bucket by id, so
+    // it co-locates to zero shuffle; embeddings cover the embedded
+    // SUBSET of docs — inner join is the contract). Centroids use the
+    // q157 integer discipline end-to-end (milli quantization, micro
+    // floor-quotient, int64 distances bounded by the quantization
+    // range, never by corpus size), reduced by ONE partial-agg
+    // shuffle of |sources|·(dim+1) cells. The pairwise matrix never
+    // joins: the |sources|-row centroid frame collapses to ONE row
+    // via collect_list (sorted for determinism) and ordered pairs
+    // explode from the array — the q156 pair device, ≤ C(|sources|,2)
+    // rows out, no BroadcastNestedLoopJoin, no self-join.
+    Q("q161_source_centroid_dist",
+      """WITH j AS (SELECT d.source, e.embedding
+        |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |x AS (SELECT source, CAST(round(v::DOUBLE * 1000) AS BIGINT) AS q, i
+        |      FROM (SELECT source, unnest(embedding) AS v,
+        |                   generate_subscripts(embedding, 1) AS i FROM j)),
+        |c AS (SELECT source, i, (1000 * sum(q)) // count(*) AS mu
+        |      FROM x GROUP BY 1, 2),
+        |p AS (SELECT a.source AS s1, b.source AS s2,
+        |             sum((a.mu - b.mu) * (a.mu - b.mu))::BIGINT AS d2
+        |      FROM c a JOIN c b ON a.i = b.i AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, d2 FROM p ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val e = T.df(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+      val joined = e.join(T.df(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+        .select(col("source"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+          .as("q"))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      val aggs = count(lit(1)).as("n") +: sums
+      joined.groupBy("source").agg(aggs.head, aggs.tail: _*)
+        .select(struct(col("source"),
+          array((0 until dim).map(i => expr(s"(1000 * s$i) div n")): _*).as("mu"))
+          .as("sm"))
+        .agg(sort_array(collect_list(col("sm"))).as("cs"))
+        .select(explode(expr(
+          """flatten(transform(cs, (a, ai) ->
+            |  transform(slice(cs, ai + 2, size(cs)), b ->
+            |    struct(a.source AS s1, b.source AS s2,
+            |      aggregate(zip_with(a.mu, b.mu, (x, y) -> (x - y) * (x - y)),
+            |                cast(0 as bigint), (acc, v) -> acc + v) AS d2))))""".stripMargin))
+          .as("p"))
+        .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("p.d2").as("d2"))
+        .orderBy("s1", "s2")
     }
   )
 

@@ -874,6 +874,18 @@ class PlanSpec extends SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
+  test("q161 source centroid matrix: one id join, pair stage join-free") {
+    val p = plan("q161_source_centroid_dist")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pairwise matrix degenerated to an all-pairs join:\n$p")
+    // the documents⋈embeddings id join is the ONE join in the plan —
+    // the pairwise matrix must come from the single-row pair explode,
+    // never a centroid self-join
+    assert("Join".r.findAllIn(p).size == 1,
+      s"expected exactly the id join; pair stage grew a join:\n$p")
+    assert(p.contains("partial_count"), "centroid reduction lost map-side partials")
+  }
+
   test("q155 mix weights: ONE corpus scan, totals via the bounded window, no join") {
     val p = plan("q155_mix_weights")
     assert("Scan parquet".r.findAllIn(p).size == 1,
