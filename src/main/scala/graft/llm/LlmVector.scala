@@ -695,7 +695,11 @@ object LlmVector {
         |SELECT label, rank::BIGINT AS rank, vec_id, d2::BIGINT AS d2
         |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin) { (s, dir) =>
       val e = T.df(s, dir, "embeddings")
-      val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+      // headOption, not head(): an EMPTY embeddings table is a normal
+      // input and must produce an empty frame, not a plan-construction
+      // crash (the trainKmeans precedent — r15 review)
+      val dim = e.select(size(col("embedding")).as("d"))
+        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
       val withQ = e.select(col("vec_id"), col("label"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
         .as("q"))
@@ -749,7 +753,9 @@ object LlmVector {
         |      GROUP BY 1, 2)
         |SELECT s1, s2, d2 FROM p ORDER BY s1, s2""".stripMargin) { (s, dir) =>
       val e = T.df(s, dir, "embeddings")
-      val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+      // empty-table guard — same rationale as q157 above
+      val dim = e.select(size(col("embedding")).as("d"))
+        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
       val joined = e.join(T.df(s, dir, "documents")
           .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
         .select(col("source"), expr(

@@ -62,6 +62,22 @@ object TextMining {
         .persist()
     })
 
+  /** The q146 gram device: md5 of the space-joined word trigram at
+    * 0-based offset `i` of token array `ws`, truncated to 32 bits —
+    * THE cross-engine gram identity (DuckDB twin: `('0x' ||
+    * substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]), 1, 8))::BIGINT`).
+    * Factored once (r15 review): four sites previously carried
+    * copies, and the r14 empty-token fix already had to be replicated
+    * per copy — any future change to the device edits exactly here. */
+  private[llm] def triHashAt(ws: String, i: String): String =
+    s"""cast(conv(substring(md5(cast(concat_ws(' ',
+       |         element_at($ws, $i + 1), element_at($ws, $i + 2),
+       |         element_at($ws, $i + 3)) as binary)), 1, 8), 16, 10) as bigint)""".stripMargin
+
+  /** All word-trigram hashes of `ws`, as an array expression. */
+  private[llm] def triHashes(ws: String): String =
+    s"transform(sequence(0, size($ws) - 3), i -> ${triHashAt(ws, "i")})"
+
   /** q156's per-trigram source-set frame: one corpus pass → groupBy(h)
     * with a map-side-partial collect_set bounded at |sources| elements
     * per group. Persisted because BOTH q156 consumers (per-source
@@ -76,12 +92,7 @@ object TextMining {
       docs(s, dir)
         .select(col("source"), expr("filter(split(text, ' '), x -> x != '')").as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("source"), explode(expr(
-          """transform(sequence(0, size(ws) - 3), i ->
-            |  cast(conv(substring(md5(cast(concat_ws(' ',
-            |         element_at(ws, i + 1), element_at(ws, i + 2),
-            |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint))""".stripMargin))
-          .as("h"))
+        .select(col("source"), explode(expr(triHashes("ws"))).as("h"))
         .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
         .persist()
     })
@@ -498,12 +509,8 @@ object TextMining {
         .select(col("doc_id"), col("source"),
           expr("filter(split(text, ' '), x -> x != '')").as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), col("source"), explode(expr(
-          """transform(sequence(0, size(ws) - 3), i ->
-            |  cast(conv(substring(md5(cast(concat_ws(' ',
-            |         element_at(ws, i + 1), element_at(ws, i + 2),
-            |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint))""".stripMargin))
-          .as("h"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(triHashes("ws"))).as("h"))
       val first = g.groupBy("h").agg(min(col("doc_id")).as("fd"))
       g.join(first, "h")
         .groupBy("source")
@@ -677,14 +684,20 @@ object TextMining {
         |w AS (SELECT source, n_docs, n_tokens,
         |        CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS w_int
         |      FROM t),
-        |s AS (SELECT sum(w_int)::BIGINT AS tw, sum(n_tokens)::BIGINT AS tt FROM w)
+        |s AS (SELECT sum(w_int::HUGEINT) AS tw, sum(n_tokens::HUGEINT) AS tt FROM w)
         |SELECT source, n_docs, n_tokens,
-        |       (1000000 * w_int // tw)::BIGINT AS weight_micro,
-        |       (1000000 * n_tokens // tt)::BIGINT AS natural_micro,
-        |       CASE WHEN (1000000 * n_tokens // tt) = 0 THEN NULL
-        |            ELSE (1000 * (1000000 * w_int // tw) // (1000000 * n_tokens // tt))::BIGINT
+        |       (1000000::HUGEINT * w_int // tw)::BIGINT AS weight_micro,
+        |       (1000000::HUGEINT * n_tokens // tt)::BIGINT AS natural_micro,
+        |       CASE WHEN (1000000::HUGEINT * n_tokens // tt) = 0 THEN NULL
+        |            ELSE (1000 * (1000000::HUGEINT * w_int // tw) // (1000000::HUGEINT * n_tokens // tt))::BIGINT
         |       END AS boost_milli
         |FROM w, s ORDER BY source""".stripMargin) { (s, dir) =>
+      // products and totals run in decimal(38,0)/HUGEINT
+      // UNCONDITIONALLY (the q110 device, r15 review): 1000000 ×
+      // n_tokens outgrows int64 past ~9.2e12 tokens per source —
+      // exactly the 100 TB regime — where Spark would wrap silently
+      // and DuckDB raise; the quotients are micro shares ≤ 1e6 and
+      // come back to int64 exactly
       val all = Window.partitionBy()
       docs(s, dir)
         .groupBy("source")
@@ -692,11 +705,13 @@ object TextMining {
           sum(size(expr("filter(split(text, ' '), x -> x != '')"))).as("n_tokens"))
         .withColumn("w_int",
           expr("cast(floor(sqrt(cast(n_tokens as double)) * 1000000) as bigint)"))
-        .withColumn("tw", sum("w_int").over(all))
-        .withColumn("tt", sum("n_tokens").over(all))
+        .withColumn("tw", sum(col("w_int").cast("decimal(38,0)")).over(all))
+        .withColumn("tt", sum(col("n_tokens").cast("decimal(38,0)")).over(all))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          expr("1000000 * w_int div tw").as("weight_micro"),
-          expr("1000000 * n_tokens div tt").as("natural_micro"))
+          expr("(cast(1000000 as decimal(38,0)) * w_int) div tw")
+            .cast("long").as("weight_micro"),
+          expr("(cast(1000000 as decimal(38,0)) * n_tokens) div tt")
+            .cast("long").as("natural_micro"))
         .withColumn("boost_milli",
           expr("CASE WHEN natural_micro = 0 THEN NULL " +
             "ELSE 1000 * weight_micro div natural_micro END"))
@@ -986,11 +1001,9 @@ object TextMining {
             "packed-position bound (1048578 tokens max)")),
         lit(true)))
       .select(col("doc_id"), expr(
-        """transform(sequence(0, size(ws) - 3), i ->
-          |  cast(conv(substring(md5(cast(concat_ws(' ',
-          |         element_at(ws, i + 1), element_at(ws, i + 2),
-          |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint)
-          |  * 1048576 + (1048575 - i))""".stripMargin).as("keys"))
+        s"""transform(sequence(0, size(ws) - 3), i ->
+           |  ${triHashAt("ws", "i")}
+           |  * 1048576 + (1048575 - i))""".stripMargin).as("keys"))
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(keys) - $w), s -> array_min(slice(keys, s + 1, $w)))")))
         .as("key"))
@@ -1024,11 +1037,7 @@ object TextMining {
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, size(ws) - 3), i ->
-          |  cast(conv(substring(md5(cast(concat_ws(' ',
-          |         element_at(ws, i + 1), element_at(ws, i + 2),
-          |         element_at(ws, i + 3)) as binary)), 1, 8), 16, 10) as bigint))""".stripMargin)))
+      .select(col("doc_id"), posexplode(expr(triHashes("ws"))))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
 }
 

@@ -12,11 +12,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
-  /** Partitioned parquet — the at-scale sink. */
-  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  /** The shared columnar-sink contract: overwrite mode + optional
+    * directory partitioning. One body so the parquet and ORC sinks
+    * cannot drift apart (r15 review). */
+  private def columnar(df: DataFrame, path: String,
+                       partitionBy: Seq[String], format: String): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
+
+  /** Partitioned parquet — the at-scale sink. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
+    columnar(df, path, partitionBy, "parquet")
 
   /** Partitioned ORC — the interchange sink for ORC-native estates
     * (Hive/Trino warehouses). Same layout contract as [[parquet]];
@@ -24,10 +31,8 @@ object Sinks {
     * back through it keep predicate pushdown, column pruning, and
     * partition pruning — SinksSpec pins all three, so the format
     * claim is gated, not assumed. */
-  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
-  }
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
+    columnar(df, path, partitionBy, "orc")
 
   /** Single-file CSV with header — the human-export path. coalesce(1)
     * is deliberate and ONLY for exports of human-sized result sets;
