@@ -46,7 +46,8 @@ object Caches {
       "q136_bfs_hops", "q137_item_similarity"),
       ops.Graph.release),
     (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift",
-      "q156_source_overlap", "q158_ks_split_drift", "q159_source_terms"),
+      "q156_source_overlap", "q158_ks_split_drift", "q159_source_terms",
+      "q162_bpe_pair_counts"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

@@ -973,6 +973,45 @@ object TextMining {
           col("dec_wordlen"),
           (col("dec_tokens") + col("dec_distinct") + col("dec_wordlen")).as("blend"))
         .orderBy(col("blend").desc, col("doc_id")).limit(20)
+    },
+
+    // ---- BPE merge-step pair statistics (round 15 — the tokenizer-
+    // training primitive: one BPE iteration counts adjacent symbol
+    // pairs weighted by word frequency and merges the argmax; this is
+    // that count + the candidate table head, run per iteration by a
+    // trainer with the winning merge applied between rounds — the
+    // q73 per-iteration design). THE scale trick is the real
+    // trainer's: pairs are counted over the DISTINCT-WORD frequency
+    // table ([[vocab]], memoized + shared with q110/q111/q159 — its
+    // one corpus shuffle already paid), never over the corpus —
+    // Heaps' law bounds the explode at |vocab|·avg_len where the
+    // corpus is unbounded. Per-word pair explode is a map-side HOF
+    // inside the cache scan; one partial-agg shuffle of the
+    // (a,b)-pair census (≤ alphabet² groups); top-20 is
+    // TakeOrderedAndProject. Counts are exact int64 — a merge
+    // decision must be reproducible across engines, so no sampling,
+    // no sketch.
+    Q("q162_bpe_pair_counts",
+      """WITH wds AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |             FROM documents),
+        |wf AS (SELECT w, count(*)::BIGINT AS f FROM wds GROUP BY 1),
+        |p AS (SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i
+        |      FROM wf WHERE length(w) >= 2),
+        |pc AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+        |              sum(f)::BIGINT AS cnt
+        |       FROM p GROUP BY 1, 2)
+        |SELECT a, b, cnt FROM pc
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+      vocab(s, dir)
+        .filter(length(col("w")) >= 2)
+        .select(col("n_w").as("f"), explode(expr(
+          """transform(sequence(1, length(w) - 1), i ->
+            |  struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 

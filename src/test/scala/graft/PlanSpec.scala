@@ -886,6 +886,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "centroid reduction lost map-side partials")
   }
 
+  test("q162 BPE pairs: counts read the cached vocab, heap top-k, map-side partials") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q162_bpe_pair_counts")(spark, dir).queryExecution
+    try {
+      // the pair census must count over the memoized DISTINCT-WORD
+      // frequency frame (Heaps-bounded), never the raw corpus
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size == 1, s"pair census no longer reads the cached vocab:\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"top-20 became a global sort:\n$p")
+      assert(p.contains("partial_sum"), "pair census lost map-side partials")
+      assert(!p.contains("Join"), s"pair census grew a join:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
   test("q155 mix weights: ONE corpus scan, totals via the bounded window, no join") {
     val p = plan("q155_mix_weights")
     assert("Scan parquet".r.findAllIn(p).size == 1,
