@@ -14,12 +14,18 @@ class CacheReleaseSpec extends SparkSpec {
   test("releaseAll drops every frame the query families persisted") {
     Caches.releaseAll(spark)
     val base = persisted
-    // populate all five families
+    // populate all five families, incl. every round-15 TextMining
+    // cache (source-grams, split-length, source-terms) and a q160
+    // adHoc-registered histogram frame
     SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir).count()
     SparkEntry.queries("q43_ann_cosine_topk")(spark, dir).count()
     SparkEntry.queries("q32_registry_trial")(spark, dir).count()
     SparkEntry.queries("q109_pagerank")(spark, dir).count()
     SparkEntry.queries("q110_pmi_bigrams")(spark, dir).count()
+    SparkEntry.queries("q156_source_overlap")(spark, dir).count()
+    SparkEntry.queries("q158_ks_split_drift")(spark, dir).count()
+    SparkEntry.queries("q159_source_terms")(spark, dir).count()
+    SparkEntry.queries("q160_quality_blend")(spark, dir).count()
     assert(persisted > base, "families did not persist anything — consumers changed?")
     Caches.releaseAll(spark)
     assert(persisted <= base,
