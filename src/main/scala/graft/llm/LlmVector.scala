@@ -421,6 +421,35 @@ object LlmVector {
       pairs
     })
 
+  /** The q157/q161 integer-centroid device, factored once (r15
+    * review — the triHash lesson applied here before it bites):
+    * components milli-quantize with half-away-from-zero rounding
+    * (identical in both engines), the centroid is the integer-MICRO
+    * floor quotient (1000·Σq) div n (`div` truncates toward zero in
+    * BOTH Spark and DuckDB, verified incl. negatives), and deviations
+    * stay bounded by the quantization range — never by corpus size —
+    * so downstream Σ(1000·q−μ)² distances are exact int64. */
+  private[llm] val QuantExpr =
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
+
+  /** Embedding dimensionality, empty-table-safe (dim 0 → the caller's
+    * plan degrades to an empty frame instead of crashing). */
+  private[llm] def embDim(e: DataFrame): Int =
+    e.select(size(col("embedding")).as("d"))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Integer-micro centroids per `key` over a frame bearing
+    * (key, q: array<bigint>): ONE partial-agg shuffle of
+    * |keys|·(dim+1) cells (the trainKmeans dimSums device), output
+    * (key, mu: array<bigint>). */
+  private[llm] def intCentroids(withQ: DataFrame, key: String, dim: Int): DataFrame = {
+    val sums = (0 until dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
+    val aggs = count(lit(1)).as("n") +: sums
+    withQ.groupBy(key).agg(aggs.head, aggs.tail: _*)
+      .select(col(key),
+        array((0 until dim).map(i => expr(s"(1000 * s$i) div n")): _*).as("mu"))
+  }
+
   /** Drop every cached frame/pivot fit owned by `s` (see [[graft.Caches]]):
     * unpersists the brute-force baseline, the blocked pair table, and
     * forgets the pivot fits. */
@@ -695,20 +724,9 @@ object LlmVector {
         |SELECT label, rank::BIGINT AS rank, vec_id, d2::BIGINT AS d2
         |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin) { (s, dir) =>
       val e = T.df(s, dir, "embeddings")
-      // headOption, not head(): an EMPTY embeddings table is a normal
-      // input and must produce an empty frame, not a plan-construction
-      // crash (the trainKmeans precedent — r15 review)
-      val dim = e.select(size(col("embedding")).as("d"))
-        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
-      val withQ = e.select(col("vec_id"), col("label"), expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
-        .as("q"))
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("q"), i + 1)).as(s"s$i"))
-      val aggs = count(lit(1)).as("n") +: sums
-      val cent = withQ.groupBy("label").agg(aggs.head, aggs.tail: _*)
-        .select(col("label"),
-          array((0 until dim).map(i => expr(s"(1000 * s$i) div n")): _*).as("mu"))
+      val dim = embDim(e) // empty-table-safe ([[embDim]])
+      val withQ = e.select(col("vec_id"), col("label"), expr(QuantExpr).as("q"))
+      val cent = intCentroids(withQ, "label", dim)
       withQ.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"), expr(
           """aggregate(zip_with(q, mu, (a, b) -> (1000 * a - b) * (1000 * a - b)),
@@ -753,21 +771,12 @@ object LlmVector {
         |      GROUP BY 1, 2)
         |SELECT s1, s2, d2 FROM p ORDER BY s1, s2""".stripMargin) { (s, dir) =>
       val e = T.df(s, dir, "embeddings")
-      // empty-table guard — same rationale as q157 above
-      val dim = e.select(size(col("embedding")).as("d"))
-        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+      val dim = embDim(e) // empty-table-safe ([[embDim]])
       val joined = e.join(T.df(s, dir, "documents")
           .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
-        .select(col("source"), expr(
-          "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
-          .as("q"))
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("q"), i + 1)).as(s"s$i"))
-      val aggs = count(lit(1)).as("n") +: sums
-      joined.groupBy("source").agg(aggs.head, aggs.tail: _*)
-        .select(struct(col("source"),
-          array((0 until dim).map(i => expr(s"(1000 * s$i) div n")): _*).as("mu"))
-          .as("sm"))
+        .select(col("source"), expr(QuantExpr).as("q"))
+      intCentroids(joined, "source", dim)
+        .select(struct(col("source"), col("mu")).as("sm"))
         .agg(sort_array(collect_list(col("sm"))).as("cs"))
         .select(explode(expr(
           """flatten(transform(cs, (a, ai) ->

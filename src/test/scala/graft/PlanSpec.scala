@@ -861,17 +861,18 @@ class PlanSpec extends SparkSpec {
   test("q160 quality blend: broadcast decile lookups, heap top-k, shared histogram cache") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val qe = SparkEntry.queries("q160_quality_blend")(spark, dir).queryExecution
-    val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
-    assert(imrs.size >= 3, s"a decile lookup lost the cached histogram:\n${qe.optimizedPlan}")
-    assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
-      "lookups materialize DIFFERENT histogram frames instead of sharing one")
-    val p = qe.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
-      s"a value-bounded decile lookup degenerated to a shuffle join:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-20 became a global sort:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"plan grew a shuffle join:\n$p")
-    graft.Caches.releaseAll(spark)
+    try {
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size >= 3, s"a decile lookup lost the cached histogram:\n${qe.optimizedPlan}")
+      assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
+        "lookups materialize DIFFERENT histogram frames instead of sharing one")
+      val p = qe.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        s"a value-bounded decile lookup degenerated to a shuffle join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-20 became a global sort:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan grew a shuffle join:\n$p")
+    } finally graft.Caches.releaseAll(spark)
   }
 
   test("q161 source centroid matrix: one id join, pair stage join-free") {
