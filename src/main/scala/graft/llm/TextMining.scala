@@ -1012,6 +1012,50 @@ object TextMining {
         .agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // ---- Exact eval-budget apportionment (round 15 — the allocation
+    // step after the mix decision: distribute a FIXED eval budget of
+    // B = 1000 docs across sources proportionally to size. Naive
+    // rounding of B·n_s/N doesn't sum to B; the largest-remainder
+    // (Hamilton) method does, exactly: floor quotas first, then the
+    // B − Σquota leftover seats go to the largest remainders
+    // (source-name tie-break), Σalloc = B BY CONSTRUCTION — the
+    // invariant a downstream sampler relies on, and the property the
+    // spec pins. Pure integer arithmetic — quotas are (B·n_s) div N,
+    // remainders (B·n_s) mod N — so both engines agree bit-for-bit
+    // (B·n_s stays in int64 until N ≈ 9.2e15 docs; document, don't
+    // guard, per the Layout.scaled discipline). Plan at 100 TB: ONE
+    // corpus scan → |sources|-bounded agg; totals, remainder rank,
+    // and the leftover count are all windows over that aggregate
+    // frame (the q155 device — bounded by |sources|, never the
+    // corpus); join-free.
+    Q("q164_eval_budget",
+      """WITH t AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |s AS (SELECT sum(n)::BIGINT AS tot FROM t),
+        |q AS (SELECT source, n, (1000 * n) // tot AS quota,
+        |             (1000 * n) % tot AS rem
+        |      FROM t, s),
+        |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |             (SELECT 1000 - sum(quota) FROM q) AS leftover
+        |      FROM q)
+        |SELECT source, n AS n_docs, quota::BIGINT AS quota,
+        |       (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS extra,
+        |       (quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+      val all = Window.partitionBy()
+      docs(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(all))
+        .withColumn("quota", expr("(1000 * n) div tot"))
+        .withColumn("rem", expr("(1000 * n) % tot"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("leftover", lit(1000L) - sum("quota").over(all))
+        .select(col("source"), col("n").as("n_docs"), col("quota"),
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+        .withColumn("alloc", col("quota") + col("extra"))
+        .orderBy("source")
     }
   )
 
