@@ -425,18 +425,36 @@ object LlmVector {
     * review — the triHash lesson applied here before it bites):
     * components milli-quantize with half-away-from-zero rounding
     * (identical in both engines), the centroid is the integer-MICRO
-    * floor quotient (1000·Σq) div n (`div` truncates toward zero in
-    * BOTH Spark and DuckDB, verified incl. negatives), and deviations
-    * stay bounded by the quantization range — never by corpus size —
-    * so downstream Σ(1000·q−μ)² distances are exact int64. */
+    * TRUNCATING quotient (1000·Σq) div n (`div` rounds toward zero in
+    * BOTH Spark and DuckDB, verified incl. negatives — NOT floor,
+    * which differs for negative Σq; ADVICE r15 wording fix), and
+    * deviations stay bounded by the quantization range — never by
+    * corpus size — so downstream Σ(1000·q−μ)² distances are exact
+    * int64. */
   private[llm] val QuantExpr =
     "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
 
   /** Embedding dimensionality, empty-table-safe (dim 0 → the caller's
-    * plan degrades to an empty frame instead of crashing). */
+    * plan degrades to an empty frame instead of crashing). Probes ONE
+    * row — callers must pair it with [[guardDim]] so a ragged corpus
+    * fails loudly instead of silently skewing centroids. */
   private[llm] def embDim(e: DataFrame): Int =
     e.select(size(col("embedding")).as("d"))
       .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Ragged-embedding fail-loud guard (ADVICE r15): [[embDim]] reads
+    * the dimensionality from one arbitrary row, and element_at past a
+    * SHORTER array returns NULL which sum() silently skips — a ragged
+    * corpus would produce wrong centroids, not an error. This per-row
+    * predicate (the winnowFingerprints assert_true pattern: zero extra
+    * scans, trivial codegen inside the existing projection stage)
+    * raises on the first row whose size disagrees with the probed dim.
+    * RaggedEmbeddingSpec pins both arms. */
+  private[llm] def guardDim(dim: Int): Column =
+    coalesce(assert_true(size(col("embedding")) === lit(dim),
+      lit(s"ragged embedding column: expected uniform dim $dim " +
+        "(embDim probes one row; mixed dims would corrupt centroids)")),
+      lit(true))
 
   /** Integer-micro centroids per `key` over a frame bearing
     * (key, q: array<bigint>): ONE partial-agg shuffle of
@@ -689,9 +707,10 @@ object LlmVector {
     // pass reviews first). Exactness discipline: components quantize
     // to integer MILLI units (round half-away-from-zero — identical
     // in both engines) BEFORE any aggregation, the centroid is the
-    // integer-MICRO floor quotient (1000·Σq) div n (div truncates
-    // toward zero in BOTH Spark and DuckDB — verified, including
-    // negatives), and the distance is the exact int64 Σ(1000·q−μ)² —
+    // integer-MICRO truncating quotient (1000·Σq) div n (div rounds
+    // toward zero in BOTH Spark and DuckDB — NOT floor, which differs
+    // for negative Σq; verified, including negatives), and the
+    // distance is the exact int64 Σ(1000·q−μ)² —
     // bounded by 64·(2·10⁶)² ≈ 2.6e14 regardless of corpus size, so
     // no float ever crosses an aggregation boundary. (The one
     // size-dependent term is the centroid's 1000·Σq, which overflows
@@ -725,7 +744,8 @@ object LlmVector {
         |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin) { (s, dir) =>
       val e = T.df(s, dir, "embeddings")
       val dim = embDim(e) // empty-table-safe ([[embDim]])
-      val withQ = e.select(col("vec_id"), col("label"), expr(QuantExpr).as("q"))
+      val withQ = e.filter(guardDim(dim)) // ragged corpus fails loudly
+        .select(col("vec_id"), col("label"), expr(QuantExpr).as("q"))
       val cent = intCentroids(withQ, "label", dim)
       withQ.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"), expr(
@@ -750,7 +770,7 @@ object LlmVector {
     // it co-locates to zero shuffle; embeddings cover the embedded
     // SUBSET of docs — inner join is the contract). Centroids use the
     // q157 integer discipline end-to-end (milli quantization, micro
-    // floor-quotient, int64 distances bounded by the quantization
+    // truncating quotient, int64 distances bounded by the quantization
     // range, never by corpus size), reduced by ONE partial-agg
     // shuffle of |sources|·(dim+1) cells. The pairwise matrix never
     // joins: the |sources|-row centroid frame collapses to ONE row
@@ -772,7 +792,8 @@ object LlmVector {
         |SELECT s1, s2, d2 FROM p ORDER BY s1, s2""".stripMargin) { (s, dir) =>
       val e = T.df(s, dir, "embeddings")
       val dim = embDim(e) // empty-table-safe ([[embDim]])
-      val joined = e.join(T.df(s, dir, "documents")
+      val joined = e.filter(guardDim(dim)) // ragged corpus fails loudly
+        .join(T.df(s, dir, "documents")
           .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
         .select(col("source"), expr(QuantExpr).as("q"))
       intCentroids(joined, "source", dim)

@@ -686,10 +686,10 @@ object TextMining {
         |      FROM t),
         |s AS (SELECT sum(w_int::HUGEINT) AS tw, sum(n_tokens::HUGEINT) AS tt FROM w)
         |SELECT source, n_docs, n_tokens,
-        |       (1000000::HUGEINT * w_int // tw)::BIGINT AS weight_micro,
-        |       (1000000::HUGEINT * n_tokens // tt)::BIGINT AS natural_micro,
-        |       CASE WHEN (1000000::HUGEINT * n_tokens // tt) = 0 THEN NULL
-        |            ELSE (1000 * (1000000::HUGEINT * w_int // tw) // (1000000::HUGEINT * n_tokens // tt))::BIGINT
+        |       (1000000::HUGEINT * w_int // NULLIF(tw, 0))::BIGINT AS weight_micro,
+        |       (1000000::HUGEINT * n_tokens // NULLIF(tt, 0))::BIGINT AS natural_micro,
+        |       CASE WHEN (1000000::HUGEINT * n_tokens // NULLIF(tt, 0)) = 0 THEN NULL
+        |            ELSE (1000 * (1000000::HUGEINT * w_int // NULLIF(tw, 0)) // (1000000::HUGEINT * n_tokens // NULLIF(tt, 0)))::BIGINT
         |       END AS boost_milli
         |FROM w, s ORDER BY source""".stripMargin) { (s, dir) =>
       // products and totals run in decimal(38,0)/HUGEINT
@@ -697,7 +697,12 @@ object TextMining {
       // n_tokens outgrows int64 past ~9.2e12 tokens per source —
       // exactly the 100 TB regime — where Spark would wrap silently
       // and DuckDB raise; the quotients are micro shares ≤ 1e6 and
-      // come back to int64 exactly
+      // come back to int64 exactly. NULLIF(·, 0) on both engines
+      // (ADVICE r15): on a degenerate all-empty corpus tw = tt = 0,
+      // where DuckDB's // raises divide-by-zero while Spark's decimal
+      // div yields NULL — the nullif makes both yield NULL weights,
+      // identical on the compare (MixWeightsSpec pins the Spark arm:
+      // NULL weights, no crash, non-degenerate arithmetic untouched).
       val all = Window.partitionBy()
       docs(s, dir)
         .groupBy("source")
@@ -708,9 +713,9 @@ object TextMining {
         .withColumn("tw", sum(col("w_int").cast("decimal(38,0)")).over(all))
         .withColumn("tt", sum(col("n_tokens").cast("decimal(38,0)")).over(all))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          expr("(cast(1000000 as decimal(38,0)) * w_int) div tw")
+          expr("(cast(1000000 as decimal(38,0)) * w_int) div nullif(tw, 0)")
             .cast("long").as("weight_micro"),
-          expr("(cast(1000000 as decimal(38,0)) * n_tokens) div tt")
+          expr("(cast(1000000 as decimal(38,0)) * n_tokens) div nullif(tt, 0)")
             .cast("long").as("natural_micro"))
         .withColumn("boost_milli",
           expr("CASE WHEN natural_micro = 0 THEN NULL " +

@@ -499,7 +499,20 @@ object Graph {
       // cost is one evaluation of a frame the next round needs anyway.
       // The label frame is O(|reached nodes|) — the small side by
       // construction; edges stay persisted + partitioned outside.
-      if (r % ckptEvery == 0 && r < rounds) lab = lab.localCheckpoint(true)
+      //
+      // Durability (ADVICE r15): localCheckpoint stores non-replicated
+      // executor-local blocks — on a real cluster an executor loss
+      // after truncation would make the traversal unrecoverable rather
+      // than recomputable. When the session has a RELIABLE checkpoint
+      // dir configured (spark.sparkContext.setCheckpointDir — the
+      // production deployment for the 100 TB pitch), use it; fall back
+      // to localCheckpoint only in dir-less local runs, where executor
+      // loss means JVM death anyway. BfsCheckpointSpec pins both arms.
+      if (r % ckptEvery == 0 && r < rounds) {
+        val sc = edges.sparkSession.sparkContext
+        lab = if (sc.getCheckpointDir.isDefined) lab.checkpoint(true)
+              else lab.localCheckpoint(true)
+      }
     }
     lab
   }

@@ -72,6 +72,51 @@ class BenchSpec extends SparkSpec {
     assert("\\[".r.findAllIn(line).size == 5, line)
   }
 
+  test("metric line fits the consumer tail at full 170-query driver scale") {
+    // rounds 14-15 lost machine parsability exactly here: the official
+    // artifact keeps only the last ~2000 output chars, and the full
+    // per-query map outgrew it (BENCH_r15.json: "parsed": null). The
+    // line must now fit BY CONSTRUCTION with everything a round-16
+    // driver run emits: 170 queries, mid-sweep calib, sweep counters,
+    // endpoint calib, detail pointer.
+    val times = (1 to 170).map(i => s"q${i}_name" -> Seq(0.5 + i * 0.01, 0.6, 9.4))
+    val mid = (1 to 3).flatMap(s => Seq(25, 50, 75, 100, 125, 150).map(p =>
+      Bench.CalibSample(s, p, 0.253, 0.084)))
+    val sweeps = (1 to 3).map(_ => Bench.SweepStat(123.456, 12345L, 1909L))
+    val calib = Seq("pre_hash" -> 0.253, "pre_spark" -> 0.078,
+      "post_hash" -> 0.252, "post_spark" -> 0.084)
+    val line = Bench.metricLine("/root/testdata/sf0.1", runs = 3, times,
+      Map("q7_name" -> "SparkException"), calib, mid, sweeps, Some("BENCH_DETAIL.json"))
+    assert(line.length <= Bench.LineBudget, s"line too long: ${line.length}")
+    assert(line.contains(""""mid_calib":{"n":18"""), line)
+    assert(line.contains(""""sweeps":["""), line)
+    assert(line.contains(""""detail":"BENCH_DETAIL.json""""), line)
+    assert(line.contains(""""queries_omitted":"""), line)
+    // the most expensive query always survives truncation...
+    assert(line.contains(""""q170":"""), line)
+    // ...and so does the errored one, however cheap
+    assert(line.contains(""""q7":-1.000"""), line)
+    assert(line.contains(""""q7":"SparkException""""), line)
+    // the line itself parses as JSON (json4s ships with Spark)
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    assert((parsed \ "metric") != org.json4s.JNothing)
+  }
+
+  test("detail json carries every query and parses") {
+    val times = Seq("q1_agg" -> Seq(1.0, 2.0, 3.0), "q2_bad" -> Seq.empty)
+    val mid = Seq(Bench.CalibSample(1, 25, 0.25, 0.08))
+    val sweeps = Seq(Bench.SweepStat(3.0, 100L, 50L))
+    val j = Bench.detailJson("/sf", 3, "32", times, Map("q2_bad" -> "OOM"),
+      Seq("pre_hash" -> 0.25), mid, sweeps)
+    val parsed = org.json4s.jackson.JsonMethods.parse(j)
+    import org.json4s._
+    assert((parsed \ "queries" \ "q1" \ "median") == JDouble(2.0), j)
+    assert((parsed \ "queries" \ "q2" \ "error") == JString("OOM"), j)
+    assert((parsed \ "mid_calib")(0) \ "pos" == JInt(25), j)
+    assert((parsed \ "sweeps")(0) \ "cg" == JInt(50), j)
+    assert((parsed \ "total") == JDouble(2.0), j)
+  }
+
   test("median") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0)) == 2.5)
