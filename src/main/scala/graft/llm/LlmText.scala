@@ -1944,6 +1944,121 @@ object LlmText {
         .filter(col("rk") <= 10)
         .select("q_id", "rk", "doc_id", "score_milli")
         .orderBy("q_id", "rk")
+    },
+
+    // ---- LSH recall calibration (round 16 — "trust your sketch" as a
+    // measured table, not a comment: q41's correctness note asserts
+    // that 16×4 LSH at the fixture's J ≥ 0.9 pair spectrum has ~1
+    // collision probability; THIS operator measures the calibration
+    // for the actual deployed hash family. For each verified near-dup
+    // pair, count the bands where all 4 minhash components agree, and
+    // compare the per-J-decile mean against the theory prediction
+    // E[bands] = 16·J⁴ — the number that tells a pipeline operator
+    // whether the sketch family is behaving before they raise a
+    // threshold at 100 TB. All integers: component equality is exact,
+    // the prediction 16000·inter⁴ div uni⁴ runs in decimal(38,0)/
+    // HUGEINT (inter⁴ wraps int64 past |sh| ~ 55k), per-pair
+    // truncation then mean in the SAME order in both engines. Plan:
+    // the 64-component signature is a map-only nested HOF over the
+    // persisted shingle frame (one row per doc — NEVER an explode to
+    // (doc, seed) rows; the relational family TextKernelsSpec already
+    // pins equal to the production kernel), the verified pair frame is
+    // the memoized [[lshPairs]], and the two signature joins shuffle
+    // |pairs|-bounded rows. Output is ≤ 6 decile rows.
+    Q("q166_lsh_recall_calib",
+      s"""$sqlPrelude,
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM dsh x JOIN dsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |prs AS (SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+         |        FROM inter JOIN ssize sa ON sa.doc_id = doc_a
+         |                   JOIN ssize sb ON sb.doc_id = doc_b
+         |        WHERE 2 * inter >= sa.n + sb.n - inter),
+         |mh AS (SELECT doc_id, s, ${TextHash.minhashSql("sh", "s")} AS mh
+         |       FROM dsh CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS s)
+         |       GROUP BY doc_id, s),
+         |sig AS (SELECT doc_id, list(mh ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+         |pc AS (SELECT p.inter, p.uni,
+         |         len(list_filter(generate_series(0, 15), b ->
+         |           a.sig[4*b+1] = c.sig[4*b+1] AND a.sig[4*b+2] = c.sig[4*b+2] AND
+         |           a.sig[4*b+3] = c.sig[4*b+3] AND a.sig[4*b+4] = c.sig[4*b+4]))::BIGINT AS nb
+         |       FROM prs p JOIN sig a ON a.doc_id = p.doc_a
+         |                  JOIN sig c ON c.doc_id = p.doc_b),
+         |b AS (SELECT (10 * inter) // uni AS bucket, count(*)::BIGINT AS n_pairs,
+         |        sum(nb)::BIGINT AS nb_sum,
+         |        sum((16000::HUGEINT * inter * inter * inter * inter)
+         |            // (uni::HUGEINT * uni * uni * uni)) AS pred_sum
+         |      FROM pc GROUP BY 1)
+         |SELECT bucket::BIGINT AS bucket, n_pairs,
+         |       (1000 * nb_sum // n_pairs)::BIGINT AS bands_milli,
+         |       (pred_sum // n_pairs)::BIGINT AS pred_milli
+         |FROM b ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import graft.llm.TextHash.{ABase, M}
+      // seeds as BIGINT: sequence(1, 64) yields array<int>, and under
+      // ANSI an int·int product ABase·s overflows 32 bits at s ≥ 4
+      val sig = docShingles(s, dir).select(col("doc_id"), expr(
+        s"""transform(sequence(cast(1 as bigint), cast(64 as bigint)), s ->
+           |  array_min(transform(sh, h -> (h * (($ABase * s) % $M) + 7919 * s) % $M)))"""
+          .stripMargin).as("sig"))
+      lshPairs(s, dir)
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("inter"), col("uni"), expr(
+          """cast(size(filter(sequence(0, 15), b ->
+            |  element_at(sig_a, cast(4*b+1 as int)) = element_at(sig_b, cast(4*b+1 as int)) AND
+            |  element_at(sig_a, cast(4*b+2 as int)) = element_at(sig_b, cast(4*b+2 as int)) AND
+            |  element_at(sig_a, cast(4*b+3 as int)) = element_at(sig_b, cast(4*b+3 as int)) AND
+            |  element_at(sig_a, cast(4*b+4 as int)) = element_at(sig_b, cast(4*b+4 as int))))
+            |as bigint)""".stripMargin).as("nb"))
+        .groupBy(expr("(10 * inter) div uni").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("nb")).as("nb_sum"),
+          sum(expr("""(cast(16000 as decimal(38,0)) * inter * inter * inter * inter)
+                     |  div (cast(uni as decimal(38,0)) * uni * uni * uni)""".stripMargin))
+            .as("pred_sum"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_pairs"),
+          expr("(1000 * nb_sum) div n_pairs").cast("long").as("bands_milli"),
+          expr("pred_sum div n_pairs").cast("long").as("pred_milli"))
+        .orderBy("bucket")
+    },
+
+    // ---- Dedup threshold-yield curve (round 16 — the planning table
+    // behind "where do we set the near-dup threshold": for each
+    // candidate Jaccard cut, how many pairs qualify and how many
+    // distinct documents they touch. The verified pair frame is the
+    // memoized [[lshPairs]] (bounded — its build is the expensive
+    // part, already priced by q41/q57); the curve is a ≤ 6-threshold
+    // fan over that bounded frame, integer-milli Jaccard, never a new
+    // corpus pass. The non-equi threshold join is a nested loop
+    // against a broadcast 6-row literal frame — bounded by
+    // construction.
+    Q("q167_dedup_threshold_curve",
+      s"""$sqlPrelude,
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM dsh x JOIN dsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |prs AS (SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+         |        FROM inter JOIN ssize sa ON sa.doc_id = doc_a
+         |                   JOIN ssize sb ON sb.doc_id = doc_b
+         |        WHERE 2 * inter >= sa.n + sb.n - inter),
+         |jm AS (SELECT doc_a, doc_b, (1000 * inter) // uni AS jm FROM prs),
+         |t AS (SELECT unnest([500, 600, 700, 800, 900, 1000]) AS thr),
+         |q AS (SELECT t.thr, jm.doc_a, jm.doc_b FROM jm JOIN t ON jm.jm >= t.thr),
+         |np AS (SELECT thr, count(*)::BIGINT AS n_pairs FROM q GROUP BY 1),
+         |nd AS (SELECT thr, count(DISTINCT d)::BIGINT AS n_docs
+         |       FROM (SELECT thr, unnest([doc_a, doc_b]) AS d FROM q) GROUP BY 1)
+         |SELECT thr::BIGINT AS thr, n_pairs, n_docs
+         |FROM np JOIN nd USING (thr) ORDER BY thr""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val jm = lshPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), expr("(1000 * inter) div uni").as("jm"))
+      val thr = Seq(500L, 600L, 700L, 800L, 900L, 1000L).toDF("thr")
+      val q = jm.join(broadcast(thr), col("jm") >= col("thr"))
+      val np = q.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+      val nd = q.select(col("thr"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy("thr").agg(countDistinct(col("d")).as("n_docs"))
+      np.join(nd, "thr")
+        .select(col("thr"), col("n_pairs"), col("n_docs"))
+        .orderBy("thr")
     }
   )
 

@@ -130,12 +130,29 @@ object TextMining {
   /** Unpersists the vocab + split-count + source-gram + split-length +
     * source-term frames for `s` (fires after the family's last
     * consumer). */
+  /** q165's (source, token-count, docs) frame — ONE corpus pass
+    * behind the W1 matrix, persisted because the per-source totals and
+    * the pair-fanned ECDF both read it (≤ |sources|·|distinct doc
+    * lengths| rows — value-bounded, not corpus-bounded; the q158
+    * device keyed on source instead of split). */
+  private val sourceLenCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sourceLenCounts(s: SparkSession, dir: String): DataFrame =
+    sourceLenCache.computeIfAbsent((s, dir), _ => {
+      docs(s, dir)
+        .select(col("source"),
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("v"))
+        .groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .persist()
+    })
+
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
     graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
     graft.Caches.dropSession(sourceGramCache, s)(_.unpersist())
     graft.Caches.dropSession(splitLenCache, s)(_.unpersist())
     graft.Caches.dropSession(sourceTermCache, s)(_.unpersist())
+    graft.Caches.dropSession(sourceLenCache, s)(_.unpersist())
   }
 
   /** q111's dirty external term list — the misspelled query/entity
@@ -1061,6 +1078,84 @@ object TextMining {
           when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
         .withColumn("alloc", col("quota") + col("extra"))
         .orderBy("source")
+    },
+
+    // ---- Wasserstein-1 length-profile matrix (round 16 — the
+    // integrated companion to q158's KS: KS reports the WORST ECDF
+    // gap, W1 integrates ALL of it, so a pair of sources whose length
+    // profiles differ mildly everywhere (same max gap, very different
+    // shape) separates from a pair with one local spike. This is the
+    // distribution-shift number a mix planner reads next to q156's
+    // lexical overlap and q161's embedding distance. Exact integers
+    // end-to-end: for discrete distributions, W1 = Σ_v |F_a(v) −
+    // F_b(v)|·(v_next − v); cross-multiplying by n_a·n_b makes every
+    // term |ca·nb − cb·na|·gap an exact product (decimal(38,0)/
+    // HUGEINT — ca·nb is corpus-squared and would wrap int64 at the
+    // 100 TB regime), and the final micro-token quotient divides once
+    // at the end. Plan at 100 TB: ONE corpus pass → (source, length,
+    // count) histogram ([[sourceLenCounts]], persisted, value-bounded
+    // by Heaps-like length concentration, never corpus-bounded);
+    // pairs fan that |sources|·|lengths| frame (≤ C(|sources|,2)
+    // replication of histogram rows, not documents); cum-ECDFs are
+    // windows over per-pair partitions. No corpus self-join anywhere.
+    Q("q165_source_w1_lengths",
+      """WITH d AS (SELECT source,
+        |             len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS v
+        |           FROM documents),
+        |cv AS (SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        |n AS (SELECT source, sum(c)::BIGINT AS n FROM cv GROUP BY 1),
+        |prs AS (SELECT a.source AS sa, b.source AS sb
+        |        FROM n a JOIN n b ON a.source < b.source),
+        |ev AS (SELECT p.sa, p.sb, cv.v,
+        |         sum(CASE WHEN cv.source = p.sa THEN cv.c ELSE 0 END) AS ca_at,
+        |         sum(CASE WHEN cv.source = p.sb THEN cv.c ELSE 0 END) AS cb_at
+        |       FROM prs p JOIN cv ON cv.source IN (p.sa, p.sb)
+        |       GROUP BY 1, 2, 3),
+        |cum AS (SELECT sa, sb, v,
+        |          sum(ca_at) OVER (PARTITION BY sa, sb ORDER BY v) AS ca,
+        |          sum(cb_at) OVER (PARTITION BY sa, sb ORDER BY v) AS cb,
+        |          lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nv
+        |        FROM ev),
+        |w1 AS (SELECT sa, sb, na.n AS na, nb.n AS nb,
+        |         sum(CASE WHEN nv IS NULL THEN 0
+        |             ELSE abs(ca * nb.n::HUGEINT - cb * na.n::HUGEINT) * (nv - v)
+        |             END) AS w_dec
+        |       FROM cum JOIN n na ON na.source = cum.sa
+        |                JOIN n nb ON nb.source = cum.sb
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT sa, sb, na, nb,
+        |       (1000000::HUGEINT * w_dec // (na::HUGEINT * nb))::BIGINT AS w1_micro
+        |FROM w1 ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      val cv = sourceLenCounts(s, dir)
+      val n = cv.groupBy("source").agg(sum("c").as("n"))
+      // pair-membership rows (sa, sb, source ∈ {sa, sb}) in ONE
+      // |sources|² nested loop over a broadcast |sources|-row frame
+      // (bounded by the source vocabulary — the q156/q161 pair
+      // device): source=a meeting o=b yields the a-membership of
+      // ordered pair (a,b), source=b meeting o=a the b-membership —
+      // each exactly once, no union re-computing the pair frame
+      val members = n.select(col("source"))
+        .join(broadcast(n.select(col("source").as("o"))), col("source") =!= col("o"))
+        .select(least(col("source"), col("o")).as("sa"),
+          greatest(col("source"), col("o")).as("sb"), col("source"))
+      val wi = Window.partitionBy("sa", "sb").orderBy("v")
+      cv.join(broadcast(members), "source")
+        .groupBy("sa", "sb", "v")
+        .agg(sum(when(col("source") === col("sa"), col("c")).otherwise(0L)).as("ca_at"),
+          sum(when(col("source") === col("sb"), col("c")).otherwise(0L)).as("cb_at"))
+        .select(col("sa"), col("sb"), col("v"),
+          sum("ca_at").over(wi).as("ca"), sum("cb_at").over(wi).as("cb"),
+          lead(col("v"), 1).over(wi).as("nv"))
+        .join(broadcast(n.select(col("source").as("sa"), col("n").as("na"))), "sa")
+        .join(broadcast(n.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+        .groupBy("sa", "sb", "na", "nb")
+        .agg(sum(when(col("nv").isNull, lit(0L).cast("decimal(38,0)"))
+          .otherwise(abs(expr("cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na"))
+            * (col("nv") - col("v")))).as("w_dec"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          expr("(cast(1000000 as decimal(38,0)) * w_dec) div (cast(na as decimal(38,0)) * nb)")
+            .cast("long").as("w1_micro"))
+        .orderBy("sa", "sb")
     }
   )
 

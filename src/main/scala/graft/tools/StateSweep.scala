@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   *    per-user sort buffer inside the single user-keyed exchange. The
   *    sweep times the full query at 1× and K× — linear wall-clock and
   *    an unchanged 2-exchange plan are the pass criteria.
+  *  - q163's mix-monitor aggregation (round 16 — VERDICT r15 item 6)
+  *    claims its state is |windows|·|types| rows, bounded by the
+  *    calendar and the type vocabulary, NEVER by stream volume — so
+  *    its bench cost is the micro-batch harness floor, not state
+  *    growth. The sweep streams 1× and K× rates through the exact
+  *    q163 aggregation and prints per-batch state rows/bytes: the
+  *    claim holds iff the state-row count is IDENTICAL at both rates
+  *    (same days × types) and flat across batches once every window
+  *    has arrived, with wall-clock moving only with input volume.
   *
   * Usage: `runMain graft.tools.StateSweep [sfDir] [K] [chunks]`
   * (defaults: /root/testdata/sf0.1, 10, 10). Results land in the
@@ -50,6 +59,10 @@ object StateSweep {
       val tag = if (joinType == "inner") "q86 inner" else "q149 left-outer"
       println(s"== $tag stream-stream interval join, ${factor}x event rate ==")
       runJoin(spark, stage(spark, src, factor, chunks), joinType)
+    }
+    for (factor <- Seq(1, k)) {
+      println(s"== q163 mix-monitor windowed agg, ${factor}x event rate ==")
+      runMix(spark, stage(spark, src, factor, chunks))
     }
     // 3-point linearity probe through the noop sink (full evaluation;
     // count() would prune the window columns): cloned events share
@@ -131,6 +144,35 @@ object StateSweep {
         f"stateMiB=${st.map(_.memoryUsedBytes).sum / 1048576.0}%7.1f " +
         s"watermark=${p.eventTime.get("watermark")}")
     }
+    q.stop()
+  }
+
+  /** q163's exact aggregation (Streams.scala / MixMonitor) over the
+    * staged chunk files, one file per micro-batch, complete mode —
+    * prints per-batch input vs state so "state = |windows|·|types|,
+    * not volume" is a measurement. */
+  private def runMix(spark: SparkSession, landing: String): Unit = {
+    val schema = spark.read.parquet(landing).schema
+    val masses = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("mass_dec"))
+    val t0 = System.nanoTime()
+    val q = masses.writeStream
+      .outputMode("complete")
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+      val st = p.stateOperators
+      println(f"batch=${p.batchId}%2d in=${p.numInputRows}%7d " +
+        f"stateRows=${st.map(_.numRowsTotal).sum}%7d " +
+        f"stateMiB=${st.map(_.memoryUsedBytes).sum / 1048576.0}%7.1f")
+    }
+    println(f"== wall ${wall}%.2f s ==")
     q.stop()
   }
 

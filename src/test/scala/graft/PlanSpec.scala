@@ -910,4 +910,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "totals no longer the aggregate-bounded window")
     assert(p.contains("partial_count"), "source rollup lost map-side partials")
   }
+
+  test("q165 W1 matrix: ONE cached histogram shared by totals+pairs+ECDF; joins broadcast") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q165_source_w1_lengths")(spark, dir).queryExecution
+    try {
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size >= 2, s"a consumer lost the cached (source,len) frame:\n${qe.optimizedPlan}")
+      assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
+        "consumers materialize DIFFERENT histogram frames instead of sharing one")
+      val p = qe.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        s"membership/totals joins degenerated to shuffle joins:\n$p")
+      // the one nested loop is the |sources|² ordered-pair build over
+      // a broadcast |sources|-row frame — bounded by construction
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"W1 plan grew an unbounded join:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
+  test("q166 calibration: pairs read the memoized verified-pair cache; no cartesian") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q166_lsh_recall_calib")(spark, dir).queryExecution
+    try {
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.nonEmpty, s"calibration no longer reads the cached pair frame:\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"calibration grew a cartesian:\n$p")
+      assert(p.contains("partial_count"), "decile rollup lost map-side partials")
+    } finally llm.LlmText.release(spark)
+  }
+
+  test("q167 threshold curve: reads ONLY the cached pair frame; the fan is a bounded broadcast loop") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q167_dedup_threshold_curve")(spark, dir).queryExecution
+    try {
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size >= 2, s"a consumer lost the cached pair frame:\n${qe.optimizedPlan}")
+      assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
+        "np and nd read DIFFERENT pair frames instead of sharing the cache")
+      val p = qe.executedPlan.toString
+      // the 6-row threshold literal fans via nested loop against a
+      // broadcast — bounded; anything shuffle-shaped here is a bug
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2 &&
+        !p.contains("CartesianProduct"), s"threshold fan degenerated:\n$p")
+    } finally llm.LlmText.release(spark)
+  }
 }
