@@ -1156,6 +1156,47 @@ object TextMining {
           expr("(cast(1000000 as decimal(38,0)) * w_dec) div (cast(na as decimal(38,0)) * nb)")
             .cast("long").as("w1_micro"))
         .orderBy("sa", "sb")
+    },
+
+    // ---- Vocabulary growth curve (round 16 — the "does more data buy
+    // new content" question a scaling decision reads: cumulative
+    // distinct word-trigrams per corpus decile, the empirical Heaps
+    // curve. A flattening tail says the marginal crawl adds volume,
+    // not novelty — the aggregate view of q147's per-source novelty
+    // yield. Deciles are ID-RANGE buckets ((10·(doc_id − lo)) div
+    // span) — pure arithmetic from two scalars, deliberately NOT a
+    // rank window: a row_number decile needs a corpus-scale rank map
+    // (a global sort at 100 TB) while the range bucket broadcasts two
+    // numbers; with the fixture's dense ids the two coincide, and the
+    // semantic (an arbitrary-but-fixed corpus order) serves the curve
+    // equally. Plan: one corpus pass → gram explode (the q147 hash) →
+    // min-decile per gram (ONE vocab-bounded shuffle with map-side
+    // partial min) → 10-row census + cumulative window over it.
+    Q("q168_vocab_growth",
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |      FROM documents),
+        |g AS (SELECT doc_id,
+        |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+        |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+        |      WHERE len(ws) >= 3),
+        |d AS (SELECT h, min((10 * (doc_id - lo)) // (hi - lo + 1)) AS dec
+        |      FROM g, b GROUP BY 1),
+        |c AS (SELECT dec, count(*)::BIGINT AS new_grams FROM d GROUP BY 1)
+        |SELECT dec::BIGINT AS decile, new_grams,
+        |       sum(new_grams) OVER (ORDER BY dec)::BIGINT AS cum_grams
+        |FROM c ORDER BY decile""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val mm = d.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      trigramStream(d)
+        .crossJoin(broadcast(mm))
+        .select(col("h"), expr("(10 * (doc_id - lo)) div (hi - lo + 1)").as("dec"))
+        .groupBy("h").agg(min("dec").as("dec"))
+        .groupBy("dec").agg(count(lit(1)).as("new_grams"))
+        .withColumn("cum_grams",
+          sum("new_grams").over(Window.orderBy("dec")).cast("long"))
+        .select(col("dec").cast("long").as("decile"), col("new_grams"), col("cum_grams"))
+        .orderBy("decile")
     }
   )
 

@@ -18,7 +18,9 @@ class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q66_dedup_simhash_ham", "q74_chunk_sliding", "q81_decontaminate_bloom",
       "q82_lm_perplexity", "q89_dedup_incremental",
       "q91_dedup_cluster_sizes", "q100_split_leakage",
-      "q101_bm25_topk", "q124_jaccard_prefix_join").filter(order.contains)
+      "q101_bm25_topk", "q124_jaccard_prefix_join",
+      "q132_dedup_containment", "q135_containment_incremental",
+      "q166_lsh_recall_calib", "q167_dedup_threshold_curve").filter(order.contains)
     val last = textConsumers.maxBy(order.indexOf)
     assert(hooks.contains(last))
     textConsumers.filter(_ != last).foreach(q => assert(!hooks.contains(q)))
