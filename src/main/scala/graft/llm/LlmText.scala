@@ -2059,6 +2059,57 @@ object LlmText {
       np.join(nd, "thr")
         .select(col("thr"), col("n_pairs"), col("n_docs"))
         .orderBy("thr")
+    },
+
+    // ---- Per-source dedup token yield (round 16 — the number the
+    // compute budget actually reads: after near-dup dedup keeps one
+    // representative per cluster, how many tokens does each source
+    // STILL contribute? q91 histograms cluster sizes; this prices the
+    // clusters in tokens and attributes the saving to sources —
+    // "source X is 31% redundant" is the line that changes a crawl
+    // plan. Non-representative cluster members (doc_id ≠ the min-id
+    // rep, q57's deterministic choice) are the dropped set. Plan: the
+    // memoized component table (q57/q91's cache — its build is the
+    // priced part) filters to drops; the corpus joins it on doc_id
+    // WITHOUT a broadcast hint — under heavy duplication the drop set
+    // is corpus-scale (a 10×-cloned corpus drops 90% of docs),
+    // exactly where a forced broadcast OOMs, so the size decision
+    // stays with the optimizer's stats;
+    // integer-milli yield with the ADVICE-r15 NULLIF discipline on an
+    // all-empty source.
+    Q("q169_dedup_yield",
+      clustersCore + """,
+        |tok AS (SELECT doc_id, source,
+        |          len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS nt
+        |        FROM documents),
+        |dup AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_rep)
+        |SELECT t.source,
+        |       count(*)::BIGINT AS n_docs,
+        |       sum(t.nt)::BIGINT AS n_tokens,
+        |       count(d.doc_id)::BIGINT AS dup_docs,
+        |       coalesce(sum(t.nt) FILTER (WHERE d.doc_id IS NOT NULL), 0)::BIGINT AS dup_tokens,
+        |       (sum(t.nt) - coalesce(sum(t.nt) FILTER (WHERE d.doc_id IS NOT NULL), 0))::BIGINT AS net_tokens,
+        |       (1000 * (sum(t.nt) - coalesce(sum(t.nt) FILTER (WHERE d.doc_id IS NOT NULL), 0))
+        |        // NULLIF(sum(t.nt), 0))::BIGINT AS yield_milli
+        |FROM tok t LEFT JOIN dup d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val drops = docComponents(s, dir)
+        .filter(col("id") =!= col("cluster_rep"))
+        .select(col("id").as("doc_id"), lit(true).as("dropped"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("nt"))
+        .join(drops, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          count(col("dropped")).as("dup_docs"),
+          coalesce(sum(when(col("dropped"), col("nt"))), lit(0L)).as("dup_tokens"))
+        .withColumn("net_tokens", col("n_tokens") - col("dup_tokens"))
+        .withColumn("yield_milli",
+          expr("(1000 * net_tokens) div nullif(n_tokens, 0)"))
+        .select("source", "n_docs", "n_tokens", "dup_docs", "dup_tokens",
+          "net_tokens", "yield_milli")
+        .orderBy("source")
     }
   )
 

@@ -1197,6 +1197,47 @@ object TextMining {
           sum("new_grams").over(Window.orderBy("dec")).cast("long"))
         .select(col("dec").cast("long").as("decile"), col("new_grams"), col("cum_grams"))
         .orderBy("decile")
+    },
+
+    // ---- Packing efficiency by context length (round 16 — the
+    // training-config table q70's packer is judged against: for each
+    // candidate context length, the exact token waste of the naive
+    // per-document chunk-and-pad baseline (Σ ceil(nᵢ/L)·L − nᵢ) and
+    // of the boundary-crossing concat stream (ceil(T/L)·L − T, the
+    // lower bound any packer approaches), in integer milli of slot
+    // capacity. The gap between the two columns IS the packing win —
+    // a number per L, so the context-length choice reads off one
+    // 4-row table. Plan: ONE corpus scan projecting each doc to its
+    // token count, a 4-row broadcast fan, one |L|-bounded partial-agg
+    // shuffle; all arithmetic int64 (token counts; products n·L
+    // bounded by corpus tokens · 4096 — inside int64 until ~2e15
+    // tokens, guarded by the same decimal widening as the mix family
+    // if that regime arrives).
+    Q("q170_packing_efficiency",
+      """WITH d AS (SELECT len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n
+        |           FROM documents),
+        |L AS (SELECT unnest([512, 1024, 2048, 4096]) AS cap),
+        |per AS (SELECT cap, sum(n)::BIGINT AS total,
+        |          sum((n + cap - 1) // cap)::BIGINT AS n_chunks,
+        |          sum(((n + cap - 1) // cap) * cap - n)::BIGINT AS pad_waste
+        |        FROM d CROSS JOIN L GROUP BY 1)
+        |SELECT cap::BIGINT AS cap, total AS n_tokens, n_chunks, pad_waste,
+        |       (1000 * pad_waste // NULLIF(n_chunks * cap, 0))::BIGINT AS pad_waste_milli,
+        |       (((total + cap - 1) // cap) * cap - total)::BIGINT AS concat_waste
+        |FROM per ORDER BY cap""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val caps = Seq(512L, 1024L, 2048L, 4096L).toDF("cap")
+      docs(s, dir)
+        .select(size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n"))
+        .crossJoin(broadcast(caps))
+        .groupBy("cap")
+        .agg(sum("n").as("total"),
+          sum(expr("(n + cap - 1) div cap")).as("n_chunks"),
+          sum(expr("((n + cap - 1) div cap) * cap - n")).as("pad_waste"))
+        .select(col("cap"), col("total").as("n_tokens"), col("n_chunks"), col("pad_waste"),
+          expr("(1000 * pad_waste) div nullif(n_chunks * cap, 0)").as("pad_waste_milli"),
+          expr("((total + cap - 1) div cap) * cap - total").as("concat_waste"))
+        .orderBy("cap")
     }
   )
 
