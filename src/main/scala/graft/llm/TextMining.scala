@@ -1238,6 +1238,66 @@ object TextMining {
           expr("(1000 * pad_waste) div nullif(n_chunks * cap, 0)").as("pad_waste_milli"),
           expr("((total + cap - 1) div cap) * cap - total").as("concat_waste"))
         .orderBy("cap")
+    },
+
+    // ---- Corpus version diff (round 16 — the q84 CDC discipline
+    // applied to the CORPUS: between two crawl snapshots, what was
+    // added, removed, changed, unchanged — in docs AND token mass,
+    // the re-train-trigger table. The second snapshot is derived
+    // deterministically in-query (the mediaTable fixture pattern):
+    // drop doc_id%7=0, perturb %5=1, add %11=3 under fresh ids — so
+    // both engines diff the identical version pair and every class is
+    // populated. The discipline that matters at 100 TB: each side
+    // projects to (id, content-hash, token count) BEFORE the full
+    // outer join, so document TEXT never crosses an exchange — the
+    // join moves two slim hash frames (and with both snapshots
+    // bucketed by id it co-locates to zero shuffle); change detection
+    // is hash inequality, never a text compare.
+    Q("q171_corpus_version_diff",
+      """WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |v1 AS (SELECT doc_id, md5(text) AS h,
+        |         len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS nt
+        |       FROM documents),
+        |v2base AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 5 = 1 THEN text || ' updated' ELSE text END AS text
+        |           FROM documents WHERE doc_id % 7 <> 0),
+        |v2add AS (SELECT d.doc_id + mx.off AS doc_id, d.text
+        |          FROM documents d, mx WHERE d.doc_id % 11 = 3),
+        |v2 AS (SELECT doc_id, md5(text) AS h,
+        |         len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS nt
+        |       FROM (SELECT * FROM v2base UNION ALL SELECT * FROM v2add)),
+        |j AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+        |               WHEN b.doc_id IS NULL THEN 'removed'
+        |               WHEN a.h <> b.h THEN 'changed'
+        |               ELSE 'unchanged' END AS status,
+        |             coalesce(b.nt, a.nt) AS nt
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val off = d.agg((max("doc_id") + lit(1L)).as("off"))
+      def slim(df: DataFrame) = df.select(col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("h"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("nt"))
+      val v1 = slim(d)
+      val v2 = slim(
+        d.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 1, concat(col("text"), lit(" updated")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(
+            d.filter(col("doc_id") % 11 === 3).crossJoin(broadcast(off))
+              .select((col("doc_id") + col("off")).as("doc_id"), col("text"))))
+      v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("b.nt"), col("a.nt")).as("nt"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .orderBy("status")
     }
   )
 

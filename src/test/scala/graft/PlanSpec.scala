@@ -957,4 +957,35 @@ class PlanSpec extends SparkSpec {
         !p.contains("CartesianProduct"), s"threshold fan degenerated:\n$p")
     } finally llm.LlmText.release(spark)
   }
+
+  test("q168 growth curve: ONE vocab-bounded shuffle with partial min; no rank map") {
+    val p = plan("q168_vocab_growth")
+    assert(p.contains("partial_min"), "gram min-decile fold lost map-side partials")
+    // deciles come from two broadcast scalars, never a corpus rank map
+    assert(!p.contains("row_number"), s"decile became a corpus-scale rank window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"growth curve grew an unbounded join:\n$p")
+  }
+
+  test("q170 packing table: one corpus scan, the 4-row fan broadcast, partial agg") {
+    val p = plan("q170_packing_efficiency")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"packing grew a second corpus scan:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+      !p.contains("SortMergeJoin"), s"the 4-row fan degenerated:\n$p")
+    assert(p.contains("partial_sum"), "per-cap rollup lost map-side partials")
+  }
+
+  test("q171 corpus diff: text never crosses the full-outer join") {
+    val qe = SparkEntry.queries("q171_corpus_version_diff")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("FullOuter"), s"diff lost its full outer join:\n$p")
+    // both sides project to (id, hash, token count) BEFORE the join:
+    // no Exchange row may carry the text column — at 100 TB that is
+    // the difference between shuffling two slim hash frames and
+    // shuffling the corpus twice
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected hash exchanges in:\n$p")
+    exchanges.foreach(e => assert(!e.contains("text#"),
+      s"document text crosses an exchange:\n$e"))
+  }
 }
