@@ -38,7 +38,7 @@ object Caches {
       "q100_split_leakage", "q101_bm25_topk", "q124_jaccard_prefix_join",
       "q132_dedup_containment", "q135_containment_incremental",
       "q166_lsh_recall_calib", "q167_dedup_threshold_curve",
-      "q169_dedup_yield"),
+      "q169_dedup_yield", "q172_simhash_jaccard_transfer"),
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",

@@ -848,6 +848,72 @@ object LlmText {
     Iterator.iterate(31L)(p => p * 31 % M).take(MaxFpTokens).toSeq
   val powFpSql: String = powFp.mkString("[", ", ", "]")
 
+  /** Shared CTE chain for q66/q172: 30-bit SimHash per doc and the
+    * emitted pair set `hp(doc_a, doc_b, hamming)` at hamming ≤ 2. */
+  private lazy val simhashPairsCore: String =
+    s"""$sqlPrelude,
+       |tf AS (SELECT doc_id, h, count(*) AS tf FROM wh GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT doc_id, k,
+       |         sum(tf * (2 * ((h // (${pow2Sql})[k+1]) % 2) - 1)) AS acc
+       |  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS k)
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN acc > 0 THEN (${pow2Sql})[k+1] ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |hp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |       FROM sims a JOIN sims b
+       |         ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2)"""
+      .stripMargin
+
+  /** q66's pair computation, factored for q172: kernel SimHash per
+    * doc, sketch-class collapse (hamming-0 = within-class pairs;
+    * cross-class candidates from a 3×10-bit band join over DISTINCT
+    * sketches only — the hot-bucket defense the q66 scaladoc prices),
+    * membership expansion at output. Unordered — callers sort. */
+  private[llm] def simhashHamPairs(s: SparkSession, dir: String): DataFrame = {
+    val sims = tokenHashArr(s, dir)
+      .select(col("doc_id"),
+        graft.plans.TextKernels.simhash(col("hs")).as("simhash"))
+    // sketch classes: one row per DISTINCT sketch + sorted members
+    val classes = sims.groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    // hamming-0: all member pairs of each class, already id-ordered
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        lit(0L).as("hamming"))
+    // cross-class candidates: band join over distinct sketches only
+    val bands = classes.select(col("simhash"), col("ids"),
+      posexplode(array(
+        col("simhash").bitwiseAND(1023),
+        shiftright(col("simhash"), 10).bitwiseAND(1023),
+        shiftright(col("simhash"), 20))).as(Seq("band", "bkey")))
+    val cross = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"),
+        col("x.ids").as("ids_a"), col("y.ids").as("ids_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      // a sketch pair can collide in several bands: dedup BEFORE the
+      // membership expansion (first() is well-defined — ids are
+      // functional in the sketch)
+      .groupBy("sh_a", "sh_b")
+      .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"),
+        first(col("hamming")).as("hamming"))
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    within.unionAll(cross)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact + normalized dedup (hash groupBy, first-wins by id).
@@ -1196,60 +1262,9 @@ object LlmText {
     // sweep drops to ~2 s. AQE skew handling still backs the residual
     // case of many distinct-but-colliding sketches.
     Q("q66_dedup_simhash_ham",
-      s"""$sqlPrelude,
-         |tf AS (SELECT doc_id, h, count(*) AS tf FROM wh GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT doc_id, k,
-         |         sum(tf * (2 * ((h // (${pow2Sql})[k+1]) % 2) - 1)) AS acc
-         |  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS k)
-         |  GROUP BY 1, 2),
-         |sims AS (
-         |  SELECT doc_id,
-         |         sum(CASE WHEN acc > 0 THEN (${pow2Sql})[k+1] ELSE 0 END)::BIGINT AS simhash
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-         |FROM sims a JOIN sims b
-         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sims = tokenHashArr(s, dir)
-        .select(col("doc_id"),
-          graft.plans.TextKernels.simhash(col("hs")).as("simhash"))
-      // sketch classes: one row per DISTINCT sketch + sorted members
-      val classes = sims.groupBy("simhash")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      // hamming-0: all member pairs of each class, already id-ordered
-      val within = classes.filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids)), y ->
-            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-          lit(0L).as("hamming"))
-      // cross-class candidates: band join over distinct sketches only
-      val bands = classes.select(col("simhash"), col("ids"),
-        posexplode(array(
-          col("simhash").bitwiseAND(1023),
-          shiftright(col("simhash"), 10).bitwiseAND(1023),
-          shiftright(col("simhash"), 20))).as(Seq("band", "bkey")))
-      val cross = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.simhash") < col("y.simhash"))
-        .select(col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"),
-          col("x.ids").as("ids_a"), col("y.ids").as("ids_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 2)
-        // a sketch pair can collide in several bands: dedup BEFORE the
-        // membership expansion (first() is well-defined — ids are
-        // functional in the sketch)
-        .groupBy("sh_a", "sh_b")
-        .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"),
-          first(col("hamming")).as("hamming"))
-        .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
-        .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-      within.unionAll(cross).orderBy("doc_a", "doc_b")
+      simhashPairsCore +
+        "\nSELECT doc_a, doc_b, hamming FROM hp ORDER BY doc_a, doc_b") { (s, dir) =>
+      simhashHamPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
     // ---- benchmark-contamination screen: fraction of a doc's
@@ -2110,6 +2125,52 @@ object LlmText {
         .select("source", "n_docs", "n_tokens", "dup_docs", "dup_tokens",
           "net_tokens", "yield_milli")
         .orderBy("source")
+    },
+
+    // ---- SimHash→Jaccard transfer table (round 16 — q166's
+    // companion for the OTHER deployed sketch: q66 emits pairs at
+    // hamming ≤ 2, but a threshold decision needs to know what
+    // "hamming ≤ 2" MEANS in exact-Jaccard terms on this corpus.
+    // Per hamming distance of the emitted pair set: pair count and
+    // the min/mean/max exact Jaccard (integer milli, per-pair
+    // truncation then integer mean, same order both engines). Pairs
+    // where either doc bears no shingles (< 3 tokens — Jaccard
+    // undefined) are excluded by the size join on BOTH engines.
+    // Plan: the pair set is [[simhashHamPairs]] (bounded — its build
+    // is q66's priced path over the shared token-hash cache); the
+    // exact verification joins the ≤ |pairs|-row frame to the
+    // persisted shingle sets twice — never a corpus self-join; output
+    // is ≤ 3 rows.
+    Q("q172_simhash_jaccard_transfer",
+      simhashPairsCore + s""",
+        |ji AS (SELECT hp.doc_a, hp.doc_b, hp.hamming, count(*) AS inter
+        |       FROM hp JOIN dsh x ON x.doc_id = hp.doc_a
+        |               JOIN dsh y ON y.doc_id = hp.doc_b AND y.sh = x.sh
+        |       GROUP BY 1, 2, 3),
+        |jm AS (SELECT hp.hamming,
+        |         (1000 * coalesce(ji.inter, 0))
+        |           // (sa.n + sb.n - coalesce(ji.inter, 0)) AS jm
+        |       FROM hp JOIN ssize sa ON sa.doc_id = hp.doc_a
+        |               JOIN ssize sb ON sb.doc_id = hp.doc_b
+        |               LEFT JOIN ji ON ji.doc_a = hp.doc_a AND ji.doc_b = hp.doc_b)
+        |SELECT hamming, count(*)::BIGINT AS n_pairs,
+        |       min(jm)::BIGINT AS min_jm, max(jm)::BIGINT AS max_jm,
+        |       (sum(jm) // count(*))::BIGINT AS mean_jm
+        |FROM jm GROUP BY 1 ORDER BY hamming""".stripMargin) { (s, dir) =>
+      val sz = docShingles(s, dir)
+      simhashHamPairs(s, dir)
+        .join(sz.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("hamming"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ss"))
+        .select(col("hamming"), expr("(1000 * inter) div (ss - inter)").as("jm"))
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"), min("jm").as("min_jm"),
+          max("jm").as("max_jm"), sum("jm").as("sum_jm"))
+        .select(col("hamming"), col("n_pairs"), col("min_jm"), col("max_jm"),
+          expr("sum_jm div n_pairs").as("mean_jm"))
+        .orderBy("hamming")
     }
   )
 
