@@ -38,7 +38,8 @@ object Caches {
       "q100_split_leakage", "q101_bm25_topk", "q124_jaccard_prefix_join",
       "q132_dedup_containment", "q135_containment_incremental",
       "q166_lsh_recall_calib", "q167_dedup_threshold_curve",
-      "q169_dedup_yield", "q172_simhash_jaccard_transfer"),
+      "q169_dedup_yield", "q172_simhash_jaccard_transfer",
+      "q176_cluster_sources"),
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
@@ -49,7 +50,8 @@ object Caches {
       ops.Graph.release),
     (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift",
       "q156_source_overlap", "q158_ks_split_drift", "q159_source_terms",
-      "q162_bpe_pair_counts", "q165_source_w1_lengths"),
+      "q162_bpe_pair_counts", "q165_source_w1_lengths",
+      "q173_head_coverage"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

@@ -2171,6 +2171,86 @@ object LlmText {
         .select(col("hamming"), col("n_pairs"), col("min_jm"), col("max_jm"),
           expr("sum_jm div n_pairs").as("mean_jm"))
         .orderBy("hamming")
+    },
+
+    // ---- Declared-language agreement screen (round 16 — label-noise
+    // detection for the `lang` column: per (source, declared lang),
+    // how often q45's n-gram language-ID AGREES. A low-agreement cell
+    // is a mislabeled slice — the language analogue of q157's
+    // embedding-outlier screen. Scoring is the same map-only
+    // [[graft.plans.TextKernels.langScores]] kernel and tie-break
+    // CASE as q45 (TextKernelsSpec pins kernel ≡ relational), so the
+    // whole query is one corpus scan + a |source×lang|-bounded agg —
+    // zero joins, integer-milli agreement.
+    Q("q174_langid_agreement",
+      s"""WITH tl AS (SELECT source, lang,
+         |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         |            FROM documents),
+         |b AS (SELECT source, lang,
+         |  CASE greatest(
+         |         len(list_filter(t, w -> w IN ('the','a','of','and','in'))),
+         |         len(list_filter(t, w -> w IN ('der','die','und','das','ist'))),
+         |         len(list_filter(t, w -> w IN ('el','la','y','los','que'))),
+         |         len(list_filter(t, w -> w IN ('le','les','et','des','un'))))
+         |    WHEN len(list_filter(t, w -> w IN ('the','a','of','and','in'))) THEN 'en'
+         |    WHEN len(list_filter(t, w -> w IN ('der','die','und','das','ist'))) THEN 'de'
+         |    WHEN len(list_filter(t, w -> w IN ('el','la','y','los','que'))) THEN 'es'
+         |    ELSE 'fr' END AS best
+         |      FROM tl)
+         |SELECT source, lang, count(*)::BIGINT AS n_docs,
+         |       count(*) FILTER (WHERE best = lang)::BIGINT AS n_match,
+         |       (1000 * count(*) FILTER (WHERE best = lang) // count(*))::BIGINT AS match_milli
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "of", "and", "in"),
+        "de" -> Seq("der", "die", "und", "das", "ist"),
+        "es" -> Seq("el", "la", "y", "los", "que"),
+        "fr" -> Seq("le", "les", "et", "des", "un"))
+      val sc = graft.plans.TextKernels.langScores(
+        lower(col("text")), profiles.map(_._2))
+      val scored = docs(s, dir)
+        .select(col("source"), col("lang"), sc.as("sc"))
+        .select(Seq(col("source"), col("lang")) ++ profiles.zipWithIndex.map {
+          case ((l, _), i) => element_at(col("sc"), i + 1).as(s"n_$l")
+        }: _*)
+      val best = when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_en"), "en")
+        .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_de"), "de")
+        .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_es"), "es")
+        .otherwise("fr")
+      scored.withColumn("best", best)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("best") === col("lang"), 1L).otherwise(0L)).as("n_match"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_match"),
+          expr("(1000 * n_match) div n_docs").as("match_milli"))
+        .orderBy("source", "lang")
+    },
+
+    // ---- Dup-cluster source composition (round 16 — q91 histograms
+    // cluster SIZES; this splits the census by how many SOURCES a
+    // cluster spans: (size, n_sources) cells separate cross-source
+    // mirrors/syndication (the q156 signal at cluster granularity)
+    // from within-source re-posts — different remediation (fix the
+    // crawl overlap vs dedup the source). Two bounded aggs over the
+    // memoized component table joined to the slim (doc_id, source)
+    // projection — the join is drop-set-scale, the output census-
+    // scale.
+    Q("q176_cluster_sources",
+      clustersCore + """,
+        |src AS (SELECT doc_id, source FROM documents),
+        |cl AS (SELECT c.cluster_rep, count(*)::BIGINT AS csize,
+        |         count(DISTINCT s.source)::BIGINT AS nsrc
+        |       FROM comp c JOIN src s USING (doc_id) GROUP BY 1)
+        |SELECT csize, nsrc, count(*)::BIGINT AS n_clusters
+        |FROM cl GROUP BY 1, 2 ORDER BY csize, nsrc""".stripMargin) { (s, dir) =>
+      docComponents(s, dir)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("cluster_rep")
+        .agg(count(lit(1)).as("csize"), countDistinct(col("source")).as("nsrc"))
+        .groupBy("csize", "nsrc")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("csize", "nsrc")
     }
   )
 

@@ -808,6 +808,42 @@ object LlmVector {
           .as("p"))
         .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("p.d2").as("d2"))
         .orderBy("s1", "s2")
+    },
+
+    // ---- Embedding-norm health screen (round 16 — the sanity table
+    // an embedding pipeline reads before ANY similarity work: per
+    // label, the min/mean/max squared L2 norm in exact MILLI² units
+    // plus the zero-vector count. A collapsed encoder (all-zero or
+    // near-zero vectors) or a normalization bug (norms far from the
+    // unit shell) shows up here before it silently corrupts every
+    // cosine downstream. Integer-exact: the q157 milli quantization,
+    // Σq² ≤ dim·(2·10⁶)² bounded by the quantization range; per-label
+    // truncating mean in the same order both engines. Plan: ONE scan,
+    // map-only per-row fold (no posexplode — the HOF runs inside the
+    // scan stage), |labels|-bounded agg.
+    Q("q175_embedding_norms",
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(round(v::DOUBLE * 1000) AS BIGINT) AS q
+        |           FROM (SELECT vec_id, label, unnest(embedding) AS v
+        |                 FROM embeddings WHERE len(embedding) > 0)),
+        |n AS (SELECT vec_id, label, sum(q * q)::BIGINT AS nsq FROM e GROUP BY 1, 2)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |       min(nsq)::BIGINT AS min_nsq, max(nsq)::BIGINT AS max_nsq,
+        |       (sum(nsq) // count(*))::BIGINT AS mean_nsq,
+        |       count(*) FILTER (WHERE nsq = 0)::BIGINT AS zero_vecs
+        |FROM n GROUP BY 1 ORDER BY label""".stripMargin) { (s, dir) =>
+      T.df(s, dir, "embeddings")
+        .filter(size(col("embedding")) > 0)
+        .select(col("label"), expr(
+          s"""aggregate($QuantExpr, cast(0 as bigint), (acc, q) -> acc + q * q)""")
+          .as("nsq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), min("nsq").as("min_nsq"),
+          max("nsq").as("max_nsq"), sum("nsq").as("sum_nsq"),
+          sum(when(col("nsq") === 0L, 1L).otherwise(0L)).as("zero_vecs"))
+        .select(col("label"), col("n_vecs"), col("min_nsq"), col("max_nsq"),
+          expr("sum_nsq div n_vecs").as("mean_nsq"), col("zero_vecs"))
+        .orderBy("label")
     }
   )
 

@@ -1298,6 +1298,48 @@ object TextMining {
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
         .orderBy("status")
+    },
+
+    // ---- Head-coverage curve (round 16 — the stopword/tokenizer
+    // budgeting table: what share of all token OCCURRENCES the top-k
+    // most frequent word types cover, at k = 10/100/1k/10k. A steep
+    // head says aggressive stopword pruning is cheap; the 10k row
+    // approximates what a 10k-type vocabulary would cover. Exact
+    // integers; deterministic (count desc, word) rank order. Plan at
+    // 100 TB: ranks and cumulative sums are windows over the MEMOIZED
+    // vocab frame (Heaps-bounded — the corpus was already reduced to
+    // (word, count) by q110's one shuffle), the 4-row k fan is a
+    // broadcast nested loop against that vocab-bounded frame, and the
+    // corpus itself is never re-scanned.
+    Q("q173_head_coverage",
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |           FROM documents),
+        |v AS (SELECT w, count(*)::BIGINT AS n_w FROM w GROUP BY 1),
+        |r AS (SELECT n_w,
+        |        row_number() OVER (ORDER BY n_w DESC, w) AS rk,
+        |        sum(n_w) OVER (ORDER BY n_w DESC, w) AS cum
+        |      FROM v),
+        |t AS (SELECT sum(n_w)::BIGINT AS tot FROM v),
+        |k AS (SELECT unnest([10, 100, 1000, 10000]) AS k)
+        |SELECT k.k::BIGINT AS k,
+        |       max(CASE WHEN r.rk <= k.k THEN r.cum ELSE 0 END)::BIGINT AS covered,
+        |       t.tot AS total,
+        |       (1000 * max(CASE WHEN r.rk <= k.k THEN r.cum ELSE 0 END)
+        |        // t.tot)::BIGINT AS coverage_milli
+        |FROM k, r, t GROUP BY k.k, t.tot ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rk = Window.orderBy(col("n_w").desc, col("w"))
+      val r = vocab(s, dir)
+        .select(col("n_w"), row_number().over(rk).as("rk"), sum("n_w").over(rk).as("cum"))
+      val tot = vocab(s, dir).agg(sum("n_w").as("tot"))
+      val ks = Seq(10L, 100L, 1000L, 10000L).toDF("k")
+      r.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(max(when(col("rk") <= col("k"), col("cum")).otherwise(0L)).as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("covered"), col("tot").as("total"),
+          expr("(1000 * covered) div tot").as("coverage_milli"))
+        .orderBy("k")
     }
   )
 
