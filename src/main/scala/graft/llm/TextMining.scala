@@ -1340,8 +1340,138 @@ object TextMining {
         .select(col("k"), col("covered"), col("tot").as("total"),
           expr("(1000 * covered) div tot").as("coverage_milli"))
         .orderBy("k")
+    },
+
+    // ---- Epoch-capped token-budget water-fill (round 16 — the
+    // allocation step AFTER q155 picks mix weights: given a training
+    // token budget B and a per-source repetition cap, how many tokens
+    // does each source actually contribute? Pile/LLaMA-style mix
+    // planning: weights w_s ∝ sqrt(n_s) (q155's correctly-rounded
+    // sqrt→floor(×1e6) device), per-source cap 1.6 epochs
+    // (cap_s = (8·n_s) div 5 — exact, no float), budget B = 1.5
+    // epochs of the whole corpus ((3·Σn) div 2). Water-fill: sources
+    // saturate in increasing cap/w order; the rest split the
+    // remaining budget ∝ w. All arithmetic is exact integer:
+    // saturation ranks by the 1e18-scaled truncating quotient
+    // (cap·1e18) div w (distinguishes ratios to 1e-18 relative; the
+    // source tie-break keeps both engines on the IDENTICAL total
+    // order either way), the saturated set is the bool-AND prefix of
+    // the per-rank marginal test num_j·w_j > cap_j·den_j (exact
+    // cross-multiplication — no rational division ever happens), and
+    // the |unsat|−1-bounded truncation loss is returned by Hamilton
+    // largest-remainder (q164's device), so Σ alloc = B EXACTLY.
+    // B < Σcap by construction (1.5 < 1.6 epochs), so the all-
+    // saturated branch is unreachable and den > 0 whenever any
+    // source has tokens; zero-token sources are fenced out of the
+    // prefix chain (sorted last, allocated 0, NULL epochs — NULLIF on
+    // both engines, ADVICE r15 discipline). Overflow audit at the
+    // 100 TB regime (n ≤ 2.5e13 tokens/source, |sources| ≤ 1e3):
+    // w ≤ 5e12, B ≤ 3.8e16, w·num ≤ 2e29, cap·tw ≤ 2e29,
+    // qk ≤ 4e31 — all inside decimal(38,0)/HUGEINT. Plan at 100 TB:
+    // ZERO corpus scans of its own — per-source masses reduce from
+    // the memoized [[sourceLenCounts]] histogram (value-bounded);
+    // every window runs over the |sources|-row aggregate frame (the
+    // q116 bounded-WindowExec device). BudgetFillSpec drives hand
+    // corpora against a BigInt rational brute force.
+    Q("q177_token_budget_fill",
+      """WITH t AS (SELECT source,
+        |             sum(len(list_filter(string_split(text, ' '), x -> x != '')))::HUGEINT AS n
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n,
+        |        CAST(floor(sqrt(n::DOUBLE) * 1000000) AS HUGEINT) AS w_int,
+        |        (8::HUGEINT * n) // 5 AS cap
+        |      FROM t),
+        |g AS (SELECT sum(w_int) AS tw, (3::HUGEINT * sum(n)) // 2 AS b FROM w),
+        |k AS (SELECT w.*, g.tw, g.b,
+        |        CASE WHEN w_int = 0 THEN 1 ELSE 0 END AS wz,
+        |        CASE WHEN w_int = 0 THEN 0::HUGEINT
+        |             ELSE (cap * 1000000000000000000::HUGEINT) // w_int END AS qk
+        |      FROM w, g),
+        |r AS (SELECT k.*,
+        |        row_number() OVER (ORDER BY wz, qk, source) AS rk,
+        |        sum(cap)   OVER (ORDER BY wz, qk, source) AS cumcap,
+        |        sum(w_int) OVER (ORDER BY wz, qk, source) AS cumw
+        |      FROM k),
+        |sat AS (SELECT r.*,
+        |          bool_and((b - (cumcap - cap)) * w_int > cap * (tw - (cumw - w_int)))
+        |            OVER (ORDER BY rk) AS is_sat
+        |        FROM r),
+        |lvl AS (SELECT any_value(b) - coalesce(sum(cap) FILTER (WHERE is_sat), 0) AS num,
+        |               coalesce(sum(w_int) FILTER (WHERE NOT is_sat), 0) AS den
+        |        FROM sat),
+        |fl AS (SELECT sat.*, lvl.num, lvl.den,
+        |         CASE WHEN is_sat THEN cap
+        |              WHEN w_int = 0 THEN 0::HUGEINT
+        |              ELSE (w_int * num) // den END AS alloc0,
+        |         CASE WHEN is_sat THEN (-1)::HUGEINT
+        |              WHEN w_int = 0 THEN 0::HUGEINT
+        |              ELSE (w_int * num) % den END AS remv
+        |       FROM sat, lvl),
+        |h AS (SELECT fl.*,
+        |        row_number() OVER (ORDER BY remv DESC, source) AS hrk,
+        |        (SELECT any_value(b) - sum(alloc0) FROM fl) AS leftover
+        |      FROM fl)
+        |SELECT source, n::BIGINT AS n_tokens, cap::BIGINT AS cap_tokens,
+        |       (alloc0 + CASE WHEN NOT is_sat AND hrk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens,
+        |       ((1000::HUGEINT * (alloc0 + CASE WHEN NOT is_sat AND hrk <= leftover THEN 1 ELSE 0 END))
+        |        // NULLIF(n, 0))::BIGINT AS epochs_milli,
+        |       (CASE WHEN is_sat THEN 1 ELSE 0 END)::BIGINT AS saturated
+        |FROM h ORDER BY source""".stripMargin) { (s, dir) =>
+      budgetFill(sourceLenCounts(s, dir).groupBy("source")
+        .agg(sum(expr("v * c")).as("n")))
     }
   )
+
+  /** The q177 core over a per-source (source, n) token-mass frame —
+    * factored so BudgetFillSpec can drive hand corpora (saturating,
+    * uniform, zero-token, single-source) against a BigInt rational
+    * brute force. See the q177 comment for semantics + overflow audit. */
+  private[llm] def budgetFill(perSource: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val all = Window.partitionBy()
+    val ord = Window.orderBy(col("wz"), col("qk"), col("source"))
+    perSource
+      .select(col("source"), col("n").cast(d38).as("n"))
+      .withColumn("w_int", expr(s"cast(floor(sqrt(cast(n as double)) * 1000000) as $d38)"))
+      .withColumn("cap", expr(s"(cast(8 as $d38) * n) div 5"))
+      .withColumn("tw", sum("w_int").over(all))
+      .withColumn("tt", sum("n").over(all))
+      .withColumn("b", expr(s"(cast(3 as $d38) * tt) div 2"))
+      .withColumn("wz", when(col("w_int") === 0, 1).otherwise(0))
+      .withColumn("qk", when(col("w_int") === 0, lit(0).cast(d38))
+        .otherwise(expr(s"(cap * cast(1000000000000000000 as $d38)) div w_int")))
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cumcap", sum("cap").over(ord))
+      .withColumn("cumw", sum("w_int").over(ord))
+      .withColumn("raw",
+        when(expr("(b - (cumcap - cap)) * w_int > cap * (tw - (cumw - w_int))"), 1)
+          .otherwise(0))
+      .withColumn("is_sat", min("raw").over(Window.orderBy("rk")) === 1)
+      .withColumn("num", col("b") -
+        coalesce(sum(when(col("is_sat"), col("cap"))).over(all), lit(0).cast(d38)))
+      .withColumn("den",
+        coalesce(sum(when(!col("is_sat"), col("w_int"))).over(all), lit(0).cast(d38)))
+      .withColumn("alloc0",
+        when(col("is_sat"), col("cap"))
+          .when(col("w_int") === 0, lit(0).cast(d38))
+          .otherwise(expr("(w_int * num) div den")))
+      .withColumn("remv",
+        when(col("is_sat"), lit(-1).cast(d38))
+          .when(col("w_int") === 0, lit(0).cast(d38))
+          .otherwise(expr("(w_int * num) % den")))
+      .withColumn("hrk",
+        row_number().over(Window.orderBy(col("remv").desc, col("source"))))
+      .withColumn("leftover", col("b") - sum("alloc0").over(all))
+      .withColumn("alloc", col("alloc0") +
+        when(!col("is_sat") && col("hrk") <= col("leftover"), 1).otherwise(0))
+      .select(col("source"), col("n").cast("long").as("n_tokens"),
+        col("cap").cast("long").as("cap_tokens"),
+        col("alloc").cast("long").as("alloc_tokens"),
+        expr(s"cast((cast(1000 as $d38) * alloc) div nullif(n, 0) as bigint)")
+          .as("epochs_milli"),
+        when(col("is_sat"), 1L).otherwise(0L).as("saturated"))
+      .orderBy("source")
+  }
 
   /** Winnowing fingerprint selection ([[qs]] q146): word-trigram md5
     * hashes, sliding-window-of-`w` minimum with rightmost tie-break
