@@ -1419,8 +1419,183 @@ object TextMining {
         |FROM h ORDER BY source""".stripMargin) { (s, dir) =>
       budgetFill(sourceLenCounts(s, dir).groupBy("source")
         .agg(sum(expr("v * c")).as("n")))
+    },
+
+    // ---- Content-defined chunk dedup census (round 16 — the
+    // sub-document companion to q38's exact doc dedup and q146's
+    // winnowing: CDC splits each document at CONTENT-determined
+    // positions — after any word-trigram whose q146 gram hash ≡ 0
+    // mod 16 (the Rabin/Gear rolling-cut idea at token granularity,
+    // ~16-token expected chunks) — so a shared passage chunks
+    // IDENTICALLY regardless of where it sits in its host document,
+    // and exact chunk-hash equality then finds repeated passages that
+    // whole-document hashing misses and winnowing only samples.
+    // Output: per source, the chunk/token mass and how much of it is
+    // a byte-exact repeat of an EARLIER chunk in corpus (doc_id, idx)
+    // order — the storage/training-token win chunk-level dedup would
+    // realize. Deterministic: first-occurrence order is total; exact
+    // integers; NULLIF guards the all-empty-source ratio on both
+    // engines. Plan at 100 TB: ONE corpus scan; the whole
+    // chunker (tokens → gram hashes → cut positions → per-chunk md5)
+    // is a map-side HOF pipeline inside the scan stage, and ONLY
+    // (doc_id, source, idx, hash, len) leaves it — chunk TEXT never
+    // crosses an exchange (the q171 discipline). One shuffle on
+    // chunk-hash for the first-occurrence window, one |sources|-
+    // bounded agg. Zero-token docs yield one empty chunk (md5('')) on
+    // both engines, counting empty-doc repeats as duplicates.
+    Q("q178_cdc_chunk_dedup",
+      """WITH w AS (SELECT doc_id, source,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, ws, len(ws) AS n,
+        |        CASE WHEN len(ws) >= 3 THEN
+        |          list_transform(
+        |            list_filter(generate_series(0, len(ws) - 3),
+        |              i -> (('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT % 16 = 0)
+        |                   AND i + 3 < len(ws)),
+        |            i -> i + 3)
+        |        ELSE [] END AS cuts
+        |      FROM w),
+        |b AS (SELECT doc_id, source, ws, n,
+        |        list_prepend(0, cuts) AS starts, list_append(cuts, n) AS ends
+        |      FROM c),
+        |ch AS (SELECT doc_id, source, (j - 1)::BIGINT AS idx,
+        |         md5(array_to_string(list_slice(ws, starts[j] + 1, ends[j]), ' ')) AS chash,
+        |         (ends[j] - starts[j])::BIGINT AS clen
+        |       FROM b, unnest(generate_series(1, len(starts))) AS t(j)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chash ORDER BY doc_id, idx) AS rn FROM ch)
+        |SELECT source,
+        |       count(*)::BIGINT AS n_chunks,
+        |       sum(clen)::BIGINT AS n_tokens,
+        |       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+        |       sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)::BIGINT AS dup_tokens,
+        |       (1000 * sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)
+        |        // NULLIF(sum(clen), 0))::BIGINT AS dup_milli
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      cdcChunks(docs(s, dir))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("chash").orderBy("doc_id", "idx")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("clen").as("n_tokens"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+          sum(when(col("rn") > 1, col("clen")).otherwise(0L)).as("dup_tokens"))
+        .withColumn("dup_milli",
+          expr("(1000 * dup_tokens) div nullif(n_tokens, 0)"))
+        .orderBy("source")
+    },
+
+    // ---- Lexical distribution-shift score (round 16 — the data-
+    // SELECTION step the mix family feeds: score every document by
+    // how much its unigram mass sits in the TARGET domain's
+    // distribution vs the whole corpus — the exact-lexical form of
+    // importance-resampling selection (hashed-ngram DSIR reduces to
+    // this when the feature space is the vocabulary itself). Target
+    // here: the declared-English slice. Per-token score of word w is
+    // f_target(w) − f_base(w) in integer micro (occurrence share of
+    // each distribution); a document's score is its per-token mean
+    // (truncating div — Spark div and DuckDB // both round toward
+    // zero, the q157 centroid discipline, so NEGATIVE scores agree
+    // too). Output per source: scored docs, mean score, and the
+    // positive-score count — the "how much of each source looks like
+    // the target" selection table. Plan at 100 TB: ONE corpus
+    // explode → per-(doc, word) counts, PERSISTED (the q156 shared-
+    // frame discipline) because both the vocabulary frequency table
+    // and the scoring join read it; the freq table is vocab-bounded
+    // (Heaps), totals reduce off IT (never the corpus) and broadcast
+    // back as one row; the scoring join re-shuffles only the
+    // (doc, word) frame on w. Zero-token docs never enter the token
+    // stream → reported column is n_scored, not n_docs; an empty
+    // target slice NULLs every score identically on both engines
+    // (NULLIF, ADVICE r15 discipline).
+    Q("q179_lexical_shift",
+      """WITH tok AS (SELECT doc_id, source, lang,
+        |               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |             FROM documents),
+        |dw AS (SELECT doc_id, source, lang, w, count(*)::BIGINT AS c
+        |       FROM tok GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT w,
+        |        sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)::HUGEINT AS ntw,
+        |        sum(c)::HUGEINT AS nbw
+        |      FROM dw GROUP BY 1),
+        |t AS (SELECT sum(ntw) AS ntt, sum(nbw) AS ntb FROM f),
+        |fr AS (SELECT w,
+        |         (1000000::HUGEINT * ntw // NULLIF(ntt, 0))::BIGINT AS ft,
+        |         (1000000::HUGEINT * nbw // NULLIF(ntb, 0))::BIGINT AS fb
+        |       FROM f, t),
+        |d AS (SELECT dw.doc_id, dw.source,
+        |        sum(c * (ft - fb))::BIGINT AS sd, sum(c)::BIGINT AS nt
+        |      FROM dw JOIN fr USING (w) GROUP BY 1, 2),
+        |sc AS (SELECT source, sd // nt AS score FROM d)
+        |SELECT source, count(*)::BIGINT AS n_scored,
+        |       (sum(score) // count(*))::BIGINT AS mean_score_micro,
+        |       sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_positive
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      lexicalShift(docs(s, dir), targetLang = "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_scored"),
+          sum("score").as("ss"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_positive"))
+        .withColumn("mean_score_micro", expr("ss div n_scored"))
+        .select("source", "n_scored", "mean_score_micro", "n_positive")
+        .orderBy("source")
     }
   )
+
+  /** The q179 scorer: per-document mean per-token (target − base)
+    * occurrence-share shift in integer micro — returns the
+    * (doc_id, source, score) frame. Factored for LexicalShiftSpec's
+    * BigInt brute-force differential. */
+  private[llm] def lexicalShift(documents: DataFrame, targetLang: String): DataFrame = {
+    val dw = documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "source", "lang", "w")
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    graft.Caches.registerPersisted(dw)
+    val f = dw.groupBy("w").agg(
+      sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("ntw"),
+      sum("c").as("nbw"))
+    val tot = f.agg(sum("ntw").as("ntt"), sum("nbw").as("ntb"))
+    val fr = f.crossJoin(broadcast(tot))
+      .select(col("w"),
+        expr("cast((cast(1000000 as decimal(38,0)) * ntw) div nullif(cast(ntt as decimal(38,0)), 0) as bigint)").as("ft"),
+        expr("cast((cast(1000000 as decimal(38,0)) * nbw) div nullif(cast(ntb as decimal(38,0)), 0) as bigint)").as("fb"))
+    dw.join(fr, "w")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c") * (col("ft") - col("fb"))).as("sd"), sum("c").as("nt"))
+      .select(col("doc_id"), col("source"), expr("sd div nt").as("score"))
+  }
+
+  /** The q178 chunker: content-defined cut positions (after any gram
+    * whose [[triHashAt]] hash ≡ 0 mod 16) → per-chunk md5 + token
+    * length, all inside the scan stage's HOF pipeline — returns the
+    * slim (doc_id, source, idx, chash, clen) frame; chunk text never
+    * leaves the map side. Factored for CdcChunkSpec's brute-force
+    * differential (re-chunk in Scala, compare chunk-by-chunk). */
+  private[llm] def cdcChunks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .withColumn("n", size(col("ws")))
+      // sequence() is guarded through greatest(): sequence(0, n-3) at
+      // n < 3 would DESCEND ([0,-1,…]) instead of being empty — the
+      // n >= 3 conjunct then empties the filter result for short docs
+      .withColumn("cuts", expr(
+        s"""transform(
+           |  filter(sequence(0, greatest(n - 3, 0)),
+           |    i -> n >= 3 AND i + 3 < n AND ${triHashAt("ws", "i")} % 16 = 0),
+           |  i -> i + 3)""".stripMargin))
+      .withColumn("pr", expr(
+        "zip_with(concat(array(0), cuts), concat(cuts, array(n)), " +
+          "(a, b) -> struct(a AS st, b AS en))"))
+      .select(col("doc_id"), col("source"), col("ws"),
+        posexplode(col("pr")).as(Seq("idx", "p")))
+      .select(col("doc_id"), col("source"), col("idx").cast("long").as("idx"),
+        expr("md5(cast(array_join(slice(ws, p.st + 1, p.en - p.st), ' ') as binary))")
+          .as("chash"),
+        expr("cast(p.en - p.st as bigint)").as("clen"))
 
   /** The q177 core over a per-source (source, n) token-mass frame —
     * factored so BudgetFillSpec can drive hand corpora (saturating,
