@@ -43,7 +43,7 @@ object Caches {
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
-      "q83_dedup_semantic", "q105_pq_adc"),
+      "q83_dedup_semantic", "q105_pq_adc", "q180_srp_transfer"),
       llm.LlmVector.release),
     (Set("q109_pagerank", "q113_triangle_count", "q122_frequent_pairs",
       "q136_bfs_hops", "q137_item_similarity"),
@@ -51,7 +51,7 @@ object Caches {
     (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift",
       "q156_source_overlap", "q158_ks_split_drift", "q159_source_terms",
       "q162_bpe_pair_counts", "q165_source_w1_lengths",
-      "q173_head_coverage"),
+      "q173_head_coverage", "q177_token_budget_fill"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

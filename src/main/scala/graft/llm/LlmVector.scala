@@ -844,8 +844,126 @@ object LlmVector {
         .select(col("label"), col("n_vecs"), col("min_nsq"), col("max_nsq"),
           expr("sum_nsq div n_vecs").as("mean_nsq"), col("zero_vecs"))
         .orderBy("label")
+    },
+
+    // ---- SRP→cosine transfer table (round 16 — the q166/q172
+    // calibration companion for the THIRD sketch family: 16-bit
+    // sign-random-projection signatures over the embedding column.
+    // [[blockedPairs]]'s docstring REJECTS hyperplane LSH for this
+    // corpus's mid-cosine near-dups on 1−θ/π grounds; this table is
+    // that claim MEASURED: per hamming distance of the true near-dup
+    // pair set, the exact signed-cos² envelope in integer micro, next
+    // to the C(16,h)/2¹⁶ random-collision share. True pairs smearing
+    // across the hamming range (they land 2–10 of 16 at sf0.01) is
+    // the printed reason banding cannot separate them — the
+    // threshold-transfer number a dedup-config decision reads before
+    // picking the blocked-exact path. Everything is engine-exact
+    // integers: hyperplane signs are md5("p:j") parity (the q146
+    // device on the plane/dim pair), vectors milli-quantize via
+    // [[QuantExpr]], bits compare the exact integer dot against 0,
+    // and signed-cos² cross-multiplies quantized norms — no float
+    // leaves any engine. Plan at 100 TB: signature + norm compute is
+    // map-only over one embeddings scan (the 16×dim sign matrix is a
+    // plan literal, never a join); the only pair work is over the
+    // MEMOIZED near-dup pair frame (|pairs|-bounded, q50/q65's
+    // family), joined twice against the slim persisted signature
+    // frame; the output is ≤ 17 rows.
+    Q("q180_srp_transfer",
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v::DOUBLE * b.v::DOUBLE) AS d
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |pr AS (SELECT vec_a, vec_b FROM dots
+        |         JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+        |       WHERE d / (na.n * nb.n) >= 0.45),
+        |q AS (SELECT vec_id, i - 1 AS j, CAST(round(v::DOUBLE * 1000) AS BIGINT) AS qv FROM e),
+        |pl AS (SELECT p, j,
+        |         CASE WHEN ('0x' || substr(md5(p || ':' || j), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+        |       FROM generate_series(0, 15) t(p), (SELECT DISTINCT j FROM q) u(j)),
+        |bits AS (SELECT vec_id, p, CASE WHEN sum(s * qv) > 0 THEN 1 ELSE 0 END AS b
+        |         FROM q JOIN pl USING (j) GROUP BY 1, 2),
+        |sg AS (SELECT vec_id, sum(b * (1::BIGINT << p))::BIGINT AS sg FROM bits GROUP BY 1),
+        |n2 AS (SELECT vec_id, sum(qv * qv)::BIGINT AS n2 FROM q GROUP BY 1),
+        |pd AS (SELECT pr.vec_a, pr.vec_b, sum(a.qv * b.qv)::BIGINT AS dq
+        |       FROM pr JOIN q a ON a.vec_id = pr.vec_a
+        |               JOIN q b ON b.vec_id = pr.vec_b AND b.j = a.j
+        |       GROUP BY 1, 2),
+        |hx AS (SELECT bit_count(xor(sa.sg, sb.sg))::BIGINT AS ham,
+        |         (CASE WHEN dq >= 0 THEN 1 ELSE -1 END
+        |          * ((1000000::HUGEINT * dq::HUGEINT * dq) // (na.n2::HUGEINT * nb.n2)))::BIGINT AS scs
+        |       FROM pd JOIN sg sa ON sa.vec_id = vec_a JOIN sg sb ON sb.vec_id = vec_b
+        |               JOIN n2 na ON na.vec_id = vec_a JOIN n2 nb ON nb.vec_id = vec_b)
+        |SELECT ham, count(*)::BIGINT AS n_pairs,
+        |       min(scs)::BIGINT AS min_scs, (sum(scs) // count(*))::BIGINT AS mean_scs,
+        |       max(scs)::BIGINT AS max_scs,
+        |       (1000 * CASE ham WHEN 0 THEN 1 WHEN 1 THEN 16 WHEN 2 THEN 120 WHEN 3 THEN 560
+        |          WHEN 4 THEN 1820 WHEN 5 THEN 4368 WHEN 6 THEN 8008 WHEN 7 THEN 11440
+        |          WHEN 8 THEN 12870 WHEN 9 THEN 11440 WHEN 10 THEN 8008 WHEN 11 THEN 4368
+        |          WHEN 12 THEN 1820 WHEN 13 THEN 560 WHEN 14 THEN 120 WHEN 15 THEN 16
+        |          ELSE 1 END // 65536)::BIGINT AS random_milli
+        |FROM hx GROUP BY ham ORDER BY ham""".stripMargin) { (s, dir) =>
+      val e = T.df(s, dir, "embeddings")
+      val dim = embDim(e)
+      val sigs = srpSignatures(e, dim).persist()
+      graft.Caches.registerPersisted(sigs)
+      blockedPairs(s, dir)
+        .join(sigs.select(col("vec_id").as("vec_a"), col("sg").as("sa"),
+          col("n2").as("na2"), col("qv").as("qa")), "vec_a")
+        .join(sigs.select(col("vec_id").as("vec_b"), col("sg").as("sb"),
+          col("n2").as("nb2"), col("qv").as("qb")), "vec_b")
+        .withColumn("dq", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("ham", expr("cast(bit_count(sa ^ sb) as bigint)"))
+        .withColumn("scs", expr(
+          """cast((case when dq >= 0 then 1 else -1 end)
+            |  * ((cast(1000000 as decimal(38,0)) * dq * dq)
+            |     div (cast(na2 as decimal(38,0)) * nb2)) as bigint)""".stripMargin))
+        .groupBy("ham")
+        .agg(count(lit(1)).as("n_pairs"), min("scs").as("min_scs"),
+          sum("scs").as("sum_scs"), max("scs").as("max_scs"))
+        .select(col("ham"), col("n_pairs"), col("min_scs"),
+          expr("sum_scs div n_pairs").as("mean_scs"), col("max_scs"),
+          expr("""(1000 * CASE ham WHEN 0 THEN 1 WHEN 1 THEN 16 WHEN 2 THEN 120
+            |  WHEN 3 THEN 560 WHEN 4 THEN 1820 WHEN 5 THEN 4368 WHEN 6 THEN 8008
+            |  WHEN 7 THEN 11440 WHEN 8 THEN 12870 WHEN 9 THEN 11440 WHEN 10 THEN 8008
+            |  WHEN 11 THEN 4368 WHEN 12 THEN 1820 WHEN 13 THEN 560 WHEN 14 THEN 120
+            |  WHEN 15 THEN 16 ELSE 1 END) div 65536""".stripMargin).as("random_milli"))
+        .orderBy("ham")
     }
   )
+
+  /** q180's deterministic hyperplane-sign matrix: `planes` × `dim` of
+    * ±1 from md5("p:j") 32-bit parity — byte-identical to the
+    * oracle's SQL md5, pinned against independently computed values
+    * by SrpTransferSpec. */
+  private[llm] def srpSigns(planes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { j =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }.toSeq
+    }.toSeq
+
+  /** 16-bit SRP signature + quantized self-dot per vector, map-only:
+    * the sign matrix rides the plan as a LITERAL (never a join), the
+    * per-plane dot is an exact integer fold over the milli-quantized
+    * vector, and bit p sets on dot > 0. Returns
+    * (vec_id, sg, n2, qv). */
+  private[llm] def srpSignatures(e: DataFrame, dim: Int): DataFrame =
+    e.filter(guardDim(dim))
+      .withColumn("qv", expr(QuantExpr))
+      .withColumn("sgns", typedLit(srpSigns(16, dim)))
+      .select(col("vec_id"),
+        expr(
+          """aggregate(sequence(0, 15), cast(0 as bigint), (acc, p) ->
+            |  acc + if(aggregate(zip_with(element_at(sgns, p + 1), qv, (s, v) -> s * v),
+            |           cast(0 as bigint), (a, x) -> a + x) > 0,
+            |        shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin)
+          .as("sg"),
+        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)").as("n2"),
+        col("qv"))
 
   /** q83's clustered dedup verdict, memoized per (session, dir) like
     * [[blockedPairs]] (the within-cluster triangle is the expensive
