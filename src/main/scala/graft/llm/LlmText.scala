@@ -2251,6 +2251,57 @@ object LlmText {
         .groupBy("csize", "nsrc")
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("csize", "nsrc")
+    },
+
+    // ---- Per-language char-class composition + fertility (round 16
+    // — the tokenizer-budget screen next to q174's label-noise check:
+    // per declared language, the alpha/digit/space/other shares of
+    // raw characters in integer milli and the chars-per-token
+    // fertility — what a tokenizer-vocabulary and token-budget
+    // decision reads per language (CJK-heavy slices run 2–3× the
+    // bytes-per-token of English; a digit- or punct-heavy slice
+    // flags boilerplate/tables). Exact integers; character counts
+    // come from regexp class strips (DuckDB needs the explicit 'g'
+    // flag Spark applies by default — the engines diverge silently
+    // without it). Plan at 100 TB: map-only per-row counts inside
+    // the scan stage, one |langs|-bounded partial agg, zero joins.
+    Q("q181_char_classes",
+      """WITH m AS (SELECT lang,
+        |             length(text)::BIGINT AS nc,
+        |             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS na,
+        |             length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS nd,
+        |             (length(text) - length(replace(text, ' ', '')))::BIGINT AS ns,
+        |             len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS nt
+        |           FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(nc)::BIGINT AS n_chars, sum(nt)::BIGINT AS n_tokens,
+        |       (1000 * sum(nc) // NULLIF(sum(nt), 0))::BIGINT AS chars_per_tok_milli,
+        |       (1000 * sum(na) // NULLIF(sum(nc), 0))::BIGINT AS alpha_milli,
+        |       (1000 * sum(nd) // NULLIF(sum(nc), 0))::BIGINT AS digit_milli,
+        |       (1000 * sum(ns) // NULLIF(sum(nc), 0))::BIGINT AS space_milli,
+        |       (1000 * (sum(nc) - sum(na) - sum(nd) - sum(ns))
+        |        // NULLIF(sum(nc), 0))::BIGINT AS other_milli
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          length(col("text")).cast("long").as("nc"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("na"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("nd"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .cast("long").as("ns"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+          sum("nt").as("n_tokens"), sum("na").as("sa"), sum("nd").as("sd"),
+          sum("ns").as("ss"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
+          expr("(1000 * n_chars) div nullif(n_tokens, 0)").as("chars_per_tok_milli"),
+          expr("(1000 * sa) div nullif(n_chars, 0)").as("alpha_milli"),
+          expr("(1000 * sd) div nullif(n_chars, 0)").as("digit_milli"),
+          expr("(1000 * ss) div nullif(n_chars, 0)").as("space_milli"),
+          expr("(1000 * (n_chars - sa - sd - ss)) div nullif(n_chars, 0)")
+            .as("other_milli"))
+        .orderBy("lang")
     }
   )
 

@@ -81,4 +81,24 @@ class CorpusScreensSpec extends SparkSpec {
     assert(out == Map((3L, 2L) -> 1L, (2L, 1L) -> 1L), out.toString)
     graft.llm.LlmText.release(spark)
   }
+
+  test("q181: char-class shares and fertility exact on a hand corpus") {
+    // en: "ab 12 c!" -> 8 chars: alpha 3, digit 2, space 2, other 1; 3 tokens
+    // de: "xyz" -> 3 chars all alpha, 1 token
+    val dir = writeDocs(Seq(
+      (1L, "ab 12 c!", "en", "s"), (2L, "xyz", "de", "s")))
+    val out = q("q181_char_classes").run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(out("en") == ((1L, 8L, 3L, 2666L, 375L, 250L, 250L, 125L)), out.toString)
+    assert(out("de") == ((1L, 3L, 1L, 3000L, 1000L, 0L, 0L, 0L)), out.toString)
+  }
+
+  test("q181: class shares partition every character (sum = 1000 within truncation)") {
+    val out = q("q181_char_classes").run(spark, "/root/testdata/sf0.001").collect()
+    out.foreach { r =>
+      val sum = r.getLong(5) + r.getLong(6) + r.getLong(7) + r.getLong(8)
+      assert(sum >= 996L && sum <= 1000L, s"${r.getString(0)}: share sum $sum")
+    }
+  }
 }
