@@ -975,6 +975,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "per-cap rollup lost map-side partials")
   }
 
+  test("q177 water-fill: zero joins, reads the memoized histogram, bounded windows only") {
+    val qe = SparkEntry.queries("q177_token_budget_fill")(spark, dir).queryExecution
+    try {
+      val p = qe.executedPlan.toString
+      assert(!p.contains("Join"), s"the allocation grew a join:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"per-source masses no longer read the cached length histogram:\n$p")
+      // every window runs over the |sources|-row aggregate frame: at
+      // most the histogram's OWN scan may appear (printed inside the
+      // InMemoryTableScan block when the cache is cold), never a
+      // second corpus pass of the query's own
+      assert("Scan parquet".r.findAllIn(p).size <= 1,
+        s"water-fill re-scanned the corpus beyond the cache build:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
+  test("q178 CDC chunks: ONE corpus scan; chunk text never crosses an exchange") {
+    val qe = SparkEntry.queries("q178_cdc_chunk_dedup")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the chunker grew a second corpus scan:\n$p")
+    assert(!p.contains("Join"), s"the census grew a join:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
+      assert(!e.contains("text#") && !e.contains("ws#"),
+        s"chunk text crosses an exchange:\n$e"))
+  }
+
+  test("q179 lexical shift: freq table and scoring join share ONE cached (doc,word) frame") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q179_lexical_shift")(spark, dir).queryExecution
+    val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+    assert(imrs.size >= 2, s"a consumer lost the cached (doc,word) frame:\n${qe.optimizedPlan}")
+    assert(imrs.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
+      "freq table and scoring join materialize DIFFERENT frames instead of sharing one")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"totals broadcast degenerated:\n$p")
+  }
+
+  test("q180 SRP transfer: pair work reads the memoized caches; no cartesian") {
+    val qe = SparkEntry.queries("q180_srp_transfer")(spark, dir).queryExecution
+    try {
+      val p = qe.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"transfer table re-derives the pair/signature frames:\n$p")
+      assert(!p.contains("CartesianProduct"), s"pair stage degenerated:\n$p")
+    } finally llm.LlmVector.release(spark)
+  }
+
+  test("q181 char classes: ONE corpus scan, map-side partials, no join") {
+    val p = plan("q181_char_classes")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the screen grew a second corpus scan:\n$p")
+    assert(!p.contains("Join"), s"the screen grew a join:\n$p")
+    assert(p.contains("partial_count"), "lang rollup lost map-side partials")
+  }
+
   test("q171 corpus diff: text never crosses the full-outer join") {
     val qe = SparkEntry.queries("q171_corpus_version_diff")(spark, dir).queryExecution
     val p = qe.executedPlan.toString
