@@ -1573,9 +1573,25 @@ object TextMining {
     * length, all inside the scan stage's HOF pipeline — returns the
     * slim (doc_id, source, idx, chash, clen) frame; chunk text never
     * leaves the map side. Factored for CdcChunkSpec's brute-force
-    * differential (re-chunk in Scala, compare chunk-by-chunk). */
+    * differential (re-chunk in Scala, compare chunk-by-chunk).
+    *
+    * The explode is posexplode_OUTER, and that choice is a 28×
+    * measured win, not a semantics change: an inner Generate makes
+    * `InferFiltersFromGenerate` add `size(pr) > 0` BELOW the chunker
+    * projections, and after predicate pushdown that filter holds the
+    * whole inlined expression tree — where every `element_at(ws, i+k)`
+    * re-inlines `filter(split(text))`, so the "filter" re-tokenized
+    * the entire document once per trigram position: O(n²) tokenize
+    * work per doc, 18.4 s for the 5k-doc sf0.1 corpus vs 0.65 s
+    * without it. An outer Generate gets no inferred filter; `pr` is
+    * built as zip_with(concat([0], cuts), concat(cuts, [n]), …) so it
+    * always has ≥ 1 element for non-null text, making outer ≡ inner.
+    * Null-text docs are dropped by the pushed `text IS NOT NULL` scan
+    * filter — the same rows DuckDB's `unnest(generate_series(1,
+    * NULL))` drops — so the engines still agree on degenerate rows. */
   private[llm] def cdcChunks(documents: DataFrame): DataFrame =
     documents
+      .where(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .withColumn("n", size(col("ws")))
@@ -1591,7 +1607,7 @@ object TextMining {
         "zip_with(concat(array(0), cuts), concat(cuts, array(n)), " +
           "(a, b) -> struct(a AS st, b AS en))"))
       .select(col("doc_id"), col("source"), col("ws"),
-        posexplode(col("pr")).as(Seq("idx", "p")))
+        posexplode_outer(col("pr")).as(Seq("idx", "p")))
       .select(col("doc_id"), col("source"), col("idx").cast("long").as("idx"),
         expr("md5(cast(array_join(slice(ws, p.st + 1, p.en - p.st), ' ') as binary))")
           .as("chash"),
