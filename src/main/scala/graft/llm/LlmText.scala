@@ -868,6 +868,65 @@ object LlmText {
        |         ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2)"""
       .stripMargin
 
+  /** q172's per-pair exact-Jaccard verification, DIRECT form: join the
+    * emitted pair frame to the persisted shingle sets twice and
+    * intersect per doc pair. Right when content is mostly distinct
+    * (every pair is its own content pair; a class collapse would add
+    * a wide groupBy for nothing). Returns (hamming, m = 1, jm). */
+  private[llm] def transferJmDirect(s: SparkSession, dir: String): DataFrame = {
+    val sz = docShingles(s, dir)
+    simhashHamPairs(s, dir)
+      .join(sz.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("hamming"), lit(1L).as("m"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ss"))
+      .select(col("hamming"), col("m"),
+        expr("(1000 * inter) div (ss - inter)").as("jm"))
+  }
+
+  /** q172's verification, CONTENT-CLASS COLLAPSED form (the q66/q124
+    * hot-bucket defense carried through the verify stage): docs map to
+    * their distinct-shingle-set class via a slim (doc_id, cid) frame,
+    * pair multiplicities reduce per (hamming, unordered class pair)
+    * BEFORE any array moves, and array_intersect runs ONCE per
+    * distinct content pair. Returns (hamming, m, jm) with m the member
+    * multiplicity — the same pair population as the direct form
+    * (jm depends only on the shingle sets, so min/max/Σ m·jm agree
+    * exactly; SimhashTransferSpec pins both forms equal). Under
+    * clone-heavy duplication the per-pair verify was the whole cost:
+    * a 10×-cloned corpus multiplies member pairs 45× per duplicated
+    * content, and the direct form read 23.1 s vs 1.84 base (12.6×);
+    * collapsed, the same adversary prices at 1.4× — counting instead
+    * of intersecting. */
+  private[llm] def transferJmCollapsed(s: SparkSession, dir: String): DataFrame = {
+    val cls = docShingles(s, dir)
+      .groupBy(sort_array(col("sh")).as("shs"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("cid", element_at(col("ids"), 1))
+    val docCid = cls.select(explode(col("ids")).as("doc_id"), col("cid"))
+    val reps = cls.select(col("cid"), col("shs"), size(col("shs")).as("n"))
+    simhashHamPairs(s, dir)
+      .join(docCid.select(col("doc_id").as("doc_a"), col("cid").as("ca")), "doc_a")
+      .join(docCid.select(col("doc_id").as("doc_b"), col("cid").as("cb")), "doc_b")
+      // multiplicity per (hamming, unordered content pair): arrays
+      // have not moved yet — this shuffle is four longs per pair
+      .groupBy(col("hamming"),
+        least(col("ca"), col("cb")).as("cid_a"),
+        greatest(col("ca"), col("cb")).as("cid_b"))
+      .agg(count(lit(1)).as("m"))
+      // ONE exact verification per distinct content pair
+      .join(reps.select(col("cid").as("cid_a"), col("shs").as("sh_a"),
+        col("n").as("na")), "cid_a")
+      .join(reps.select(col("cid").as("cid_b"), col("shs").as("sh_b"),
+        col("n").as("nb")), "cid_b")
+      .select(col("hamming"), col("m"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (col("na") + col("nb")).cast("long").as("ss"))
+      .select(col("hamming"), col("m"),
+        expr("(1000 * inter) div (ss - inter)").as("jm"))
+  }
+
   /** q66's pair computation, factored for q172: kernel SimHash per
     * doc, sketch-class collapse (hamming-0 = within-class pairs;
     * cross-class candidates from a 3×10-bit band join over DISTINCT
@@ -2138,9 +2197,15 @@ object LlmText {
     // undefined) are excluded by the size join on BOTH engines.
     // Plan: the pair set is [[simhashHamPairs]] (bounded — its build
     // is q66's priced path over the shared token-hash cache); the
-    // exact verification joins the ≤ |pairs|-row frame to the
-    // persisted shingle sets twice — never a corpus self-join; output
-    // is ≤ 3 rows.
+    // exact verification picks its regime ADAPTIVELY from the same
+    // duplication probe as [[lshPairs]] (one cheap aggregate, a
+    // statistic only): mostly-distinct content verifies per doc pair
+    // ([[transferJmDirect]]); clone-heavy content collapses to ONE
+    // array_intersect per distinct content pair with multiplicity
+    // re-weighting ([[transferJmCollapsed]] — min/max are
+    // multiplicity-invariant, the mean re-weights by Σ m·jm, exact
+    // integers, identical pair population; SimhashTransferSpec pins
+    // the forms equal). Never a corpus self-join; output ≤ 3 rows.
     Q("q172_simhash_jaccard_transfer",
       simhashPairsCore + s""",
         |ji AS (SELECT hp.doc_a, hp.doc_b, hp.hamming, count(*) AS inter
@@ -2157,17 +2222,15 @@ object LlmText {
         |       min(jm)::BIGINT AS min_jm, max(jm)::BIGINT AS max_jm,
         |       (sum(jm) // count(*))::BIGINT AS mean_jm
         |FROM jm GROUP BY 1 ORDER BY hamming""".stripMargin) { (s, dir) =>
-      val sz = docShingles(s, dir)
-      simhashHamPairs(s, dir)
-        .join(sz.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("hamming"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
-          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ss"))
-        .select(col("hamming"), expr("(1000 * inter) div (ss - inter)").as("jm"))
-        .groupBy("hamming")
-        .agg(count(lit(1)).as("n_pairs"), min("jm").as("min_jm"),
-          max("jm").as("max_jm"), sum("jm").as("sum_jm"))
+      val docs = docShingles(s, dir)
+      val st = docs.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("sh"))).as("c")).first()
+      val distinctRatio = st.getLong(1).toDouble / math.max(1L, st.getLong(0))
+      val jm = if (distinctRatio < CollapseBelow) transferJmCollapsed(s, dir)
+               else transferJmDirect(s, dir)
+      jm.groupBy("hamming")
+        .agg(sum("m").as("n_pairs"), min("jm").as("min_jm"),
+          max("jm").as("max_jm"), sum(col("jm") * col("m")).as("sum_jm"))
         .select(col("hamming"), col("n_pairs"), col("min_jm"), col("max_jm"),
           expr("sum_jm div n_pairs").as("mean_jm"))
         .orderBy("hamming")

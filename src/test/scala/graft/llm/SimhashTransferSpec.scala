@@ -44,4 +44,32 @@ class SimhashTransferSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum <= q66pairs.length)
     graft.llm.LlmText.release(spark)
   }
+
+  test("direct and collapsed verification agree on fixture and clones") {
+    import spark.implicits._
+    def table(jm: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      jm.groupBy("hamming")
+        .agg(sum("m").as("n_pairs"), min("jm").as("min_jm"),
+          max("jm").as("max_jm"), sum(col("jm") * col("m")).as("sum_jm"))
+        .orderBy("hamming")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    // the real fixture (mostly-distinct regime)
+    val fx = "/root/testdata/sf0.001"
+    assert(table(graft.llm.LlmText.transferJmDirect(spark, fx)) ==
+      table(graft.llm.LlmText.transferJmCollapsed(spark, fx)))
+    graft.llm.LlmText.release(spark)
+    // a clone-heavy corpus (collapse regime): 3 contents × 4 clones,
+    // contents near-identical so cross-class hamming ≤ 2 pairs exist
+    val dir = java.nio.file.Files.createTempDirectory("shtrans2").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val rows = for (c <- 0 until 3; k <- 0 until 4) yield
+      (c * 4 + k + 1L, s"$base extra$c", "en", "s", 10L)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(table(graft.llm.LlmText.transferJmDirect(spark, dir)) ==
+      table(graft.llm.LlmText.transferJmCollapsed(spark, dir)))
+    graft.llm.LlmText.release(spark)
+  }
 }
