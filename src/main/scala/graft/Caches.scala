@@ -39,7 +39,8 @@ object Caches {
       "q132_dedup_containment", "q135_containment_incremental",
       "q166_lsh_recall_calib", "q167_dedup_threshold_curve",
       "q169_dedup_yield", "q172_simhash_jaccard_transfer",
-      "q176_cluster_sources"),
+      "q176_cluster_sources", "q182_soft_dedup_mass",
+      "q183_cluster_cohesion", "q185_lsh_band_census"),
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
@@ -51,7 +52,8 @@ object Caches {
     (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift",
       "q156_source_overlap", "q158_ks_split_drift", "q159_source_terms",
       "q162_bpe_pair_counts", "q165_source_w1_lengths",
-      "q173_head_coverage", "q177_token_budget_fill"),
+      "q173_head_coverage", "q177_token_budget_fill",
+      "q184_curriculum_interleave", "q187_hapax_ttr"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

@@ -2316,6 +2316,165 @@ object LlmText {
         .orderBy("csize", "nsrc")
     },
 
+    // ---- Soft-dedup effective token mass (round 16 — the
+    // down-weighting alternative to q169's hard drop: SoftDeDup-style
+    // curation keeps every duplicate but weights each doc by
+    // 1/cluster_size, so a 10-wide mirror family contributes one
+    // doc's worth of gradient instead of zero or ten. Per source:
+    // raw mass, the effective mass Σ (1e6·nt) div csize in integer
+    // micro (per-doc truncation, same order both engines), and the
+    // soft yield in milli — read next to q169's hard yield, the gap
+    // between them is exactly the mass hard dedup destroys that soft
+    // dedup preserves. Plan at 100 TB: the component table is the
+    // MEMOIZED q57 cache (drop-set-scale); cluster sizes are one
+    // bounded agg over it; the corpus joins LEFT to that slim
+    // (doc_id, csize) frame — docs outside any cluster take csize 1
+    // via coalesce, and the per-source agg partial-combines
+    // map-side. No corpus self-join, no second corpus scan.
+    Q("q182_soft_dedup_mass",
+      clustersCore + """,
+        |sz AS (SELECT cluster_rep, count(*) AS csize FROM comp GROUP BY 1),
+        |tok AS (SELECT doc_id, source,
+        |          len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS nt
+        |        FROM documents),
+        |w AS (SELECT t.source, t.nt, coalesce(s.csize, 1) AS csize
+        |      FROM tok t LEFT JOIN comp c USING (doc_id)
+        |                 LEFT JOIN sz s ON s.cluster_rep = c.cluster_rep)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        |       sum((1000000 * nt) // csize)::BIGINT AS eff_tokens_micro,
+        |       (sum((1000000 * nt) // csize)
+        |          // NULLIF(1000 * sum(nt), 0))::BIGINT AS soft_yield_milli
+        |FROM w GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val csize = docComponents(s, dir)
+        .groupBy("cluster_rep").agg(count(lit(1)).as("csize"))
+      val docCsize = docComponents(s, dir)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .join(csize, "cluster_rep")
+        .select(col("doc_id"), col("csize"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("nt"))
+        .join(docCsize, Seq("doc_id"), "left")
+        .select(col("source"), col("nt"),
+          coalesce(col("csize"), lit(1L)).as("csize"))
+        .groupBy("source")
+        // the micro sum is corpus-scaled ×1e6 — decimal(38,0) like
+        // q155 (DuckDB's SUM is already HUGEINT), int64 wraps at the
+        // 100 TB regime; the per-doc (1e6·nt) div csize stays in int64
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum(expr("cast((1000000 * nt) div csize as decimal(38,0))")).as("eff"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("eff").cast("long").as("eff_tokens_micro"),
+          expr("cast(eff div nullif(cast(1000 as decimal(38,0)) * n_tokens, 0) as long)")
+            .as("soft_yield_milli"))
+        .orderBy("source")
+    },
+
+    // ---- Dup-cluster cohesion audit (round 16 — the transitive-
+    // closure dilution check: q57's clusters are closures over
+    // verified pairs, so a CHAIN a–b–c can club docs whose direct
+    // similarity was never verified; before deleting per cluster_rep
+    // a curator wants to know how dense each cluster's verified-edge
+    // graph actually is. Per cluster size: cluster count, the closure
+    // pair mass Σ C(csize,2), the verified-edge mass, edge density in
+    // milli (1000 = every in-cluster pair was directly verified — no
+    // chaining), and the min/mean verified-edge Jaccard in milli.
+    // CRUCIALLY this never enumerates closure pairs — the quadratic
+    // C(csize,2) appears only as ARITHMETIC on the size census, so a
+    // 100 TB mega-cluster costs nothing extra: both inputs are the
+    // memoized q57 component table and the memoized q41/q57 verified
+    // pair frame (pair-scale, bounded), each reduced to census scale
+    // before the 2-row join.
+    Q("q183_cluster_cohesion",
+      clustersCore + """,
+        |sz AS (SELECT cluster_rep, count(*) AS csize FROM comp GROUP BY 1),
+        |pj AS (SELECT c.cluster_rep, (1000 * p.inter) // p.uni AS jm
+        |       FROM pairs p JOIN comp c ON c.doc_id = p.doc_a),
+        |es AS (SELECT cluster_rep, count(*) AS n_edges,
+        |              min(jm) AS min_jm, sum(jm) AS sum_jm
+        |       FROM pj GROUP BY 1),
+        |cl AS (SELECT s.csize, s.cluster_rep, e.n_edges, e.min_jm, e.sum_jm
+        |       FROM sz s JOIN es e USING (cluster_rep))
+        |SELECT csize::BIGINT AS csize, count(*)::BIGINT AS n_clusters,
+        |       (count(*) * csize * (csize - 1) // 2)::BIGINT AS closure_pairs,
+        |       sum(n_edges)::BIGINT AS edge_pairs,
+        |       (1000 * sum(n_edges)
+        |          // (count(*) * csize * (csize - 1) // 2))::BIGINT AS density_milli,
+        |       min(min_jm)::BIGINT AS min_jm,
+        |       (sum(sum_jm) // sum(n_edges))::BIGINT AS mean_jm
+        |FROM cl GROUP BY csize ORDER BY csize""".stripMargin) { (s, dir) =>
+      val comp = docComponents(s, dir)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+      val sz = comp.groupBy("cluster_rep").agg(count(lit(1)).as("csize"))
+      // every pair member is in comp by construction; doc_a's rep IS
+      // the pair's cluster (doc_b shares it — same component)
+      val es = lshPairs(s, dir)
+        .select(col("doc_a").as("doc_id"), expr("(1000 * inter) div uni").as("jm"))
+        .join(comp, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(count(lit(1)).as("n_edges"), min("jm").as("min_jm"),
+          sum("jm").as("sum_jm"))
+      sz.join(es, "cluster_rep")
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"), sum("n_edges").as("edge_pairs"),
+          min("min_jm").as("min_jm"), sum("sum_jm").as("sum_jm_all"))
+        .withColumn("closure_pairs",
+          expr("n_clusters * csize * (csize - 1) div 2"))
+        .withColumn("density_milli",
+          expr("(1000 * edge_pairs) div closure_pairs"))
+        .withColumn("mean_jm", expr("sum_jm_all div edge_pairs"))
+        .select(col("csize"), col("n_clusters"), col("closure_pairs"),
+          col("edge_pairs"), col("density_milli"), col("min_jm"),
+          col("mean_jm"))
+        .orderBy("csize")
+    },
+
+    // ---- LSH band-bucket census (round 16 — the OBSERVABILITY table
+    // for the q41/q89 candidate stage: per band, the bucket-size
+    // histogram of the 16 MinHash band keys and the candidate-pair
+    // mass Σ C(size,2) each size class implies. Hot buckets are THE
+    // quadratic scale risk of any LSH join (the q66/q124 collapse
+    // exists because of them); this prices that risk as a census
+    // WITHOUT enumerating a single candidate pair — the C(size,2)
+    // appears only as arithmetic on the histogram, so the table costs
+    // two bounded shuffles even when a bucket would explode the join.
+    // A deployment reads it before every dedup run: a bucket-size
+    // tail growing faster than the corpus says switch regimes (class
+    // collapse / df-capping), measured, not guessed. Band keys are
+    // the [[graft.plans.TextKernels.minhashBands]] kernel — map-only
+    // from the persisted shingle sets (zero exchanges to band rows,
+    // the q41 plan); the oracle recomputes the full 64-seed/16-band
+    // family relationally (same hash family as q40's 8-seed slice).
+    Q("q185_lsh_band_census", {
+      import graft.llm.TextHash.{ABase, M}
+      s"""$sqlPrelude,
+         |mh AS (SELECT doc_id, s, min((sh * (($ABase * s) % $M) + 7919 * s) % $M) AS mn
+         |       FROM dsh CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS s)
+         |       GROUP BY 1, 2),
+         |bk AS (SELECT doc_id, (s - 1) // 4 AS band,
+         |         ((((max(CASE WHEN (s - 1) % 4 = 0 THEN mn END) * 31
+         |             + max(CASE WHEN (s - 1) % 4 = 1 THEN mn END)) % $M * 31
+         |             + max(CASE WHEN (s - 1) % 4 = 2 THEN mn END)) % $M * 31
+         |             + max(CASE WHEN (s - 1) % 4 = 3 THEN mn END)) % $M) AS bkey
+         |       FROM mh GROUP BY 1, 2),
+         |bu AS (SELECT band, bkey, count(*) AS bucket_size FROM bk GROUP BY 1, 2)
+         |SELECT band::BIGINT AS band, bucket_size::BIGINT AS bucket_size,
+         |       count(*)::BIGINT AS n_buckets,
+         |       (bucket_size * (bucket_size - 1) // 2 * count(*))::BIGINT AS cand_pairs
+         |FROM bu GROUP BY band, bucket_size ORDER BY band, bucket_size""".stripMargin
+    }) { (s, dir) =>
+      docShingles(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.plans.TextKernels.minhashBands(col("sh")))
+            .as(Seq("band", "bkey")))
+        .groupBy("band", "bkey").agg(count(lit(1)).as("bucket_size"))
+        .groupBy("band", "bucket_size").agg(count(lit(1)).as("n_buckets"))
+        .select(col("band").cast("long").as("band"), col("bucket_size"),
+          col("n_buckets"),
+          expr("bucket_size * (bucket_size - 1) div 2 * n_buckets").as("cand_pairs"))
+        .orderBy("band", "bucket_size")
+    },
+
     // ---- Per-language char-class composition + fertility (round 16
     // — the tokenizer-budget screen next to q174's label-noise check:
     // per declared language, the alpha/digit/space/other shares of

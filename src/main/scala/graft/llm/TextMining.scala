@@ -920,6 +920,41 @@ object TextMining {
         .orderBy("source", "rank")
     },
 
+    // ---- Hapax / type-token vocabulary health (round 16 — the third
+    // vocab screen next to q168 (growth) and q173 (head coverage):
+    // per source, the type count, the hapax and dis legomena counts
+    // (types seen once / twice), hapax share in milli, and the
+    // type-token ratio in micro. A hapax share far above the corpus
+    // norm flags OCR noise / mojibake / id-like junk (each garble is
+    // its own type); a TTR collapse flags boilerplate or template
+    // spam — both read per source, where remediation acts. Exact
+    // integers. Plan at 100 TB: both aggregates reduce off the
+    // MEMOIZED (source, word, count) frame (the q159 cache —
+    // vocab-bounded by Heaps, never corpus-bounded), one
+    // |sources|-bounded agg, zero corpus scans of its own, no joins.
+    Q("q187_hapax_ttr",
+      """WITH sw AS (SELECT source, w, count(*)::BIGINT AS c
+        |            FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |                  FROM documents)
+        |            GROUP BY 1, 2)
+        |SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |       count(*) FILTER (WHERE c = 1)::BIGINT AS hapax,
+        |       count(*) FILTER (WHERE c = 2)::BIGINT AS dis,
+        |       (1000 * count(*) FILTER (WHERE c = 1) // count(*))::BIGINT AS hapax_milli,
+        |       (1000000 * count(*) // sum(c))::BIGINT AS ttr_micro
+        |FROM sw GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      sourceTermCounts(s, dir)
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("hapax"), col("dis"),
+          expr("(1000 * hapax) div n_types").as("hapax_milli"),
+          expr("(1000000 * n_types) div n_tokens").as("ttr_micro"))
+        .orderBy("source")
+    },
+
     // ---- Multi-signal quality blend (round 15 — the curation
     // capstone: combine heterogeneous quality signals with different
     // units/scales into one score by QUANTILE position, the standard
@@ -1419,6 +1454,65 @@ object TextMining {
         |FROM h ORDER BY source""".stripMargin) { (s, dir) =>
       budgetFill(sourceLenCounts(s, dir).groupBy("source")
         .agg(sum(expr("v * c")).as("n")))
+    },
+
+    // ---- Deterministic curriculum interleave (round 16 — the data
+    // ORDERING step after q155/q177 decide the mix: short-first
+    // within each source (token count as the difficulty proxy, the
+    // standard length curriculum), sources interleaved round-robin at
+    // equal per-source position so no source monopolizes any training
+    // window. Output: each doc's per-source position p and its global
+    // curriculum rank — a permutation of 1..N, byte-deterministic.
+    // Plan at 100 TB — TWO scale devices replace the naive windows:
+    // (1) p is NOT one giant per-source sort (the q97 single-task
+    // skew): it decomposes counting-sort style into a prefix over the
+    // MEMOIZED value-bounded (source, length, count) histogram
+    // [[sourceLenCounts]] (broadcast back) plus a tie row_number
+    // partitioned by (source, length) — per-task work is one source's
+    // single length class, not the source; (2) global_rank is NOT a
+    // global row_number (one task over the corpus): with per-source
+    // totals n_s broadcast as a |sources|-row array, the rank of
+    // (p, source) in the (p, source) lex order is CLOSED-FORM —
+    // Σ_s' min(n_s', p−1) counts every doc at an earlier position,
+    // + |{s' < source : n_s' ≥ p}| counts same-position docs from
+    // earlier sources — one HOF fold per row, map-side, zero
+    // exchanges. Both engines agree exactly (integer arithmetic,
+    // total order (nt, doc_id) is tie-free).
+    Q("q184_curriculum_interleave",
+      """WITH tok AS (SELECT doc_id, source,
+        |               len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS nt
+        |             FROM documents),
+        |pp AS (SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY nt, doc_id)::BIGINT AS p
+        |       FROM tok)
+        |SELECT doc_id, source, p,
+        |       row_number() OVER (ORDER BY p, source)::BIGINT AS global_rank
+        |FROM pp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("nt"))
+      val pre = sourceLenCounts(s, dir)
+        .withColumn("pre", coalesce(sum("c").over(
+          Window.partitionBy("source").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("v").as("nt"), col("pre"))
+      val srcs = sourceLenCounts(s, dir)
+        .groupBy("source").agg(sum("c").as("n"))
+        .agg(sort_array(collect_list(struct(col("source").as("s"),
+          col("n").as("n")))).as("sa"))
+      perDoc
+        .withColumn("tie", row_number().over(
+          Window.partitionBy("source", "nt").orderBy("doc_id")).cast("long"))
+        .join(broadcast(pre), Seq("source", "nt"))
+        .withColumn("p", col("pre") + col("tie"))
+        .crossJoin(broadcast(srcs))
+        .withColumn("global_rank", expr(
+          """1 + aggregate(sa, cast(0 as bigint), (acc, x) ->
+            |  acc + least(x.n, p - 1)
+            |      + IF(x.s < source AND x.n >= p, cast(1 as bigint),
+            |           cast(0 as bigint)))""".stripMargin))
+        .select(col("doc_id"), col("source"), col("p"), col("global_rank"))
+        .orderBy("doc_id")
     },
 
     // ---- Content-defined chunk dedup census (round 16 — the

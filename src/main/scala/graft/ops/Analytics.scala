@@ -466,6 +466,45 @@ object Analytics {
         .select(col("seg"), est.as("est_parts"), col("true_parts"),
           (abs(est - col("true_parts")) * 5 <= col("true_parts")).as("ok_est"))
         .orderBy("seg")
+    },
+
+    // ---- Join-key skew census (round 16 — the observability table a
+    // 100 TB join planner reads BEFORE picking broadcast / salting /
+    // AQE skew-join (q61's salt factor is exactly this table's max
+    // frequency): per key frequency of l_orderkey, the key count,
+    // row mass, and the cumulative hot-side mass share in milli
+    // (reading from the hottest class down — "the top classes with
+    // cum_hot_milli ≤ X carry X‰ of the join's probe work"). The
+    // quadratic risk this prices is the same one q185 prices for LSH
+    // buckets: a skewed build key multiplies one task's work by its
+    // frequency. Plan: ONE partial-agg shuffle on the key (the very
+    // shuffle the real join would do — the census costs what one
+    // map-side-combined count costs), a frequency-histogram second
+    // agg (value-bounded: |distinct frequencies| rows), and the
+    // cumulative window over that bounded frame. Exact integers;
+    // frequencies are distinct in the histogram so the desc window
+    // order is total.
+    Q("q186_join_key_skew",
+      """WITH kc AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |h AS (SELECT f, count(*) AS n_keys, (f * count(*))::BIGINT AS mass
+        |      FROM kc GROUP BY 1)
+        |SELECT f::BIGINT AS freq, n_keys::BIGINT AS n_keys, mass,
+        |       (1000 * sum(mass) OVER (ORDER BY f DESC)
+        |          // (SELECT sum(mass) FROM h))::BIGINT AS cum_hot_milli
+        |FROM h ORDER BY freq""".stripMargin) { (s, dir) =>
+      val h = T.df(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("n_keys"))
+        .withColumn("mass", col("f") * col("n_keys"))
+      h.withColumn("cum",
+          sum("mass").over(Window.orderBy(col("f").desc)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("mass").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("f").as("freq"), col("n_keys"), col("mass"),
+          expr("(1000 * cum) div tot").as("cum_hot_milli"))
+        .orderBy("freq")
     }
   )
 

@@ -1046,4 +1046,66 @@ class PlanSpec extends SparkSpec {
     exchanges.foreach(e => assert(!e.contains("text#"),
       s"document text crosses an exchange:\n$e"))
   }
+
+  test("q182 soft mass: component cache reuse, slim left join, partial agg") {
+    val qe = SparkEntry.queries("q182_soft_dedup_mass")(spark, dir).queryExecution
+    try {
+      val p = qe.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"soft mass re-derives the q57 component table:\n$p")
+      assert(!p.contains("CartesianProduct"), s"csize join degenerated:\n$p")
+      assert(p.contains("partial_sum"), "per-source mass lost map-side partials")
+      // the doc-side exchange (if any) carries counts, never text
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
+        assert(!e.contains("text#"), s"document text crosses an exchange:\n$e"))
+    } finally llm.LlmText.release(spark)
+  }
+
+  test("q183 cohesion: reads ONLY the memoized pair + component frames") {
+    val qe = SparkEntry.queries("q183_cluster_cohesion")(spark, dir).queryExecution
+    try {
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size >= 2,
+        s"cohesion lost a cached input (pairs or components):\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"closure pairs are arithmetic, never enumerated:\n$p")
+      // census-scale shuffles only: no exchange carries document text
+      // (the cache BUILD plans print inside InMemoryTableScan and may
+      // legitimately scan text — the query's own exchanges must not)
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
+        assert(!e.contains("text#"), s"document text crosses an exchange:\n$e"))
+    } finally llm.LlmText.release(spark)
+  }
+
+  test("q184 curriculum: bounded-frame broadcasts, no global rank window") {
+    val qe = SparkEntry.queries("q184_curriculum_interleave")(spark, dir).queryExecution
+    try {
+      val p = qe.executedPlan.toString
+      // the prefix histogram and the |sources| totals array broadcast;
+      // the corpus is never sort-merge joined
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"histogram/totals join degenerated:\n$p")
+      // exactly ONE row_number (the (source, length) tie-rank); the
+      // global rank is the closed-form fold, never a one-task window
+      assert("row_number".r.findAllIn(p).size == 1,
+        s"global rank regrew a corpus-scale window:\n$p")
+      // the tie window partitions by (source, nt), not source alone
+      assert(p.contains("windowspecdefinition(source"), s"window lost its spec:\n$p")
+      assert(p.contains("nt#"), s"tie window no longer keyed by length:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
+  test("q185 band census: map-only to band keys, two bounded shuffles, no join") {
+    val qe = SparkEntry.queries("q185_lsh_band_census")(spark, dir).queryExecution
+    try {
+      val p = qe.executedPlan.toString
+      assert(!p.contains("Join"), s"the census grew a join:\n$p")
+      assert(p.contains("minhash_bands"), "band keys no longer the native kernel")
+      assert(p.contains("partial_count"), "bucket sizing lost map-side partials")
+      // candidate mass is arithmetic on the histogram: no pair columns
+      assert(!p.contains("doc_a"), s"census enumerated candidate pairs:\n$p")
+    } finally llm.LlmText.release(spark)
+  }
 }
