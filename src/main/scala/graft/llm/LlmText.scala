@@ -2524,6 +2524,45 @@ object LlmText {
           expr("(1000 * (n_chars - sa - sd - ss)) div nullif(n_chars, 0)")
             .as("other_milli"))
         .orderBy("lang")
+    },
+
+    // ---- Shuffle run-length census (round 16 — the VERIFICATION
+    // instrument for q99's deterministic shuffle, the way q185/q186/
+    // q188 verify the dedup/join/SemDeDup stages: training order
+    // matters (a run of same-source docs surviving the shuffle is a
+    // gradient-correlation pathology — crawl batches arriving
+    // contiguous), so after the shuffle a deployment reads, per
+    // source, the run-length histogram of consecutive same-source
+    // docs in shard order. A healthy shuffle shows geometric-decay
+    // runs; a fat tail names the source whose ids alias the shard
+    // hash. Runs are gaps-and-islands arithmetic (the q125 device):
+    // per-shard position minus per-(shard, source) position is
+    // constant exactly along a run. Plan at 100 TB: both windows
+    // partition by shard (q99's contract — shards scale with writer
+    // tasks, one bounded partition per task), the manifest frame is
+    // slim (doc_id, source, hv) — text never enters — and the census
+    // aggregates are value-bounded (run lengths), never corpus-wide.
+    Q("q189_shuffle_run_census",
+      s"""WITH h AS (SELECT doc_id, source,
+         |  (doc_id * ${TextHash.ABase} + 7919) % ${TextHash.M} AS hv FROM documents),
+         |p AS (SELECT source, hv % 16 AS shard,
+         |        row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos,
+         |        row_number() OVER (PARTITION BY hv % 16, source ORDER BY hv, doc_id) AS sp
+         |      FROM h),
+         |r AS (SELECT source, shard, pos - sp AS grp, count(*)::BIGINT AS run_len
+         |      FROM p GROUP BY 1, 2, 3)
+         |SELECT source, run_len, count(*)::BIGINT AS n_runs
+         |FROM r GROUP BY 1, 2 ORDER BY source, run_len""".stripMargin) { (s, dir) =>
+      val nShards = s.conf.getOption("spark.graft.shards").map(_.toInt).getOrElse(16)
+      shardKeyed(T.df(s, dir, "documents").select("doc_id", "source"), nShards)
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("shard").orderBy("hv", "doc_id")).cast("long"))
+        .withColumn("sp", row_number()
+          .over(Window.partitionBy("shard", "source").orderBy("hv", "doc_id")).cast("long"))
+        .groupBy(col("source"), col("shard"), (col("pos") - col("sp")).as("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("source", "run_len").agg(count(lit(1)).as("n_runs"))
+        .orderBy("source", "run_len")
     }
   )
 

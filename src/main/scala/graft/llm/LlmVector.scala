@@ -930,6 +930,59 @@ object LlmVector {
             |  WHEN 11 THEN 4368 WHEN 12 THEN 1820 WHEN 13 THEN 560 WHEN 14 THEN 120
             |  WHEN 15 THEN 16 ELSE 1 END) div 65536""".stripMargin).as("random_milli"))
         .orderBy("ham")
+    },
+
+    // ---- Semantic-cluster occupancy census (round 16 — the third
+    // quadratic-risk observability table, closing the trilogy with
+    // q185's LSH bucket census and q186's join-key skew census: q83's
+    // within-cluster exact pass costs Σ C(csize,2) pair work, so a
+    // deployment reads THIS before every SemDeDup run — per cluster
+    // the vector count, the triangle pair mass, the sub-block count
+    // the [[SemSubCap]] skew cap would split it into, the resulting
+    // block-pair task count, and the cluster's share of total pair
+    // work in milli. A share concentrating in one cluster says re-fit
+    // pivots or lower the cap BEFORE paying the triangle. The
+    // C(csize,2) mass is ARITHMETIC on the census — no pair is
+    // enumerated (the q185/q186 device). Plan at 100 TB: assignment is
+    // the map-only [[graft.plans.NearestPivots]] kernel projection
+    // (zero exchanges scan → cluster), ONE partial-agg shuffle to
+    // |SemK| rows, and the share window runs over that bounded frame.
+    // Pivots are the SQL-replicable first-[[SemK]] unit-norm vectors
+    // (q83's contract-asserted device), so the census has an exact
+    // DuckDB oracle, unlike the k-means IVF fit.
+    Q("q188_sem_cluster_census",
+      s"""WITH e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |           FROM embeddings),
+         |nrm AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM e GROUP BY vec_id),
+         |pd AS (SELECT c.vec_id, p.vec_id AS pid, sum(c.v::DOUBLE * p.v::DOUBLE) AS d
+         |       FROM e c JOIN e p ON c.i = p.i WHERE p.vec_id < ${SemK}
+         |       GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, pid AS cluster FROM (
+         |          SELECT pd.vec_id, pd.pid,
+         |                 row_number() OVER (PARTITION BY pd.vec_id
+         |                   ORDER BY pd.d / np.n DESC, pd.pid) AS rk
+         |          FROM pd JOIN nrm np ON np.vec_id = pd.pid) WHERE rk = 1),
+         |sz AS (SELECT cluster, count(*) AS csize FROM asg GROUP BY 1)
+         |SELECT cluster::BIGINT AS cluster, csize::BIGINT AS csize,
+         |       (csize * (csize - 1) // 2)::BIGINT AS tri_pairs,
+         |       ((csize + ${SemSubCap - 1}) // ${SemSubCap})::BIGINT AS nsub,
+         |       (((csize + ${SemSubCap - 1}) // ${SemSubCap})
+         |          * (((csize + ${SemSubCap - 1}) // ${SemSubCap}) + 1) // 2)::BIGINT AS block_tasks,
+         |       (1000 * (csize * (csize - 1) // 2)
+         |          // NULLIF((SELECT sum(csize * (csize - 1) // 2) FROM sz), 0))::BIGINT AS tri_share_milli
+         |FROM sz ORDER BY cluster""".stripMargin) { (s, dir) =>
+      semanticAssign(s, dir)
+        .groupBy("cluster").agg(count(lit(1)).as("csize"))
+        .withColumn("tri_pairs", expr("csize * (csize - 1) div 2"))
+        .withColumn("nsub", expr(s"(csize + ${SemSubCap - 1}) div ${SemSubCap}"))
+        .withColumn("block_tasks", expr("nsub * (nsub + 1) div 2"))
+        .withColumn("tot", sum("tri_pairs").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("cluster").cast("long").as("cluster"), col("csize"),
+          col("tri_pairs"), col("nsub"), col("block_tasks"),
+          expr("(1000 * tri_pairs) div nullif(tot, 0)").as("tri_share_milli"))
+        .orderBy("cluster")
     }
   )
 

@@ -1108,4 +1108,29 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("doc_a"), s"census enumerated candidate pairs:\n$p")
     } finally llm.LlmText.release(spark)
   }
+
+  test("q188 cluster census: map-only assignment kernel, one bounded agg, no join") {
+    val p = plan("q188_sem_cluster_census")
+    assert(!p.contains("Join"), s"the census grew a join:\n$p")
+    assert(p.contains("nearest_pivots"), "assignment no longer the native kernel")
+    assert(p.contains("partial_count"), "cluster sizing lost map-side partials")
+    // pair mass is arithmetic on the |SemK|-row census: no vector
+    // column may survive past the aggregation
+    p.linesIterator.filter(_.contains("Window")).foreach(w =>
+      assert(!w.contains("embedding#"), s"embeddings reached the share window:\n$w"))
+    llm.LlmVector.release(spark)
+  }
+
+  test("q189 run census: shard-partitioned windows only, text never read") {
+    val p = plan("q189_shuffle_run_census")
+    assert(!p.contains("Join"), s"the census grew a join:\n$p")
+    // both row_numbers partition by shard (bounded per writer task) —
+    // a global (unpartitioned) window would be the one-task cliff
+    assert("row_number".r.findAllIn(p).size == 2, s"window count drifted:\n$p")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"a window lost its shard partitioning:\n$p")
+    // the manifest frame is (doc_id, source, hv): document text must
+    // not be scanned at all
+    assert(!p.contains("text#"), s"document text entered the plan:\n$p")
+  }
 }
