@@ -827,7 +827,7 @@ object LlmText {
     * the storage tier. */
   def release(s: SparkSession): Unit =
     Seq(hashCache, shingleCache, pairCache, bruteJacCache, compCache,
-      bm25Cache).foreach(graft.Caches.dropSession(_, s)(_.unpersist()))
+      bm25Cache, langCmCache).foreach(graft.Caches.dropSession(_, s)(_.unpersist()))
 
   /** Connected components over the memoized pair table, memoized
     * themselves: q57 (listing) and q91 (size histogram) share ONE run
@@ -2246,44 +2246,15 @@ object LlmText {
     // whole query is one corpus scan + a |source×lang|-bounded agg —
     // zero joins, integer-milli agreement.
     Q("q174_langid_agreement",
-      s"""WITH tl AS (SELECT source, lang,
-         |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
-         |            FROM documents),
-         |b AS (SELECT source, lang,
-         |  CASE greatest(
-         |         len(list_filter(t, w -> w IN ('the','a','of','and','in'))),
-         |         len(list_filter(t, w -> w IN ('der','die','und','das','ist'))),
-         |         len(list_filter(t, w -> w IN ('el','la','y','los','que'))),
-         |         len(list_filter(t, w -> w IN ('le','les','et','des','un'))))
-         |    WHEN len(list_filter(t, w -> w IN ('the','a','of','and','in'))) THEN 'en'
-         |    WHEN len(list_filter(t, w -> w IN ('der','die','und','das','ist'))) THEN 'de'
-         |    WHEN len(list_filter(t, w -> w IN ('el','la','y','los','que'))) THEN 'es'
-         |    ELSE 'fr' END AS best
-         |      FROM tl)
+      langBestCte + """
          |SELECT source, lang, count(*)::BIGINT AS n_docs,
          |       count(*) FILTER (WHERE best = lang)::BIGINT AS n_match,
          |       (1000 * count(*) FILTER (WHERE best = lang) // count(*))::BIGINT AS match_milli
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val profiles = Seq(
-        "en" -> Seq("the", "a", "of", "and", "in"),
-        "de" -> Seq("der", "die", "und", "das", "ist"),
-        "es" -> Seq("el", "la", "y", "los", "que"),
-        "fr" -> Seq("le", "les", "et", "des", "un"))
-      val sc = graft.plans.TextKernels.langScores(
-        lower(col("text")), profiles.map(_._2))
-      val scored = docs(s, dir)
-        .select(col("source"), col("lang"), sc.as("sc"))
-        .select(Seq(col("source"), col("lang")) ++ profiles.zipWithIndex.map {
-          case ((l, _), i) => element_at(col("sc"), i + 1).as(s"n_$l")
-        }: _*)
-      val best = when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_en"), "en")
-        .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_de"), "de")
-        .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_es"), "es")
-        .otherwise("fr")
-      scored.withColumn("best", best)
+      langConfusion(s, dir)
         .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("best") === col("lang"), 1L).otherwise(0L)).as("n_match"))
+        .agg(sum("c").as("n_docs"),
+          sum(when(col("best") === col("lang"), col("c")).otherwise(0L)).as("n_match"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_match"),
           expr("(1000 * n_match) div n_docs").as("match_milli"))
         .orderBy("source", "lang")
@@ -2563,6 +2534,52 @@ object LlmText {
         .agg(count(lit(1)).as("run_len"))
         .groupBy("source", "run_len").agg(count(lit(1)).as("n_runs"))
         .orderBy("source", "run_len")
+    },
+
+    // ---- Label-agreement kappa (round 16 — the chance-corrected
+    // rollup of q174's per-(source, lang) agreement table: raw match
+    // share flatters a source whose declared labels happen to be the
+    // majority class, so annotation-quality audits read Cohen's κ —
+    // (p_o − p_e)/(1 − p_e) between the declared label and the
+    // detector, per source. Exact integer milli via cross-
+    // multiplication: κ_milli = 1000·(n·diag − S) div (n² − S) with
+    // S = Σ_c row_c·col_c — no float ever forms; n² and S wrap int64
+    // at the 100 TB regime, so the products run in decimal(38,0)
+    // (DuckDB HUGEINT), the q155/q182 discipline. Truncating div
+    // agrees on negatives in both engines (κ < 0 = worse than
+    // chance, the q179 verification). Plan: detection is the same
+    // map-only kernel pass as q174; everything after reduces off the
+    // |sources|·|langs|² confusion matrix — one partial-agg shuffle,
+    // bounded joins on census-scale frames, zero corpus re-scans.
+    Q("q191_langid_kappa",
+      langBestCte + """,
+        |cm AS (SELECT source, lang, best, count(*)::BIGINT AS c FROM b GROUP BY 1, 2, 3),
+        |t AS (SELECT source, sum(c) AS n,
+        |             sum(CASE WHEN lang = best THEN c ELSE 0 END) AS diag
+        |      FROM cm GROUP BY 1),
+        |r AS (SELECT source, lang AS lab, sum(c) AS rc FROM cm GROUP BY 1, 2),
+        |k AS (SELECT source, best AS lab, sum(c) AS kc FROM cm GROUP BY 1, 2),
+        |sx AS (SELECT r.source, sum(r.rc::HUGEINT * k.kc) AS sv
+        |       FROM r JOIN k ON r.source = k.source AND r.lab = k.lab
+        |       GROUP BY 1)
+        |SELECT t.source, t.n::BIGINT AS n_docs, t.diag::BIGINT AS n_match,
+        |       (1000 * (t.n::HUGEINT * t.diag - sx.sv)
+        |          // NULLIF(t.n::HUGEINT * t.n - sx.sv, 0))::BIGINT AS kappa_milli
+        |FROM t JOIN sx ON sx.source = t.source ORDER BY t.source""".stripMargin) { (s, dir) =>
+      val cm = langConfusion(s, dir)
+      val t = cm.groupBy("source").agg(sum("c").as("n"),
+        sum(when(col("lang") === col("best"), col("c")).otherwise(0L)).as("diag"))
+      val r = cm.groupBy(col("source"), col("lang").as("lab")).agg(sum("c").as("rc"))
+      val k = cm.groupBy(col("source"), col("best").as("lab")).agg(sum("c").as("kc"))
+      val sx = r.join(k, Seq("source", "lab"))
+        .groupBy("source")
+        .agg(sum(expr("cast(rc as decimal(38,0)) * kc")).as("sv"))
+      t.join(sx, "source")
+        .select(col("source"), col("n").as("n_docs"), col("diag").as("n_match"),
+          expr("""cast((1000 * (cast(n as decimal(38,0)) * diag - sv))
+            |  div nullif(cast(n as decimal(38,0)) * n - sv, 0) as bigint)""".stripMargin)
+            .as("kappa_milli"))
+        .orderBy("source")
     }
   )
 
@@ -2607,6 +2624,63 @@ object LlmText {
         Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
       .filter(col("rk") <= k)
       .select("lang", "rk", "doc_id", "hk", "in_10pct")
+
+  /** q174/q191's oracle CTE: per doc the declared `lang` and the
+    * stopword-profile `best` detection (greatest hit count, first
+    * profile wins ties — the exact CASE order the kernel implements). */
+  // lazy: referenced from the `qs` initializer, which runs before this
+  // point in declaration order — a plain val would still be null there
+  private lazy val langBestCte =
+    """WITH tl AS (SELECT source, lang,
+      |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      |            FROM documents),
+      |b AS (SELECT source, lang,
+      |  CASE greatest(
+      |         len(list_filter(t, w -> w IN ('the','a','of','and','in'))),
+      |         len(list_filter(t, w -> w IN ('der','die','und','das','ist'))),
+      |         len(list_filter(t, w -> w IN ('el','la','y','los','que'))),
+      |         len(list_filter(t, w -> w IN ('le','les','et','des','un'))))
+      |    WHEN len(list_filter(t, w -> w IN ('the','a','of','and','in'))) THEN 'en'
+      |    WHEN len(list_filter(t, w -> w IN ('der','die','und','das','ist'))) THEN 'de'
+      |    WHEN len(list_filter(t, w -> w IN ('el','la','y','los','que'))) THEN 'es'
+      |    ELSE 'fr' END AS best
+      |      FROM tl)""".stripMargin
+
+  /** q174/q191's per-doc detection frame (source, lang, best): the
+    * [[graft.plans.TextKernels.langScores]] kernel scores all four
+    * stopword profiles in ONE compiled pass, map-only — shared by the
+    * agreement table and the kappa rollup. */
+  private def langBest(s: SparkSession, dir: String): DataFrame = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "of", "and", "in"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "es" -> Seq("el", "la", "y", "los", "que"),
+      "fr" -> Seq("le", "les", "et", "des", "un"))
+    val sc = graft.plans.TextKernels.langScores(
+      lower(col("text")), profiles.map(_._2))
+    val scored = docs(s, dir)
+      .select(col("source"), col("lang"), sc.as("sc"))
+      .select(Seq(col("source"), col("lang")) ++ profiles.zipWithIndex.map {
+        case ((l, _), i) => element_at(col("sc"), i + 1).as(s"n_$l")
+      }: _*)
+    val best = when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_en"), "en")
+      .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_de"), "de")
+      .when(greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")) === col("n_es"), "es")
+      .otherwise("fr")
+    scored.withColumn("best", best).select("source", "lang", "best")
+  }
+
+  /** The (source, lang, best, count) confusion matrix — ONE corpus
+    * pass behind q174's agreement table and q191's kappa, persisted
+    * because both (and q191's three internal rollups) read it; ≤
+    * |sources|·|langs|² rows, census-bounded. */
+  private val langCmCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langCmCache.computeIfAbsent((s, dir), _ =>
+      langBest(s, dir)
+        .groupBy("source", "lang", "best").agg(count(lit(1)).as("c"))
+        .persist())
 
   /** q99's deterministic shard key: the seeded hash permutation `hv`
     * and `shard = hv % nShards`, added as columns — shared by the

@@ -505,6 +505,39 @@ object Analytics {
         .select(col("f").as("freq"), col("n_keys"), col("mass"),
           expr("(1000 * cum) div tot").as("cum_hot_milli"))
         .orderBy("freq")
+    },
+
+    // ---- k-anonymity / l-diversity census (round 16 — the privacy
+    // audit a release pipeline runs BEFORE exporting curated data
+    // (the q69 redaction's companion: redaction strips direct
+    // identifiers, this prices re-identification risk from QUASI-
+    // identifiers): equivalence classes over (nation, market segment),
+    // sensitive attribute = account-balance sign. Per (k, l) cell —
+    // class size k, distinct sensitive values l — the class count,
+    // record mass, and the at-risk flag (k < 5: re-identifiable by
+    // linking; l < 2: sensitive value disclosed even without
+    // re-identification — a homogeneous class leaks by membership
+    // alone). Plan at 100 TB: one partial-agg shuffle on the quasi-id
+    // (count + count-distinct over a 2-value domain collapse
+    // map-side), then a census agg over the class frame — classes are
+    // the SMALL side by construction (a release with corpus-scale
+    // class count has k≈1 everywhere and fails the audit trivially).
+    Q("q190_k_anonymity",
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS k,
+        |               count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END)::BIGINT AS l
+        |             FROM customer GROUP BY 1, 2)
+        |SELECT k, l, count(*)::BIGINT AS n_classes, (k * count(*))::BIGINT AS n_records,
+        |       (k < 5 OR l < 2) AS at_risk
+        |FROM cls GROUP BY 1, 2 ORDER BY k, l""".stripMargin) { (s, dir) =>
+      T.df(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("k"),
+          countDistinct(when(col("c_acctbal") < 0, "neg").otherwise("pos")).as("l"))
+        .groupBy("k", "l").agg(count(lit(1)).as("n_classes"))
+        .select(col("k"), col("l"), col("n_classes"),
+          (col("k") * col("n_classes")).as("n_records"),
+          (col("k") < 5 || col("l") < 2).as("at_risk"))
+        .orderBy("k", "l")
     }
   )
 

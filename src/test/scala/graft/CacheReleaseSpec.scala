@@ -26,6 +26,7 @@ class CacheReleaseSpec extends SparkSpec {
     SparkEntry.queries("q158_ks_split_drift")(spark, dir).count()
     SparkEntry.queries("q159_source_terms")(spark, dir).count()
     SparkEntry.queries("q160_quality_blend")(spark, dir).count()
+    SparkEntry.queries("q191_langid_kappa")(spark, dir).count()
     assert(persisted > base, "families did not persist anything — consumers changed?")
     Caches.releaseAll(spark)
     assert(persisted <= base,

@@ -23,7 +23,8 @@ class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q166_lsh_recall_calib", "q167_dedup_threshold_curve",
       "q169_dedup_yield", "q172_simhash_jaccard_transfer",
       "q176_cluster_sources", "q182_soft_dedup_mass",
-      "q183_cluster_cohesion", "q185_lsh_band_census").filter(order.contains)
+      "q183_cluster_cohesion", "q185_lsh_band_census",
+      "q174_langid_agreement", "q191_langid_kappa").filter(order.contains)
     val last = textConsumers.maxBy(order.indexOf)
     assert(hooks.contains(last))
     textConsumers.filter(_ != last).foreach(q => assert(!hooks.contains(q)))

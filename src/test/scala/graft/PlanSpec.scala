@@ -1121,6 +1121,29 @@ class PlanSpec extends SparkSpec {
     llm.LlmVector.release(spark)
   }
 
+  test("q190 k-anonymity: one quasi-id shuffle + census agg, no join") {
+    val p = plan("q190_k_anonymity")
+    assert(!p.contains("Join"), s"the census grew a join:\n$p")
+    assert(p.contains("partial_count"), "class sizing lost map-side partials")
+    // only the quasi-id + collapsed sensitive domain may be read
+    assert(!p.contains("c_name#"), s"the audit read an identifier column:\n$p")
+  }
+
+  test("q191 kappa: every rollup reads the cached confusion matrix") {
+    val qe = SparkEntry.queries("q191_langid_kappa")(spark, dir).queryExecution
+    try {
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.size >= 3,
+        s"a kappa rollup re-derived the corpus pass:\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"census joins degenerated:\n$p")
+      // the joins are census-scale: document text must never shuffle
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
+        assert(!e.contains("text#"), s"document text crosses an exchange:\n$e"))
+    } finally llm.LlmText.release(spark)
+  }
+
   test("q189 run census: shard-partitioned windows only, text never read") {
     val p = plan("q189_shuffle_run_census")
     assert(!p.contains("Join"), s"the census grew a join:\n$p")

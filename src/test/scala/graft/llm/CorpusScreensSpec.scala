@@ -52,6 +52,7 @@ class CorpusScreensSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out(("s", "en")) == ((2L, 2L, 1000L)), out.toString)
     assert(out(("s", "de")) == ((1L, 0L, 0L)), out.toString)
+    graft.llm.LlmText.release(spark) // q174 now persists the confusion matrix
   }
 
   test("q175: norms exact in milli^2; zero vectors counted") {
