@@ -827,7 +827,29 @@ object LlmText {
     * the storage tier. */
   def release(s: SparkSession): Unit =
     Seq(hashCache, shingleCache, pairCache, bruteJacCache, compCache,
-      bm25Cache, langCmCache).foreach(graft.Caches.dropSession(_, s)(_.unpersist()))
+      bm25Cache, langCmCache, splitGramCache)
+      .foreach(graft.Caches.dropSession(_, s)(_.unpersist()))
+
+  /** q194's (gram-hash, split, count) frame — the ONE corpus explode
+    * behind the leakage census, persisted because the pair join reads
+    * it twice AND the per-split distinct totals read it again (gram-
+    * vocabulary-bounded rows, never corpus-bounded; exchange reuse
+    * alone deduped only the join's two sides, the totals branch
+    * re-ran the explode — measured 3 corpus scans without this). */
+  private val splitGramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def splitGramCounts(s: SparkSession, dir: String): DataFrame =
+    splitGramCache.computeIfAbsent((s, dir), _ => {
+      docs(s, dir)
+        .select(TextMining.splitHash(col("doc_id")).as("hh"),
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(when(col("hh") < 800, "train").when(col("hh") < 900, "val")
+          .otherwise("test").as("split"),
+          explode(expr(TextMining.triHashes("ws"))).as("h"))
+        .groupBy("h", "split").agg(count(lit(1)).as("c"))
+        .persist()
+    })
 
   /** Connected components over the memoized pair table, memoized
     * themselves: q57 (listing) and q91 (size histogram) share ONE run
@@ -2580,6 +2602,154 @@ object LlmText {
             |  div nullif(cast(n as decimal(38,0)) * n - sv, 0) as bigint)""".stripMargin)
             .as("kappa_milli"))
         .orderBy("source")
+    },
+
+    // ---- Per-class precision / recall / F1 (round 16 — the standard
+    // classifier-eval table over the same detector-vs-declared pair
+    // as q174 (accuracy) and q191 (kappa): per language class the
+    // true/predicted support, true positives, and P/R/F1 in exact
+    // integer milli — F1 avoids the float harmonic mean entirely via
+    // 2000·tp div (2·tp + fp + fn). A class whose recall collapses
+    // while precision holds names a DETECTOR gap (profile too narrow);
+    // the reverse names label noise in that slice. Plan: reads the
+    // persisted confusion matrix (zero corpus scans of its own),
+    // reduces it to two |langs|-row marginals + the diagonal, full-
+    // outer-joins those census frames so a class missing from either
+    // side still reports (coalesce 0) — everything census-scale.
+    Q("q192_langid_prf",
+      langBestCte + """,
+        |cm AS (SELECT lang, best, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |r AS (SELECT lang AS lab, sum(c) AS n_true FROM cm GROUP BY 1),
+        |k AS (SELECT best AS lab, sum(c) AS n_pred FROM cm GROUP BY 1),
+        |d AS (SELECT lang AS lab, sum(c) AS tp FROM cm WHERE lang = best GROUP BY 1)
+        |SELECT coalesce(r.lab, k.lab) AS lang,
+        |       coalesce(r.n_true, 0)::BIGINT AS n_true,
+        |       coalesce(k.n_pred, 0)::BIGINT AS n_pred,
+        |       coalesce(d.tp, 0)::BIGINT AS tp,
+        |       (1000 * coalesce(d.tp, 0) // NULLIF(coalesce(k.n_pred, 0), 0))::BIGINT AS precision_milli,
+        |       (1000 * coalesce(d.tp, 0) // NULLIF(coalesce(r.n_true, 0), 0))::BIGINT AS recall_milli,
+        |       (2000 * coalesce(d.tp, 0)
+        |          // NULLIF(coalesce(r.n_true, 0) + coalesce(k.n_pred, 0), 0))::BIGINT AS f1_milli
+        |FROM r FULL OUTER JOIN k ON k.lab = r.lab
+        |       FULL OUTER JOIN d ON d.lab = coalesce(r.lab, k.lab)
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val cm = langConfusion(s, dir).groupBy("lang", "best").agg(sum("c").as("c"))
+      val r = cm.groupBy(col("lang").as("lab")).agg(sum("c").as("n_true"))
+      val k = cm.groupBy(col("best").as("lab")).agg(sum("c").as("n_pred"))
+      val d = cm.filter(col("lang") === col("best"))
+        .groupBy(col("lang").as("lab")).agg(sum("c").as("tp"))
+      r.join(k, Seq("lab"), "full_outer").join(d, Seq("lab"), "full_outer")
+        .select(col("lab").as("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+          expr("(1000 * tp) div nullif(n_pred, 0)").as("precision_milli"),
+          expr("(1000 * tp) div nullif(n_true, 0)").as("recall_milli"),
+          // 2tp + fp + fn = n_true + n_pred (each side contributes its
+          // marginal; tp is counted once in each)
+          expr("(2000 * tp) div nullif(n_true + n_pred, 0)").as("f1_milli"))
+        .orderBy("lang")
+    },
+
+    // ---- PII density census (round 16 — q69-redaction's
+    // OBSERVABILITY face, the way q185/q186/q188 observe their
+    // operators: per source, how much PII the redactor WOULD touch —
+    // doc counts and match counts for each pattern class plus
+    // per-mille doc shares. A source whose density jumps release-over-
+    // release gets quarantined before the export, priced from this
+    // table, not discovered after. Same deterministic augmentation
+    // discipline as q69 (the fixture corpus carries no real PII), but
+    // CONDITIONAL — only doc_id ≡ 0 (mod 3) gains an email, ≡ 0
+    // (mod 5) a phone — so the census is non-degenerate. Plan: one
+    // map-only regexp pass (codegen), one |sources|-bounded partial-
+    // agg shuffle, zero joins.
+    Q("q193_pii_density",
+      s"""WITH aug AS (SELECT source,
+         |    concat(text,
+         |      CASE WHEN doc_id % 3 = 0
+         |           THEN concat(' user', CAST(doc_id AS VARCHAR), '@mail.example.com') ELSE '' END,
+         |      CASE WHEN doc_id % 5 = 0
+         |           THEN concat(' 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END) AS t
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       count(*) FILTER (WHERE regexp_matches(t, '$EmailRe'))::BIGINT AS email_docs,
+         |       count(*) FILTER (WHERE regexp_matches(t, '$PhoneRe'))::BIGINT AS phone_docs,
+         |       sum(len(regexp_extract_all(t, '$EmailRe')))::BIGINT AS n_emails,
+         |       sum(len(regexp_extract_all(t, '$PhoneRe')))::BIGINT AS n_phones,
+         |       (1000 * count(*) FILTER (WHERE regexp_matches(t, '$EmailRe')) // count(*))::BIGINT AS email_docs_milli,
+         |       (1000 * count(*) FILTER (WHERE regexp_matches(t, '$PhoneRe')) // count(*))::BIGINT AS phone_docs_milli
+         |FROM aug GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+      T.df(s, dir, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("ne"),
+          size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("np"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") > 0, 1L).otherwise(0L)).as("email_docs"),
+          sum(when(col("np") > 0, 1L).otherwise(0L)).as("phone_docs"),
+          sum("ne").as("n_emails"), sum("np").as("n_phones"))
+        .select(col("source"), col("n_docs"), col("email_docs"), col("phone_docs"),
+          col("n_emails"), col("n_phones"),
+          expr("(1000 * email_docs) div n_docs").as("email_docs_milli"),
+          expr("(1000 * phone_docs) div n_docs").as("phone_docs_milli"))
+        .orderBy("source")
+    },
+
+    // ---- Cross-split n-gram leakage census (round 16 — q100 audits
+    // SEMANTIC leakage through embeddings; this audits the EXACT
+    // side: word trigrams (the q146/q156 gram identity) shared across
+    // the train/val/test boundary, the n-gram-decontamination unit.
+    // Per ordered split pair: shared distinct grams, occurrence mass
+    // on each side, and the leaked share of the later side's distinct
+    // grams in milli — the number a leakage gate thresholds before an
+    // eval is trusted. Plan at 100 TB: ONE corpus explode to the
+    // gram-hash frame, partial-agg on (h, split) — gram-vocabulary-
+    // bounded, never corpus-bounded — PERSISTED ([[splitGramCounts]])
+    // because three consumers read it: both sides of the hash-keyed
+    // pair join and the per-split distinct totals (exchange reuse
+    // alone deduped only the join; the totals branch re-ran the
+    // corpus explode — measured 3 scans without the cache; PlanSpec
+    // pins it). Text never crosses an exchange; only gram hashes do.
+    Q("q194_split_gram_leak",
+      s"""WITH w AS (SELECT CASE WHEN ${TextMining.splitHashSql} < 800 THEN 'train'
+         |                       WHEN ${TextMining.splitHashSql} < 900 THEN 'val'
+         |                       ELSE 'test' END AS split,
+         |              list_filter(string_split(text, ' '), x -> x != '') AS ws
+         |            FROM documents),
+         |g AS (SELECT split,
+         |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+         |      FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+         |      WHERE len(ws) >= 3),
+         |gs AS (SELECT h, split, count(*) AS c FROM g GROUP BY 1, 2),
+         |t AS (SELECT split, count(*) AS n FROM gs GROUP BY 1)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |       count(*)::BIGINT AS shared_grams,
+         |       sum(a.c)::BIGINT AS occ_a, sum(b.c)::BIGINT AS occ_b,
+         |       (1000 * count(*) // tb.n)::BIGINT AS b_leak_milli
+         |FROM gs a JOIN gs b ON a.h = b.h AND a.split < b.split
+         |JOIN t tb ON tb.split = b.split
+         |GROUP BY 1, 2, tb.n ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val gs = splitGramCounts(s, dir)
+      val tots = gs.groupBy("split").agg(count(lit(1)).as("n"))
+      val a = gs.select(col("h"), col("split").as("split_a"), col("c").as("ca"))
+      val b = gs.select(col("h"), col("split").as("split_b"), col("c").as("cb"))
+      a.join(b, Seq("h")).filter(col("split_a") < col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("shared_grams"),
+          sum("ca").as("occ_a"), sum("cb").as("occ_b"))
+        .join(broadcast(tots.withColumnRenamed("split", "split_b")), "split_b")
+        .select(col("split_a"), col("split_b"), col("shared_grams"),
+          col("occ_a"), col("occ_b"),
+          expr("(1000 * shared_grams) div n").as("b_leak_milli"))
+        .orderBy("split_a", "split_b")
     }
   )
 

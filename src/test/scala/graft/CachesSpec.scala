@@ -24,7 +24,8 @@ class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q169_dedup_yield", "q172_simhash_jaccard_transfer",
       "q176_cluster_sources", "q182_soft_dedup_mass",
       "q183_cluster_cohesion", "q185_lsh_band_census",
-      "q174_langid_agreement", "q191_langid_kappa").filter(order.contains)
+      "q174_langid_agreement", "q191_langid_kappa",
+      "q192_langid_prf", "q194_split_gram_leak").filter(order.contains)
     val last = textConsumers.maxBy(order.indexOf)
     assert(hooks.contains(last))
     textConsumers.filter(_ != last).foreach(q => assert(!hooks.contains(q)))

@@ -1144,6 +1144,49 @@ class PlanSpec extends SparkSpec {
     } finally llm.LlmText.release(spark)
   }
 
+  test("q192 prf: reads the cached confusion matrix, census joins only") {
+    val qe = SparkEntry.queries("q192_langid_prf")(spark, dir).queryExecution
+    try {
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.nonEmpty,
+        s"the PRF marginals re-derived the corpus pass:\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"marginal joins degenerated:\n$p")
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
+        assert(!e.contains("text#"), s"document text crosses an exchange:\n$e"))
+    } finally llm.LlmText.release(spark)
+  }
+
+  test("q193 pii density: map-only regexp pass, one bounded agg, no join") {
+    val p = plan("q193_pii_density")
+    assert(!p.contains("Join"), s"the census grew a join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source counts lost map-side partials")
+    // the regexp pass is a Project over the scan — no explode, no UDF
+    assert(!p.contains("Generate") && !p.contains("BatchEval"),
+      s"regexp pass left the projection:\n$p")
+    // one agg exchange + the presentation sort, nothing else
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"census shuffles beyond agg + sort ($exchanges):\n$p")
+  }
+
+  test("q194 gram leak: all three consumers read the cached gram frame") {
+    val qe = SparkEntry.queries("q194_split_gram_leak")(spark, dir).queryExecution
+    try {
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      // pair-join a side, b side, and the per-split totals
+      assert(imrs.size >= 3,
+        s"a consumer re-ran the corpus gram explode:\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+      // only 32-bit gram hashes shuffle — text never crosses an exchange
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
+        assert(!e.contains("text#"), s"document text crosses an exchange:\n$e"))
+    } finally llm.LlmText.release(spark)
+  }
+
   test("q189 run census: shard-partitioned windows only, text never read") {
     val p = plan("q189_shuffle_run_census")
     assert(!p.contains("Join"), s"the census grew a join:\n$p")
