@@ -55,7 +55,8 @@ object Caches {
       "q156_source_overlap", "q158_ks_split_drift", "q159_source_terms",
       "q162_bpe_pair_counts", "q165_source_w1_lengths",
       "q173_head_coverage", "q177_token_budget_fill",
-      "q184_curriculum_interleave", "q187_hapax_ttr"),
+      "q184_curriculum_interleave", "q187_hapax_ttr",
+      "q195_step_boundaries"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

@@ -43,6 +43,11 @@ object TextMining {
     ((id % lit(1000000007L)) * lit(2654435761L)) % 1000
   private[llm] val splitHashSql = "((doc_id % 1000000007) * 2654435761) % 1000"
 
+  /** q195's per-optimizer-step token budget (a sequence-length-scale
+    * constant, not a tuning knob: deployments set it to context_len ×
+    * batch rows). */
+  private[llm] val StepTokens = 2048L
+
   /** q117's (split, w, o) count frame — the ONE corpus pass behind the
     * drift screen, persisted because both the chi² frame and the
     * second-level split totals read it (vocab-bounded: ≤ 3·|vocab|
@@ -145,6 +150,39 @@ object TextMining {
         .groupBy("source", "v").agg(count(lit(1)).as("c"))
         .persist()
     })
+
+  /** q184/q195's curriculum frame (doc_id, source, nt, p, global_rank):
+    * the short-first round-robin order with the counting-sort per-
+    * source position and the CLOSED-FORM global rank (see q184's
+    * scaladoc for the two scale devices — no giant per-source sort,
+    * no one-task global window). */
+  private def curriculumRanked(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("nt"))
+    val pre = sourceLenCounts(s, dir)
+      .withColumn("pre", coalesce(sum("c").over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("v").as("nt"), col("pre"))
+    val srcs = sourceLenCounts(s, dir)
+      .groupBy("source").agg(sum("c").as("n"))
+      .agg(sort_array(collect_list(struct(col("source").as("s"),
+        col("n").as("n")))).as("sa"))
+    perDoc
+      .withColumn("tie", row_number().over(
+        Window.partitionBy("source", "nt").orderBy("doc_id")).cast("long"))
+      .join(broadcast(pre), Seq("source", "nt"))
+      .withColumn("p", col("pre") + col("tie"))
+      .crossJoin(broadcast(srcs))
+      .withColumn("global_rank", expr(
+        """1 + aggregate(sa, cast(0 as bigint), (acc, x) ->
+          |  acc + least(x.n, p - 1)
+          |      + IF(x.s < source AND x.n >= p, cast(1 as bigint),
+          |           cast(0 as bigint)))""".stripMargin))
+      .select(col("doc_id"), col("source"), col("nt"), col("p"),
+        col("global_rank"))
+  }
 
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
@@ -1488,31 +1526,46 @@ object TextMining {
         |SELECT doc_id, source, p,
         |       row_number() OVER (ORDER BY p, source)::BIGINT AS global_rank
         |FROM pp ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val perDoc = docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("nt"))
-      val pre = sourceLenCounts(s, dir)
-        .withColumn("pre", coalesce(sum("c").over(
-          Window.partitionBy("source").orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("source"), col("v").as("nt"), col("pre"))
-      val srcs = sourceLenCounts(s, dir)
-        .groupBy("source").agg(sum("c").as("n"))
-        .agg(sort_array(collect_list(struct(col("source").as("s"),
-          col("n").as("n")))).as("sa"))
-      perDoc
-        .withColumn("tie", row_number().over(
-          Window.partitionBy("source", "nt").orderBy("doc_id")).cast("long"))
-        .join(broadcast(pre), Seq("source", "nt"))
-        .withColumn("p", col("pre") + col("tie"))
-        .crossJoin(broadcast(srcs))
-        .withColumn("global_rank", expr(
-          """1 + aggregate(sa, cast(0 as bigint), (acc, x) ->
-            |  acc + least(x.n, p - 1)
-            |      + IF(x.s < source AND x.n >= p, cast(1 as bigint),
-            |           cast(0 as bigint)))""".stripMargin))
+      curriculumRanked(s, dir)
         .select(col("doc_id"), col("source"), col("p"), col("global_rank"))
         .orderBy("doc_id")
+    },
+
+    // ---- Training-step boundary census (round 16 — what each
+    // optimizer step actually SEES under q184's order and a fixed
+    // token budget per step: docs per step (short-first means early
+    // steps pack many short docs — the curriculum's gradient-noise
+    // profile, made visible), token mass per step (≈ the budget,
+    // ragged only at doc boundaries), and distinct sources per step —
+    // the round-robin fairness guarantee inspected at the granularity
+    // where it matters, the step, not the position. Step = exclusive
+    // cumulative tokens div 2048 in curriculum-rank order. Plan at
+    // 100 TB: the rank is q184's closed form (map-side); the global
+    // token prefix is the [[LlmText.globalOffsets]] device keyed on
+    // the DENSE rank — per-bucket windows + a ~|buckets|-row driver
+    // prefix, never a one-task corpus window; the census agg is
+    // |steps|-bounded.
+    Q("q195_step_boundaries",
+      s"""WITH tok AS (SELECT doc_id, source,
+         |               len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS nt
+         |             FROM documents),
+         |pp AS (SELECT doc_id, source, nt,
+         |         row_number() OVER (PARTITION BY source ORDER BY nt, doc_id)::BIGINT AS p
+         |       FROM tok),
+         |rk AS (SELECT source, nt, row_number() OVER (ORDER BY p, source) AS gr FROM pp),
+         |o AS (SELECT source, nt, (sum(nt) OVER (ORDER BY gr) - nt) AS off FROM rk)
+         |SELECT (off // $StepTokens)::BIGINT AS step, count(*)::BIGINT AS n_docs,
+         |       sum(nt)::BIGINT AS n_tokens,
+         |       count(DISTINCT source)::BIGINT AS n_sources
+         |FROM o GROUP BY 1 ORDER BY step""".stripMargin) { (s, dir) =>
+      LlmText.globalOffsets(
+          curriculumRanked(s, dir)
+            .select(col("global_rank").as("doc_id"),
+              col("nt").as("n_tokens"), col("source")), 32)
+        .groupBy(expr(s"tok_offset div $StepTokens").as("step"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("step")
     },
 
     // ---- Content-defined chunk dedup census (round 16 — the

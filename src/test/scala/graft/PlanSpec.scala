@@ -1187,6 +1187,25 @@ class PlanSpec extends SparkSpec {
     } finally llm.LlmText.release(spark)
   }
 
+  test("q195 steps: bucketed prefix device, no one-task corpus window") {
+    val qe = SparkEntry.queries("q195_step_boundaries")(spark, dir).queryExecution
+    try {
+      val p = qe.executedPlan.toString
+      // the token prefix must stay bucketed: every window partitions by
+      // a key (bucket / source / (source, nt)) — an UNPARTITIONED
+      // running-sum window would be the one-task corpus cliff
+      p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach(w =>
+        assert(!w.contains("windowspecdefinition(gr#") &&
+          !w.contains("windowspecdefinition(global_rank#"),
+          s"the token prefix regrew a global window:\n$w"))
+      // the |sources|-totals crossJoin is a broadcast single row, the
+      // histogram join broadcasts — the corpus is never sort-merge joined
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"a bounded-frame join degenerated:\n$p")
+      assert(p.contains("partial_count"), "step census lost map-side partials")
+    } finally llm.TextMining.release(spark)
+  }
+
   test("q189 run census: shard-partitioned windows only, text never read") {
     val p = plan("q189_shuffle_run_census")
     assert(!p.contains("Join"), s"the census grew a join:\n$p")
