@@ -1019,6 +1019,80 @@ object LlmText {
         .orderBy("kept_doc_id")
     },
 
+    // ---- Quality-aware keep-best dedup (round 16 — the keep RULE
+    // upgrade over q38's first-wins: crawls surface truncation
+    // mirrors (the same article cut mid-body), and first-wins keeps
+    // whichever id sorted lower — possibly the stub. Here the class
+    // key is the first-8-token prefix fingerprint (truncation-stable
+    // where the exact key is not) and the keep rule is argmax
+    // (quality, token count, −doc_id) with q46's integer quality
+    // score — among prefix-sharing docs, keep the fullest best one.
+    // The `upgraded` flag counts exactly the classes where this rule
+    // beats first-wins. Same deterministic union adversary as q38
+    // (+10000-shifted copies truncated to their first 30 tokens) so
+    // both engines grade a corpus that HAS mirrors at every SF. Plan
+    // at 100 TB: one map-only pass computes key + quality (compiled
+    // kernel), the per-class argmax is a window over CLASS-bounded
+    // partitions (the class IS the dedup unit — a mega-class means
+    // mega-duplication, and its window is still one class, never the
+    // corpus), then a class-count filter. No self-join.
+    Q("q196_dedup_keep_best",
+      """WITH unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |         array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:30], ' ')
+        |  FROM documents),
+        |tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |       FROM unioned),
+        |m AS (SELECT doc_id,
+        |        md5(array_to_string(t[1:8], ' ')) AS key,
+        |        len(t) AS n_tokens,
+        |        (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        |         + CASE WHEN 10 * len(list_distinct(t)) >= 3 * len(t) THEN 1 ELSE 0 END
+        |         + CASE WHEN coalesce(list_max(list_transform(t, w -> length(w))), 0) <= 15 THEN 1 ELSE 0 END) AS quality
+        |      FROM tl),
+        |rk AS (SELECT key, doc_id, n_tokens, quality,
+        |         row_number() OVER (PARTITION BY key
+        |           ORDER BY quality DESC, n_tokens DESC, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY key) AS n_members,
+        |         min(doc_id) OVER (PARTITION BY key) AS first_id
+        |       FROM m)
+        |SELECT doc_id AS kept_doc_id, n_members::BIGINT AS n_members,
+        |       quality::BIGINT AS kept_quality, n_tokens::BIGINT AS kept_tokens,
+        |       (doc_id <> first_id) AS upgraded
+        |FROM rk WHERE rk = 1 AND n_members >= 2
+        |ORDER BY kept_doc_id""".stripMargin) { (s, dir) =>
+      val d = T.df(s, dir, "documents")
+      val both = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select(col("doc_id") + 10000,
+          concat_ws(" ", slice(expr("filter(split(text, ' '), x -> x != '')"), 1, 30))
+            .as("text")))
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val m = both
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(expr("filter(split(lower(text), ' '), x -> x != '')"), 1, 8))
+            .cast("binary")).as("key"),
+          st.as("st"))
+        .select(col("doc_id"), col("key"),
+          element_at(col("st"), 1).as("n_tokens"),
+          (when(element_at(col("st"), 1).between(20, 1000), 1).otherwise(0)
+            + when(element_at(col("st"), 2) * 10 >= element_at(col("st"), 1) * 3, 1).otherwise(0)
+            + when(coalesce(element_at(col("st"), 3), lit(0L)) <= 15, 1).otherwise(0))
+            .cast("long").as("quality"))
+      val w = Window.partitionBy("key")
+      m.withColumn("rk", row_number().over(
+          w.orderBy(col("quality").desc, col("n_tokens").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("first_id", min("doc_id").over(w))
+        .filter(col("rk") === 1 && col("n_members") >= 2)
+        .select(col("doc_id").as("kept_doc_id"), col("n_members"),
+          col("quality").as("kept_quality"), col("n_tokens").as("kept_tokens"),
+          (col("doc_id") =!= col("first_id")).as("upgraded"))
+        .orderBy("kept_doc_id")
+    },
+
     // ---- n-gram Jaccard near-dup, brute force (capped baseline; the
     // LSH path below is the uncapped scale path). Blocked-kernel
     // formulation ([[graft.plans.PairJaccard]], same block-pair shape

@@ -993,6 +993,55 @@ object TextMining {
         .orderBy("source")
     },
 
+    // ---- Trimmed robust length profile (round 16 — the outlier-
+    // robust companion to q165's W1 matrix and q46's per-doc screen:
+    // per source the EXACT 10%-trimmed mean token count in milli next
+    // to the plain mean — a mean/trimmed gap names a source whose
+    // length profile is carried by outliers (concatenation bugs, page
+    // dumps) rather than its body. Exact by counting-sort arithmetic:
+    // over the MEMOIZED value-bounded (source, length, count)
+    // histogram, each value class keeps the overlap of its rank span
+    // [cum_prev+1, cum_prev+c] with the kept band [k+1, n−k]
+    // (k = n div 10) — no per-doc sort, no percentile approximation,
+    // the q150/q141 exactness discipline on the q184 histogram. Plan:
+    // windows partition by source over the value-bounded frame; zero
+    // corpus scans of its own, zero joins.
+    Q("q197_trimmed_length",
+      """WITH h AS (SELECT source,
+        |             len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS v
+        |           FROM documents),
+        |hist AS (SELECT source, v, count(*)::BIGINT AS c FROM h GROUP BY 1, 2),
+        |cu AS (SELECT source, v, c,
+        |         coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+        |         sum(c) OVER (PARTITION BY source) AS n
+        |       FROM hist),
+        |kept AS (SELECT source, n, n // 10 AS k, v,
+        |           greatest(0, least(cp + c, n - n // 10)
+        |                       - greatest(cp + 1, n // 10 + 1) + 1) AS kc,
+        |           c
+        |         FROM cu)
+        |SELECT source, max(n)::BIGINT AS n_docs, max(k)::BIGINT AS k,
+        |       (1000 * sum(v * c) // max(n))::BIGINT AS mean_milli,
+        |       (1000 * sum(v * kc) // NULLIF(max(n) - 2 * max(k), 0))::BIGINT AS trimmed_mean_milli
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cu = sourceLenCounts(s, dir)
+        .withColumn("cp", coalesce(sum("c").over(
+          Window.partitionBy("source").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      cu.withColumn("k", expr("n div 10"))
+        .withColumn("kc", expr(
+          "greatest(0L, least(cp + c, n - k) - greatest(cp + 1, k + 1) + 1)"))
+        .groupBy("source")
+        .agg(max("n").as("n_docs"), max("k").as("k"),
+          sum(expr("v * c")).as("sv"), sum(expr("v * kc")).as("sk"))
+        .select(col("source"), col("n_docs"), col("k"),
+          expr("(1000 * sv) div n_docs").as("mean_milli"),
+          expr("(1000 * sk) div nullif(n_docs - 2 * k, 0)").as("trimmed_mean_milli"))
+        .orderBy("source")
+    },
+
     // ---- Multi-signal quality blend (round 15 — the curation
     // capstone: combine heterogeneous quality signals with different
     // units/scales into one score by QUANTILE position, the standard

@@ -1206,6 +1206,32 @@ class PlanSpec extends SparkSpec {
     } finally llm.TextMining.release(spark)
   }
 
+  test("q196 keep-best: class-bounded windows, no self-join") {
+    val p = plan("q196_dedup_keep_best")
+    assert(!p.contains("Join"), s"the keep rule grew a join:\n$p")
+    // every window partitions by the class key — the class is the
+    // dedup unit, never the corpus
+    p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach(w =>
+      assert(w.contains("windowspecdefinition(key#"),
+        s"a window lost its class partitioning:\n$w"))
+    assert(p.contains("quality_stats"), "scoring no longer the compiled kernel")
+  }
+
+  test("q197 trimmed: reads the memoized length histogram, zero corpus scans") {
+    val qe = SparkEntry.queries("q197_trimmed_length")(spark, dir).queryExecution
+    try {
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(imrs.nonEmpty,
+        s"the trim re-derived the length histogram:\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("Join"), s"the trim grew a join:\n$p")
+      // windows run over the value-bounded histogram partitioned by source
+      assert(p.contains("windowspecdefinition(source#"),
+        s"a window lost its source partitioning:\n$p")
+    } finally llm.TextMining.release(spark)
+  }
+
   test("q189 run census: shard-partitioned windows only, text never read") {
     val p = plan("q189_shuffle_run_census")
     assert(!p.contains("Join"), s"the census grew a join:\n$p")
