@@ -1735,6 +1735,133 @@ object TextMining {
         .withColumn("mean_score_micro", expr("ss div n_scored"))
         .select("source", "n_scored", "mean_score_micro", "n_positive")
         .orderBy("source")
+    },
+
+    // ---- Cross-source OOV matrix (round 16 — the COVERAGE direction
+    // q156/q159 don't answer: q156 says which source pairs share
+    // content and q159 which terms a source over-represents; this says
+    // how much of source A a tokenizer/LM fitted on source B has never
+    // seen — the number that decides whether B's vocabulary (or a
+    // B-trained model) transfers to A. Per ORDERED pair (s1 = the
+    // evaluated source, s2 = the vocabulary source): token OCCURRENCES
+    // of s1 whose word is absent from s2's vocabulary (the mass a
+    // byte-fallback tokenizer would shred), distinct TYPES absent
+    // (the merge-table gap), and both as milli shares. Asymmetric by
+    // construction (a small clean source is usually covered by a big
+    // web source, never the reverse) — both directions are emitted.
+    // Exact integers; the milli products run in decimal(38,0)/HUGEINT
+    // UNCONDITIONALLY (1000·n_occ wraps int64 at ~9e15 tokens/source —
+    // inside the 100 TB regime). Zero-token sources contribute no
+    // (source, w, c) rows, so they drop out of the matrix IDENTICALLY
+    // on both engines (explode and unnest both emit nothing for an
+    // empty token list); the NULLIF share guards are therefore
+    // unreachable belt-and-braces, kept for the ADVICE r15 discipline.
+    // Plan at 100 TB: ZERO corpus scans of its own — everything
+    // reduces off the MEMOIZED Heaps-bounded (source, w, c) frame
+    // ([[sourceTermCounts]], its one shuffle already paid by
+    // q159/q187): covered mass groups that frame by w with a
+    // |sources|-bounded collect_list and explodes ordered pairs per
+    // word (≤ |sources|·(|sources|−1) rows each, the q156 device with
+    // counts attached — NO gram self-join: the oracle's a.w = b.w form
+    // shuffles the vocab twice and its skew is the head word's
+    // |sources|², ours moves each vocab row once); per-source totals
+    // are a |sources|-row agg; the full |sources|² pair grid comes
+    // from a broadcast cross of the totals with itself so
+    // ZERO-OVERLAP pairs still report (the q192 full-coverage
+    // discipline), with the |sources|²-bounded covered frame and the
+    // totals both broadcast into it.
+    Q("q198_oov_matrix",
+      """WITH sw AS (SELECT source, w, count(*)::BIGINT AS c
+        |            FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |t AS (SELECT source, sum(c)::BIGINT AS n_occ, count(*)::BIGINT AS n_types
+        |      FROM sw GROUP BY 1),
+        |cov AS (SELECT a.source AS s1, b.source AS s2,
+        |               sum(a.c)::BIGINT AS cov_occ, count(*)::BIGINT AS cov_types
+        |        FROM sw a JOIN sw b ON a.w = b.w AND a.source <> b.source
+        |        GROUP BY 1, 2)
+        |SELECT ta.source AS s1, tb.source AS s2,
+        |       (ta.n_occ - coalesce(cov_occ, 0))::BIGINT AS oov_occ,
+        |       (ta.n_types - coalesce(cov_types, 0))::BIGINT AS oov_types,
+        |       (1000::HUGEINT * (ta.n_occ - coalesce(cov_occ, 0)) // NULLIF(ta.n_occ, 0))::BIGINT AS oov_occ_milli,
+        |       (1000::HUGEINT * (ta.n_types - coalesce(cov_types, 0)) // NULLIF(ta.n_types, 0))::BIGINT AS oov_type_milli
+        |FROM t ta JOIN t tb ON ta.source <> tb.source
+        |LEFT JOIN cov ON cov.s1 = ta.source AND cov.s2 = tb.source
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val st = sourceTermCounts(s, dir)
+      val t = st.groupBy("source")
+        .agg(sum("c").as("n_occ"), count(lit(1)).as("n_types"))
+      val cov = st.groupBy("w")
+        .agg(collect_list(struct(col("source"), col("c"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ps, a ->
+            |  transform(filter(ps, b -> b.source != a.source),
+            |    b -> struct(a.source AS s1, b.source AS s2, a.c AS ca))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("p.ca").as("cov_occ"), count(lit(1)).as("cov_types"))
+      t.select(col("source").as("s1"), col("n_occ"), col("n_types"))
+        .crossJoin(broadcast(t.select(col("source").as("s2"))))
+        .filter(col("s1") =!= col("s2"))
+        .join(broadcast(cov), Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          (col("n_occ") - coalesce(col("cov_occ"), lit(0L))).as("oov_occ"),
+          (col("n_types") - coalesce(col("cov_types"), lit(0L))).as("oov_types"),
+          expr("(cast(1000 as decimal(38,0)) * (n_occ - coalesce(cov_occ, 0))) div nullif(n_occ, 0)")
+            .cast("long").as("oov_occ_milli"),
+          expr("(cast(1000 as decimal(38,0)) * (n_types - coalesce(cov_types, 0))) div nullif(n_types, 0)")
+            .cast("long").as("oov_type_milli"))
+        .orderBy("s1", "s2")
+    },
+
+    // ---- Zipf doubling-rank curve (round 16 — the RANK-FREQUENCY
+    // shape screen completing the vocabulary triptych: q168 measures
+    // growth (Heaps), q173 head mass, q187 the hapax tail; this
+    // measures the SLOPE in between, log-free. Per source, the term
+    // frequency at every power-of-two rank plus the doubling ratio
+    // f(2k)/f(k) in integer milli — under Zipf f(k) ∝ k^(−α) the
+    // ratio is the CONSTANT 2^(−α)·1000 (α=1 → 500), so a healthy
+    // source reads as a flat column; a ratio collapsing toward 0
+    // names template spam (cliff after the boilerplate head), one
+    // pinned near 1000 names id-junk/OCR garble (no head at all).
+    // Log-free ⇒ exact: ties broken (freq DESC, term ASC) give both
+    // engines the IDENTICAL total order, the milli ratio is a pure
+    // truncating quotient, and the product runs in
+    // decimal(38,0)/HUGEINT UNCONDITIONALLY (1000·freq wraps int64 at
+    // ~9e15 head-word occurrences — the 100 TB regime). Rank 1's
+    // ratio is NULL on both engines (lag over the first sampled row).
+    // Plan at 100 TB: ZERO corpus scans of its own — ranks are one
+    // window over the MEMOIZED Heaps-bounded (source, w, c) frame
+    // ([[sourceTermCounts]]); the power-of-two filter keeps
+    // ⌊log2 |vocab_s|⌋+1 rows per source, so the lag window and the
+    // result are |sources|·~25 rows. The per-source sort is the
+    // irreducible cost of exact ranks and it sorts the VOCAB frame
+    // (Heaps-bounded), never the corpus.
+    Q("q199_zipf_curve",
+      """WITH sw AS (SELECT source, w, count(*)::BIGINT AS c
+        |            FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |r AS (SELECT source, c,
+        |        row_number() OVER (PARTITION BY source ORDER BY c DESC, w)::BIGINT AS rk
+        |      FROM sw),
+        |p AS (SELECT source, rk, c FROM r WHERE (rk & (rk - 1)) = 0)
+        |SELECT source, rk, c AS freq,
+        |       (1000::HUGEINT * c // lag(c) OVER (PARTITION BY source ORDER BY rk))::BIGINT AS ratio_milli
+        |FROM p ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      val rkW = Window.partitionBy("source").orderBy(col("c").desc, col("w"))
+      val lagW = Window.partitionBy("source").orderBy("rk")
+      sourceTermCounts(s, dir)
+        .select(col("source"), col("c"),
+          row_number().over(rkW).cast("long").as("rk"))
+        .filter(expr("(rk & (rk - 1)) = 0"))
+        .withColumn("prev_c", lag("c", 1).over(lagW))
+        .select(col("source"), col("rk"), col("c").as("freq"),
+          expr("(cast(1000 as decimal(38,0)) * c) div prev_c")
+            .cast("long").as("ratio_milli"))
+        .orderBy("source", "rk")
     }
   )
 
