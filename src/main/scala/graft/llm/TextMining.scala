@@ -199,6 +199,17 @@ object TextMining {
   val Lexicon: Seq[String] =
     Seq("joinn", "cash", "scat", "groupe", "windov", "vektor", "merge", "qqqqq")
 
+  /** q201's function-word inventory — the classic content-free
+    * stylometry dimensions; literal on both engines (the Spark filter
+    * and the oracle's IN list interpolate the SAME seq, so they cannot
+    * drift apart). Declared BEFORE [[qs]]: the oracle string
+    * interpolates it at object init. */
+  val Stopwords: Seq[String] =
+    Seq("a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+      "in", "is", "it", "of", "on", "or", "that", "the", "this", "to",
+      "was", "with")
+  private def StopwordsSql: String = Stopwords.map(w => s"'$w'").mkString(", ")
+
   val qs: Seq[Q] = Seq(
 
     // ---- PMI collocations: the bigram-association mining that feeds
@@ -1862,6 +1873,136 @@ object TextMining {
           expr("(cast(1000 as decimal(38,0)) * c) div prev_c")
             .cast("long").as("ratio_milli"))
         .orderBy("source", "rk")
+    },
+
+    // ---- Head-word burstiness census (round 16 — the DISPERSION
+    // screen the frequency tables can't see: q110's lift and q173's
+    // head mass treat a word's occurrences as exchangeable, but
+    // keyword-stuffed spam puts its occurrences in FEW documents
+    // (clumped) while function words spread evenly. Exact Fano factor
+    // (variance-to-mean of the per-document count, zero-docs
+    // included) for the top-20 corpus head words, in integer milli:
+    // fano = 1000·(N·Σc² − (Σc)²) div (N·Σc) over N = ALL documents —
+    // 1000 ≈ Poisson (healthy), ≫1000 = clumped (spam/boilerplate
+    // carrier), <1000 = under-dispersed (template filler). Also the
+    // doc frequency and mean occurrences·1e6 for context. Every
+    // moment is an exact integer; N·Σc² runs in decimal(38,0)/HUGEINT
+    // UNCONDITIONALLY (≈1e28 at the 100 TB regime — far past int64),
+    // and c² is cast BEFORE the per-doc square on both engines so the
+    // square itself cannot wrap. Plan at 100 TB: head selection is a
+    // 20-row limit off the MEMOIZED vocab frame (TakeOrdered, no
+    // global sort materializes); the corpus token stream filters
+    // against that 20-row broadcast BEFORE its (doc, w) shuffle, so
+    // only head-word occurrences — |head|-bounded per doc — ever
+    // cross an exchange; the census agg is 20 rows; N is a broadcast
+    // scalar.
+    Q("q200_burstiness",
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |             FROM documents),
+        |v AS (SELECT w, count(*)::BIGINT AS n_w FROM tok GROUP BY 1),
+        |h AS (SELECT w FROM v ORDER BY n_w DESC, w LIMIT 20),
+        |dc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+        |       FROM tok JOIN h USING (w) GROUP BY 1, 2),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |f AS (SELECT w, count(*)::BIGINT AS df,
+        |        sum(c::HUGEINT) AS sc, sum((c::HUGEINT) * c) AS sc2
+        |      FROM dc GROUP BY 1)
+        |SELECT w, df, sc::BIGINT AS n_w,
+        |       (1000000::HUGEINT * sc // n.n)::BIGINT AS mean_micro,
+        |       (1000 * (n.n * sc2 - sc * sc) // (n.n * sc))::BIGINT AS fano_milli
+        |FROM f, n ORDER BY w""".stripMargin) { (s, dir) =>
+      val head = vocab(s, dir).orderBy(col("n_w").desc, col("w")).limit(20).select("w")
+      val dc = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(broadcast(head), "w")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      dc.groupBy("w")
+        .agg(count(lit(1)).as("df"),
+          sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+        .crossJoin(broadcast(n))
+        .select(col("w"), col("df"), col("sc").cast("long").as("n_w"),
+          expr("(cast(1000000 as decimal(38,0)) * sc) div n").cast("long").as("mean_micro"),
+          expr("(1000 * (n * sc2 - sc * sc)) div (n * sc)").cast("long").as("fano_milli"))
+        .orderBy("w")
+    },
+
+    // ---- Stopword-profile style matrix (round 16 — the REGISTER/
+    // style companion to q156's content overlap and q198's vocabulary
+    // coverage: two sources can share zero content yet be the same
+    // KIND of text, and function-word (stopword) frequency profiles
+    // are the classic stylometry signal — content-free, tokenizer-
+    // stable, 22 dimensions. Per unordered source pair, the SQUARED
+    // cosine between micro-scaled stopword share vectors, in integer
+    // micro: cos² = (1e6·dot²) div (‖a‖²·‖b‖²) — squaring instead of
+    // rooting keeps the whole chain in exact integer arithmetic (no
+    // sqrt ever happens; cos² is monotone in |cos|, which is all a
+    // drift ranking needs), and Cauchy–Schwarz on the TRUNCATED
+    // vectors bounds it at 1e6 exactly. Shares are per-source
+    // truncating quotients (1e6·c) div total, so a 100 TB source and
+    // its 1 GB sample read as the same point. Overflow audit:
+    // shares ≤ 1e6 ⇒ dot ≤ 22e12, dot² ≤ 4.9e26, ×1e6 ≈ 5e32 —
+    // decimal(38,0)/HUGEINT holds with five orders to spare; every
+    // product is cast before multiplication on both engines.
+    // Zero-stopword sources contribute no profile rows and drop out
+    // identically on both engines; NULLIF belt-and-braces per the
+    // ADVICE r15 discipline. Plan at 100 TB: ONE corpus scan whose
+    // token stream filters against the 22-word broadcast list BEFORE
+    // the (source, w) shuffle; the profile frame is ≤ 22·|sources|
+    // rows — census-scale, persisted (registerPersisted, the skyline
+    // ADVICE r12 discipline) because norms, the pair dot, and the
+    // grid all read it; the pair dot self-joins the CENSUS frame
+    // (broadcast), never anything corpus-scale; the |sources|² grid
+    // reports zero-dot pairs via the norms cross (q192 discipline).
+    Q("q201_stopword_cosine",
+      s"""WITH tok AS (SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+         |             FROM documents),
+         |sc AS (SELECT source, w, count(*)::BIGINT AS c FROM tok
+         |       WHERE w IN ($StopwordsSql) GROUP BY 1, 2),
+         |t AS (SELECT source, sum(c)::BIGINT AS tot FROM sc GROUP BY 1),
+         |p AS (SELECT sc.source, w, (1000000::HUGEINT * c // tot)::BIGINT AS p
+         |      FROM sc JOIN t USING (source)),
+         |nrm AS (SELECT source, sum((p::HUGEINT) * p) AS n2 FROM p GROUP BY 1),
+         |d AS (SELECT a.source AS s1, b.source AS s2,
+         |        sum((a.p::HUGEINT) * b.p) AS dot, count(*)::BIGINT AS n_common
+         |      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT na.source AS s1, nb.source AS s2,
+         |       coalesce(n_common, 0)::BIGINT AS n_common,
+         |       (1000000::HUGEINT * coalesce(dot, 0) * coalesce(dot, 0)
+         |        // NULLIF(na.n2 * nb.n2, 0))::BIGINT AS cos2_micro
+         |FROM nrm na JOIN nrm nb ON na.source < nb.source
+         |LEFT JOIN d ON d.s1 = na.source AND d.s2 = nb.source
+         |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val scf = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").isin(Stopwords: _*))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val t = scf.groupBy("source").agg(sum("c").as("tot"))
+      val p = scf.join(broadcast(t), "source")
+        .select(col("source"), col("w"),
+          expr("(cast(1000000 as decimal(38,0)) * c) div tot").cast("long").as("p"))
+        .persist()
+      graft.Caches.registerPersisted(p)
+      val nrm = p.groupBy("source")
+        .agg(sum(expr("cast(p as decimal(38,0)) * p")).as("n2"))
+      val d = p.as("a")
+        .join(broadcast(p.as("b")),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(sum(expr("cast(a.p as decimal(38,0)) * b.p")).as("dot"),
+          count(lit(1)).as("n_common"))
+      nrm.as("na")
+        .join(broadcast(nrm.as("nb")), col("na.source") < col("nb.source"))
+        .select(col("na.source").as("s1"), col("nb.source").as("s2"),
+          col("na.n2").as("n2a"), col("nb.n2").as("n2b"))
+        .join(broadcast(d), Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          expr("""cast((cast(1000000 as decimal(38,0)) * coalesce(dot, 0) * coalesce(dot, 0))
+                 |  div nullif(n2a * n2b, 0) as long)""".stripMargin).as("cos2_micro"))
+        .orderBy("s1", "s2")
     }
   )
 
