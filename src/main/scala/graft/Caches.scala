@@ -57,7 +57,8 @@ object Caches {
       "q173_head_coverage", "q177_token_budget_fill",
       "q184_curriculum_interleave", "q187_hapax_ttr",
       "q195_step_boundaries", "q197_trimmed_length",
-      "q198_oov_matrix", "q199_zipf_curve", "q200_burstiness"),
+      "q198_oov_matrix", "q199_zipf_curve", "q200_burstiness",
+      "q202_step_novelty"),
       llm.TextMining.release))
 
   /** query-name → release actions to fire AFTER that query, for a

@@ -2003,6 +2003,76 @@ object TextMining {
           expr("""cast((cast(1000000 as decimal(38,0)) * coalesce(dot, 0) * coalesce(dot, 0))
                  |  div nullif(n2a * n2b, 0) as long)""".stripMargin).as("cos2_micro"))
         .orderBy("s1", "s2")
+    },
+
+    // ---- Curriculum step-novelty decay (round 16 — the TRAINING-
+    // DYNAMICS face of first-occurrence attribution: q147 prices
+    // novelty per SOURCE (the mix decision), this prices it per
+    // OPTIMIZER STEP under q184's curriculum order (the schedule
+    // decision) — whether late steps still teach new n-grams or just
+    // re-grind the head, the number behind early-stopping a pass over
+    // an epoch and behind q177's repetition caps. Per q195 step:
+    // gram-occurrence mass, FIRST-occurrence mass (gram's first doc in
+    // curriculum-rank order — all its occurrences in that doc count
+    // novel, the q147 attribution), distinct NEW grams, and
+    // novelty_milli. Exact integers; per-step counts are bounded by
+    // StepTokens ≈ 2048 occurrences so no product ever nears int64;
+    // ties and order are total (rank is a bijection). Plan at 100 TB:
+    // the doc→(rank, step) map reuses [[curriculumRanked]] (counting-
+    // sort position, closed-form rank — broadcast joins only) and the
+    // bucketed globalOffsets prefix (q195's device); grams explode
+    // MAP-SIDE from the corpus scan, and the fixed-width (doc_id, h)
+    // frame — never text — shuffles once on doc_id to attach
+    // (rank, step), once on h for the first-occurrence agg, and
+    // reuses that h exchange for the attribution join (the q147
+    // device); the census agg is |steps|-bounded. The extra doc_id
+    // shuffle is the irreducible attach cost: rank is a global
+    // property no map-side expression can compute.
+    Q("q202_step_novelty",
+      s"""WITH tok AS (SELECT doc_id, source,
+         |               list_filter(string_split(text, ' '), x -> x != '') AS ws
+         |             FROM documents),
+         |nt AS (SELECT doc_id, source, ws, len(ws)::BIGINT AS nt FROM tok),
+         |pp AS (SELECT doc_id, source, ws, nt,
+         |         row_number() OVER (PARTITION BY source ORDER BY nt, doc_id)::BIGINT AS p
+         |       FROM nt),
+         |rk AS (SELECT doc_id, ws, nt, row_number() OVER (ORDER BY p, source)::BIGINT AS gr
+         |       FROM pp),
+         |o AS (SELECT doc_id, ws, gr,
+         |        ((sum(nt) OVER (ORDER BY gr) - nt) // $StepTokens)::BIGINT AS step
+         |      FROM rk),
+         |g AS (SELECT gr, step,
+         |        ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+         |      FROM o, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+         |      WHERE len(ws) >= 3),
+         |f AS (SELECT h, min(gr) AS fr FROM g GROUP BY 1)
+         |SELECT step, count(*)::BIGINT AS n_occ,
+         |       count(*) FILTER (WHERE gr = fr)::BIGINT AS n_novel_occ,
+         |       count(DISTINCT h) FILTER (WHERE gr = fr)::BIGINT AS n_new_grams,
+         |       (1000 * count(*) FILTER (WHERE gr = fr) // count(*))::BIGINT AS novelty_milli
+         |FROM g JOIN f USING (h)
+         |GROUP BY step ORDER BY step""".stripMargin) { (s, dir) =>
+      val sm = LlmText.globalOffsets(
+          curriculumRanked(s, dir)
+            .select(col("doc_id").as("orig_id"),
+              col("global_rank").as("doc_id"), col("nt").as("n_tokens")), 32)
+        .select(col("orig_id").as("doc_id"), col("doc_id").as("gr"),
+          expr(s"tok_offset div $StepTokens").as("step"))
+      val g = docs(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(triHashes("ws"))).as("h"))
+        .join(sm, "doc_id")
+      val first = g.groupBy("h").agg(min("gr").as("fr"))
+      g.join(first, "h")
+        .groupBy("step")
+        .agg(count(lit(1)).as("n_occ"),
+          count(when(col("gr") === col("fr"), 1)).as("n_novel_occ"),
+          countDistinct(when(col("gr") === col("fr"), col("h"))).as("n_new_grams"))
+        .withColumn("novelty_milli", expr("1000 * n_novel_occ div n_occ"))
+        .select("step", "n_occ", "n_novel_occ", "n_new_grams", "novelty_milli")
+        .orderBy("step")
     }
   )
 
