@@ -2824,6 +2824,52 @@ object LlmText {
           col("occ_a"), col("occ_b"),
           expr("(1000 * shared_grams) div n").as("b_leak_milli"))
         .orderBy("split_a", "split_b")
+    },
+
+    // ---- Edit-distance verification of SimHash candidates (round 16
+    // — the CHARACTER-level verify stage completing the trio: q172
+    // verifies q66's candidates with set Jaccard (order-blind), q154
+    // with the longest shared token run (order-exact but token-
+    // granular); exact edit distance is the byte-accuracy number a
+    // dedup audit quotes for "same doc up to k keystrokes" — OCR
+    // noise, version bumps, template fills, all invisible to set
+    // measures. Per candidate pair: the Levenshtein distance over the
+    // 200-char ASCII projection of each doc and the similarity
+    // 1000·(maxlen − lev) div maxlen in milli. ENGINE-PORTABLE BY
+    // CONSTRUCTION: Spark's levenshtein counts codepoints, DuckDB's
+    // counts bytes — stripping non-ASCII on BOTH engines first
+    // ([^\x00-\x7F] → '', the byte=codepoint regime) makes the two
+    // definitions coincide for ANY corpus, not just ASCII fixtures;
+    // the 200-char cap bounds the O(len²) DP at 40k cells/pair. Both-
+    // empty projections NULL identically (NULLIF). Plan at 100 TB:
+    // the pair set is the bounded [[simhashHamPairs]] (q66's priced
+    // path over the shared token-hash cache); the prefix frame
+    // projects (doc_id, 200 ASCII chars) MAP-SIDE off the corpus scan
+    // so only ≤200 chars/doc cross the two attach joins; the DP runs
+    // inside whole-stage codegen (native levenshtein, no UDF), output
+    // = |candidate pairs|.
+    Q("q203_edit_verify",
+      simhashPairsCore + """,
+        |px AS (SELECT doc_id,
+        |         substr(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 200) AS px
+        |       FROM documents)
+        |SELECT doc_a, doc_b, hamming,
+        |       levenshtein(pa.px, pb.px)::BIGINT AS lev,
+        |       (1000 * (greatest(len(pa.px), len(pb.px)) - levenshtein(pa.px, pb.px))
+        |        // NULLIF(greatest(len(pa.px), len(pb.px)), 0))::BIGINT AS sim_milli
+        |FROM hp JOIN px pa ON pa.doc_id = hp.doc_a
+        |        JOIN px pb ON pb.doc_id = hp.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val px = docs(s, dir).select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), 1, 200).as("px"))
+      simhashHamPairs(s, dir)
+        .join(px.select(col("doc_id").as("doc_a"), col("px").as("pa")), "doc_a")
+        .join(px.select(col("doc_id").as("doc_b"), col("px").as("pb")), "doc_b")
+        .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+        .withColumn("ml", greatest(length(col("pa")), length(col("pb"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
+          expr("(1000 * (ml - lev)) div nullif(ml, 0)").as("sim_milli"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
