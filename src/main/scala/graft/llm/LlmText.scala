@@ -493,7 +493,7 @@ object LlmText {
 
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[llm] def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s, dir), _ =>
       tokenHashArr(s, dir)
         .select(col("doc_id"),

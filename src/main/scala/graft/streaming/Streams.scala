@@ -38,15 +38,17 @@ object Streams {
     * front of every streaming query here. Each call returns a FRESH
     * readStream (required for stream-stream self-joins: each side
     * tracks its own offsets). */
-  private[streaming] def eventStream(s: SparkSession, dir: String): DataFrame = {
+  /** Stage `$dir/$table.parquet` into a per-fixture landing DIRECTORY
+    * (shared by [[eventStream]] and [[docStream]]) and return it. */
+  private def stageLanding(dir: String, table: String): java.nio.file.Path = {
     // landing dir is keyed by the SOURCE's size+mtime stamp (ADVICE
     // r11): a regenerated fixture at the same path — possibly with the
     // OTHER ts encoding — must never meet a stale staged copy whose
     // physical type contradicts the freshly-read schema below.
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     val stamp = java.nio.file.Files.size(src) + "_" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis
-    val prefix = "stream_events_" + Integer.toHexString(dir.hashCode) + "_"
+    val prefix = s"stream_${table}_" + Integer.toHexString(dir.hashCode) + "_"
     val landing = java.nio.file.Paths.get("/tmp/graft/" + prefix + stamp)
     // a regenerated fixture leaves the PREVIOUS stamp's staged copy
     // behind forever (ADVICE r12) — drop stale siblings before staging.
@@ -72,13 +74,13 @@ object Streams {
       } finally listing.close()
     }
     java.nio.file.Files.createDirectories(landing)
-    val dst = landing.resolve("events.parquet")
+    val dst = landing.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(dst)) {
       // write-to-temp + ATOMIC_MOVE (the pngTable/mediaTable staging
       // discipline): a concurrent process computing the same stamp must
       // never observe a half-copied file behind the exists-check
       val tmp = landing.resolve(
-        "events.parquet." + java.lang.ProcessHandle.current().pid() + ".tmp")
+        s"$table.parquet." + java.lang.ProcessHandle.current().pid() + ".tmp")
       java.nio.file.Files.copy(src, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       try java.nio.file.Files.move(tmp, dst,
@@ -86,6 +88,11 @@ object Streams {
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         java.nio.file.Files.deleteIfExists(tmp) }
     }
+    landing
+  }
+
+  private[streaming] def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val landing = stageLanding(dir, "events")
     // schema from the batch reader; normalize ts to session-zone
     // TIMESTAMP exactly as T.events does (the testdata has shipped both
     // TIMESTAMP(NANOS) -> raw long nanos and timestamp[us] -> NTZ, and
@@ -100,6 +107,15 @@ object Streams {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => stream
     }
+  }
+
+  /** Document ingest stream over the staged fixture — the front of the
+    * q204 decontamination gate (no timestamp normalization: documents
+    * carry no event time; the gate is stateless per row). */
+  private[streaming] def docStream(s: SparkSession, dir: String): DataFrame = {
+    val landing = stageLanding(dir, "documents")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema).parquet(landing.toString)
   }
 
   val qs: Seq[Q] = Seq(
@@ -440,6 +456,38 @@ object Streams {
       // guard) lives in MixMonitor.weightFrame, shared with the fenced
       // snapshot sink so both paths compute identical numbers
       MixMonitor.weightFrame(s.table(name)).orderBy("day", "event_type")
+    },
+
+    // ---- Streaming decontamination gate (round 16 — the q62/q81
+    // contamination rule at the FRONT DOOR: flag each arriving doc
+    // whose shingles half-overlap a static benchmark set, before it
+    // reaches a training shard). Stateless by construction — the
+    // benchmark is static and a doc's shingles live in one row — so
+    // decisions are batching-invariant and the stream holds ZERO
+    // aggregation state; exactness comes from the Bloom prefilter's
+    // no-false-negatives guarantee plus an exact batch-local verify of
+    // the survivors, decisions landing exactly-once in a batch=N
+    // store (see [[StreamDeconGate]] for the full scale argument).
+    // Census: per source, gated docs / flagged docs / trivially-passed
+    // short docs / flagged share in milli (NULLIF on both engines).
+    Q("q204_stream_decon_gate",
+      graft.llm.LlmText.sqlPrelude + """,
+        |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 20 = 0),
+        |hits AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
+        |         FROM dsh d LEFT JOIN bench b USING (sh)
+        |         WHERE d.doc_id % 20 <> 0 GROUP BY 1),
+        |d0 AS (SELECT doc_id, source FROM documents WHERE doc_id % 20 <> 0),
+        |pop AS (SELECT d0.source, hits.n_sh, hits.n_hit,
+        |               hits.doc_id IS NOT NULL AS has_sh
+        |        FROM d0 LEFT JOIN hits ON hits.doc_id = d0.doc_id)
+        |SELECT source,
+        |       count(*) FILTER (WHERE has_sh)::BIGINT AS n_docs,
+        |       count(*) FILTER (WHERE has_sh AND 2 * n_hit >= n_sh)::BIGINT AS n_flagged,
+        |       count(*) FILTER (WHERE NOT has_sh)::BIGINT AS n_short,
+        |       (1000 * count(*) FILTER (WHERE has_sh AND 2 * n_hit >= n_sh)
+        |        // NULLIF(count(*) FILTER (WHERE has_sh), 0))::BIGINT AS flagged_milli
+        |FROM pop GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      StreamDeconGate.run(s, dir)
     }
   )
 }
