@@ -2870,6 +2870,131 @@ object LlmText {
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
           expr("(1000 * (ml - lev)) div nullif(ml, 0)").as("sim_milli"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- Within-source percentile normalization (round 16 — the
+    // CROSS-SOURCE FAIRNESS transform the absolute screens need: a
+    // "good" TTR for web text is template-spam territory for code, so
+    // thresholding the raw signal cross-source throttles whole
+    // domains; mapping each doc to its percentile WITHIN its source
+    // makes one curation threshold mean the same thing everywhere
+    // (quantile normalization, the q160 decile idea at per-doc
+    // granularity). Per doc: TTR in micro (distinct/token truncating
+    // quotient off the one compiled qualityStats pass) and
+    // pct_milli = 1000·|strictly below within source| div (n_s − 1) —
+    // ties share a percentile (rank semantics), single-doc sources
+    // NULL identically on both engines (NULLIF). Exact integers
+    // throughout. Plan at 100 TB: NO per-source row window (the q97
+    // skew lesson — one huge source would serialize through one
+    // task); "strictly below" decomposes counting-sort style over the
+    // VALUE-BOUNDED (source, ttr) histogram (≤ |sources|·1e6 rows):
+    // one partial-agg shuffle to the histogram, a cumulative window
+    // over that bounded frame, and one hash join back on
+    // (source, ttr) — corpus rows move through exactly one exchange.
+    // Zero-token docs (TTR undefined) drop identically on both
+    // engines.
+    Q("q205_percentile_norm",
+      """WITH m AS (SELECT doc_id, source,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS nt,
+        |             len(list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))) AS nd
+        |           FROM documents),
+        |s AS (SELECT doc_id, source, (1000000 * nd // nt)::BIGINT AS ttr
+        |      FROM m WHERE nt > 0),
+        |h AS (SELECT source, ttr, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        |cum AS (SELECT source, ttr, (sum(c) OVER (PARTITION BY source ORDER BY ttr) - c)::BIGINT AS below
+        |        FROM h),
+        |n AS (SELECT source, count(*)::BIGINT AS n FROM s GROUP BY 1)
+        |SELECT s.doc_id, s.source, s.ttr AS ttr_micro,
+        |       (1000 * cum.below // NULLIF(n.n - 1, 0))::BIGINT AS pct_milli
+        |FROM s JOIN cum ON cum.source = s.source AND cum.ttr = s.ttr
+        |       JOIN n ON n.source = s.source
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("source"), st.as("st"))
+        .select(col("doc_id"), col("source"),
+          element_at(col("st"), 1).as("nt"), element_at(col("st"), 2).as("nd"))
+        .filter(col("nt") > 0)
+        .select(col("doc_id"), col("source"),
+          expr("(1000000 * nd) div nt").cast("long").as("ttr"))
+      val h = scored.groupBy("source", "ttr").agg(count(lit(1)).as("c"))
+      val below = h.withColumn("below",
+        sum("c").over(Window.partitionBy("source").orderBy("ttr")) - col("c"))
+      val n = scored.groupBy("source").agg(count(lit(1)).as("n"))
+      scored
+        .join(below.select("source", "ttr", "below"), Seq("source", "ttr"))
+        .join(broadcast(n), "source")
+        .select(col("doc_id"), col("source"), col("ttr").as("ttr_micro"),
+          expr("(1000 * below) div nullif(n - 1, 0)").as("pct_milli"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Contamination attribution (round 16 — the WHICH question
+    // after q62/q81/q204 answer HOW MUCH: a decontamination incident
+    // report names the benchmark artifact that leaked and the source
+    // that carries it, because remediation differs — a leaked eval
+    // suite means re-crawling one source, a mirrored FAQ means a
+    // lexicon fix. For every contaminated doc (q62's 2·hits ≥ n_sh
+    // rule), attribute each benchmark-shared shingle to the benchmark
+    // doc(s) containing it; per (source, bench_doc): the shared-
+    // shingle evidence mass, distinct contaminated docs touched, and
+    // the top-3 benchmark docs per source by (evidence, bench_doc).
+    // Exact integers; multi-bench-doc shingles attribute to EACH
+    // owner (evidence counting, not partitioning — documented, and
+    // identical on both engines). Plan at 100 TB: the benchmark side
+    // (eval suites) is small — its (sh, bench_doc) pairs BROADCAST
+    // twice (flag stage + attribution stage); the corpus-side shingle
+    // frame is the MEMOIZED q41-family cache, flagged docs reduce via
+    // one broadcast-join agg (q62's shape), attribution is a second
+    // broadcast join restricted to flagged docs only (∝ contamination
+    // rate, not corpus), census agg is |sources|·|bench|-bounded, and
+    // the top-3 rank collapses to WindowGroupLimit.
+    Q("q206_contamination_attribution",
+      sqlPrelude + """,
+        |bp AS (SELECT doc_id AS bench_doc, sh FROM dsh WHERE doc_id % 20 = 0),
+        |bu AS (SELECT DISTINCT sh FROM bp),
+        |hits AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
+        |         FROM dsh d LEFT JOIN bu b USING (sh)
+        |         WHERE d.doc_id % 20 <> 0 GROUP BY 1),
+        |fl AS (SELECT doc_id FROM hits WHERE 2 * n_hit >= n_sh),
+        |att AS (SELECT doc.source, bp.bench_doc,
+        |               count(*)::BIGINT AS n_evidence,
+        |               count(DISTINCT d.doc_id)::BIGINT AS n_docs
+        |        FROM dsh d JOIN fl USING (doc_id)
+        |             JOIN bp ON bp.sh = d.sh
+        |             JOIN documents doc ON doc.doc_id = d.doc_id
+        |        GROUP BY 1, 2),
+        |rk AS (SELECT source, bench_doc, n_evidence, n_docs,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_evidence DESC, bench_doc)::BIGINT AS rk
+        |       FROM att)
+        |SELECT source, rk, bench_doc, n_evidence, n_docs
+        |FROM rk WHERE rk <= 3 ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      val sh = docShingles(s, dir)
+      val bp = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_doc"), explode(col("sh")).as("sh"))
+      val bu = bp.select("sh").distinct().withColumn("mark", lit(1))
+      val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("sh"))
+      val flagged = corpus
+        .join(broadcast(bu), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), count(col("mark")).as("n_hit"))
+        .filter(col("n_hit") * 2 >= col("n_sh"))
+        .select("doc_id")
+      val srcOf = docs(s, dir).select(col("doc_id"), col("source"))
+      val att = corpus
+        .join(broadcast(flagged), Seq("doc_id"), "left_semi")
+        .join(broadcast(bp), "sh")
+        .join(srcOf, "doc_id")
+        .groupBy("source", "bench_doc")
+        .agg(count(lit(1)).as("n_evidence"), countDistinct("doc_id").as("n_docs"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_evidence").desc, col("bench_doc"))
+      att.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("source", "rk", "bench_doc", "n_evidence", "n_docs")
+        .orderBy("source", "rk")
     }
   )
 
