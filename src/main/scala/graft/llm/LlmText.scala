@@ -2862,9 +2862,18 @@ object LlmText {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val px = docs(s, dir).select(col("doc_id"),
         substring(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), 1, 200).as("px"))
+      // EXPLICIT repartition before the DP (measured: 64 s → 12 s cold
+      // at sf0.1): the joined pair frame is byte-SMALL (99k rows of ids
+      // + 200-char prefixes), so AQE's byte-based coalescing collapses
+      // it to one task — and the per-ROW cost here is a 40k-cell DP,
+      // the exact case byte statistics mispredict. The explicit
+      // partition count disables AQE coalescing for this one exchange;
+      // the keys keep the final sort's range exchange cheap.
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       simhashHamPairs(s, dir)
         .join(px.select(col("doc_id").as("doc_a"), col("px").as("pa")), "doc_a")
         .join(px.select(col("doc_id").as("doc_b"), col("px").as("pb")), "doc_b")
+        .repartition(nPart, col("doc_a"), col("doc_b"))
         .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
         .withColumn("ml", greatest(length(col("pa")), length(col("pb"))).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
