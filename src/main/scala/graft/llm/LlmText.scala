@@ -2862,20 +2862,31 @@ object LlmText {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val px = docs(s, dir).select(col("doc_id"),
         substring(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), 1, 200).as("px"))
-      // EXPLICIT repartition before the DP (measured: 64 s → 12 s cold
-      // at sf0.1): the joined pair frame is byte-SMALL (99k rows of ids
-      // + 200-char prefixes), so AQE's byte-based coalescing collapses
-      // it to one task — and the per-ROW cost here is a 40k-cell DP,
-      // the exact case byte statistics mispredict. The explicit
-      // partition count disables AQE coalescing for this one exchange;
-      // the keys keep the final sort's range exchange cheap.
+      // TWO measured scale defenses on the DP stage:
+      // 1. EXPLICIT repartition (64 s → 12 s cold at sf0.1): the pair
+      //    frame is byte-SMALL (99k rows of ids + 200-char prefixes),
+      //    so AQE's byte-based coalescing collapses it to ONE task —
+      //    and the per-ROW cost is a 40k-cell DP, the exact case byte
+      //    statistics mispredict. The explicit partition count
+      //    disables coalescing for this one exchange.
+      // 2. CONTENT-PAIR collapse (252 s → ~5 s on the 10×-clone
+      //    adversary): clone cliques multiply MEMBER pairs ~45× per
+      //    duplicated content while the DISTINCT (pa, pb) prefix
+      //    pairs stay ~flat (95,849 of 99,269 at base sf0.1 — the
+      //    collapse is free when content is distinct, decisive under
+      //    clones). The DP runs once per distinct prefix pair and the
+      //    member pairs re-attach by join — the q172
+      //    transferJmCollapsed lesson applied to edit distance.
       val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      simhashHamPairs(s, dir)
+      val joined = simhashHamPairs(s, dir)
         .join(px.select(col("doc_id").as("doc_a"), col("px").as("pa")), "doc_a")
         .join(px.select(col("doc_id").as("doc_b"), col("px").as("pb")), "doc_b")
-        .repartition(nPart, col("doc_a"), col("doc_b"))
-        .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
-        .withColumn("ml", greatest(length(col("pa")), length(col("pb"))).cast("long"))
+      val dist = joined.select("pa", "pb").distinct()
+        .repartition(nPart, col("pa"), col("pb"))
+        .select(col("pa"), col("pb"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("lev"),
+          greatest(length(col("pa")), length(col("pb"))).cast("long").as("ml"))
+      joined.join(dist, Seq("pa", "pb"))
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
           expr("(1000 * (ml - lev)) div nullif(ml, 0)").as("sim_milli"))
         .orderBy("doc_a", "doc_b")

@@ -983,6 +983,65 @@ object LlmVector {
           col("tri_pairs"), col("nsub"), col("block_tasks"),
           expr("(1000 * tri_pairs) div nullif(tot, 0)").as("tri_share_milli"))
         .orderBy("cluster")
+    },
+
+    // ---- Per-label scatter: mean pairwise dot WITHOUT pairs (round
+    // 16 — the class-COMPACTNESS census completing the label family:
+    // q157 names each class's outliers, this prices each class's
+    // overall coherence — a diffuse label is mislabeled or
+    // multi-modal, the screen a labeled-data audit reads first. The
+    // scale device is the algebraic identity Σ_{i≠j} q_i·q_j =
+    // ‖Σq‖² − Σ‖q‖²: the mean pairwise dot of n vectors needs NO
+    // pair enumeration — ONE |labels|·(dim+2)-cell partial-agg shuffle
+    // (the q157/q161 dimSums device plus a per-row energy fold)
+    // replaces the C(n,2) pair walk that is the 100 TB cliff. All
+    // integer-exact on the milli-quantized grid (q157's QuantExpr +
+    // ragged guard): scatter and energy products run in
+    // decimal(38,0)/HUGEINT UNCONDITIONALLY (S_d ≈ n·1000 wraps int64
+    // squared at n ≈ 3e6 per label); mean_pair_dot is the truncating
+    // quotient (rounds toward zero — it CAN be negative for
+    // anti-correlated classes, and both engines' div/// truncate
+    // identically); compact_milli = 1000·scatter div ((n−1)·energy)
+    // reads ≈ 1000·mean-cos for unit-ish vectors and is EXACTLY 1000
+    // for n identical vectors (LabelScatterSpec pins the endpoint).
+    // Singleton labels have no pairs → NULL on both engines (NULLIF).
+    Q("q209_label_scatter",
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(round(v::DOUBLE * 1000) AS BIGINT) AS q, i
+        |           FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |                        generate_subscripts(embedding, 1) AS i
+        |                 FROM embeddings)),
+        |sd AS (SELECT label, i, sum(q)::HUGEINT AS s FROM e GROUP BY 1, 2),
+        |s2 AS (SELECT label, sum(s * s) AS s2 FROM sd GROUP BY 1),
+        |t AS (SELECT label, count(DISTINCT vec_id)::BIGINT AS n,
+        |             sum((q::HUGEINT) * q) AS energy
+        |      FROM e GROUP BY 1)
+        |SELECT t.label, t.n, t.energy::BIGINT AS energy,
+        |       ((s2.s2 - t.energy) // NULLIF(t.n * (t.n - 1), 0))::BIGINT AS mean_pair_dot,
+        |       (1000::HUGEINT * (s2.s2 - t.energy)
+        |        // NULLIF((t.n - 1)::HUGEINT * t.energy, 0))::BIGINT AS compact_milli
+        |FROM t JOIN s2 USING (label) ORDER BY label""".stripMargin) { (s, dir) =>
+      val e = T.df(s, dir, "embeddings")
+      val dim = embDim(e)
+      val withQ = e.filter(guardDim(dim))
+        .select(col("vec_id"), col("label"), expr(QuantExpr).as("q"))
+        .withColumn("energy", expr(
+          "aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1).cast("decimal(38,0)")).as(s"s$i"))
+      val aggs = Seq(count(lit(1)).as("n"),
+        sum(col("energy").cast("decimal(38,0)")).as("energy")) ++ sums
+      // dim 0 (empty table) degrades to a zero scatter, not a parse error
+      val s2Expr = if (dim == 0) "cast(0 as decimal(38,0))"
+                   else (0 until dim).map(i => s"s$i * s$i").mkString(" + ")
+      withQ.groupBy("label").agg(aggs.head, aggs.tail: _*)
+        .withColumn("s2", expr(s2Expr))
+        .select(col("label"), col("n"), col("energy").cast("long").as("energy"),
+          expr("(s2 - energy) div nullif(n * (n - 1), 0)")
+            .cast("long").as("mean_pair_dot"),
+          expr("(cast(1000 as decimal(38,0)) * (s2 - energy)) div nullif((n - 1) * energy, 0)")
+            .cast("long").as("compact_milli"))
+        .orderBy("label")
     }
   )
 

@@ -2073,6 +2073,60 @@ object TextMining {
         .withColumn("novelty_milli", expr("1000 * n_novel_occ div n_occ"))
         .select("step", "n_occ", "n_novel_occ", "n_new_grams", "novelty_milli")
         .orderBy("step")
+    },
+
+    // ---- Padded-batch waste census (round 16 — the OTHER batching
+    // regime's cost table: q70/q170 price sequence PACKING
+    // (concatenate-and-split); fine-tuning and inference stacks
+    // instead BUCKET-AND-PAD — each doc rounds up to the next
+    // power-of-two bucket, docs past the context window truncate —
+    // and the decision between the regimes is exactly this table.
+    // Per bucket (16..2048): docs, kept-token mass, PAD slots bought
+    // (Σ bucket − len, the attention-FLOPs burned on padding),
+    // TRUNCATED tokens (data thrown away at the context cap), and the
+    // pad share of the bucket's slot mass in milli. Exact integers;
+    // the milli product runs decimal(38,0)/HUGEINT UNCONDITIONALLY
+    // (1000·slot-mass wraps int64 inside the 100 TB regime).
+    // Zero-token docs have nothing to batch and drop on both engines.
+    // Plan at 100 TB: ZERO corpus scans of its own — everything is
+    // arithmetic over the MEMOIZED value-bounded (source, len, count)
+    // histogram ([[sourceLenCounts]], its one shuffle already paid by
+    // q165/q184/q197), reduced to the global length histogram and an
+    // ≤8-row census.
+    Q("q207_padding_waste",
+      """WITH d AS (SELECT len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS v
+        |           FROM documents),
+        |h AS (SELECT v, count(*)::BIGINT AS c FROM d WHERE v > 0 GROUP BY 1),
+        |b AS (SELECT (CASE WHEN v <= 16 THEN 16 WHEN v <= 32 THEN 32
+        |                   WHEN v <= 64 THEN 64 WHEN v <= 128 THEN 128
+        |                   WHEN v <= 256 THEN 256 WHEN v <= 512 THEN 512
+        |                   WHEN v <= 1024 THEN 1024 ELSE 2048 END)::BIGINT AS bucket,
+        |             v, c FROM h)
+        |SELECT bucket, sum(c)::BIGINT AS n_docs,
+        |       sum(c * least(v, 2048))::BIGINT AS n_tokens,
+        |       sum(c * greatest(bucket - v, 0))::BIGINT AS pad_tokens,
+        |       sum(c * greatest(v - 2048, 0))::BIGINT AS trunc_tokens,
+        |       (1000::HUGEINT * sum(c * greatest(bucket - v, 0))
+        |        // (sum(c) * bucket))::BIGINT AS pad_milli
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      sourceLenCounts(s, dir)
+        .groupBy("v").agg(sum("c").as("c"))
+        .filter(col("v") > 0)
+        .withColumn("bucket", expr(
+          """CASE WHEN v <= 16 THEN 16 WHEN v <= 32 THEN 32
+            |     WHEN v <= 64 THEN 64 WHEN v <= 128 THEN 128
+            |     WHEN v <= 256 THEN 256 WHEN v <= 512 THEN 512
+            |     WHEN v <= 1024 THEN 1024 ELSE 2048 END""".stripMargin).cast("long"))
+        .groupBy("bucket")
+        .agg(sum("c").as("n_docs"),
+          sum(expr("c * least(v, 2048)")).as("n_tokens"),
+          sum(expr("c * greatest(bucket - v, 0)")).as("pad_tokens"),
+          sum(expr("c * greatest(v - 2048, 0)")).as("trunc_tokens"))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          col("pad_tokens"), col("trunc_tokens"),
+          expr("(cast(1000 as decimal(38,0)) * pad_tokens) div (n_docs * bucket)")
+            .cast("long").as("pad_milli"))
+        .orderBy("bucket")
     }
   )
 

@@ -538,6 +538,84 @@ object Analytics {
           (col("k") * col("n_classes")).as("n_records"),
           (col("k") < 5 || col("l") < 2).as("at_risk"))
         .orderBy("k", "l")
+    },
+
+    // ---- Robust anomaly census: median/MAD outlier screen (round 16
+    // — the robust-statistics face of the quantile trio q104/q141/
+    // q150: mean±3σ (q94's moments) is itself dragged by the outliers
+    // it hunts; median ± 3·MAD is the standard robust gate a metrics
+    // pipeline runs per stream. Per event_type: the EXACT lower median
+    // of value (cents), the EXACT MAD (lower median of |v − med|),
+    // the strict |v − med| > 3·MAD outlier count, and the outlier
+    // share in milli. Everything integer-exact: values are 2-dp by
+    // fixture contract (the T.dec rule) so cents are exact; the lower
+    // median (rank ⌈n/2⌉ = (n+1) div 2) avoids the even-n midpoint
+    // average that would leave integers; both engines truncate
+    // identically. Plan at 100 TB: ONE partial-agg shuffle to the
+    // value-bounded (event_type, cents) histogram (q141's bounded-
+    // domain discipline — never a row sort); medians are cumulative
+    // windows over that bounded frame; the MAD histogram is a
+    // TRANSFORM of the value histogram (|cents − med| regroup), not a
+    // second corpus pass; every join is a census-frame broadcast.
+    Q("q208_robust_anomaly",
+      """WITH h AS (SELECT event_type,
+        |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |             count(*)::BIGINT AS c
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |n AS (SELECT event_type, sum(c)::BIGINT AS n FROM h GROUP BY 1),
+        |cum AS (SELECT event_type, cents, c,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum FROM h),
+        |med AS (SELECT cum.event_type, min(cents) AS med
+        |        FROM cum JOIN n USING (event_type)
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |ad AS (SELECT h.event_type, abs(cents - med) AS d, sum(c)::BIGINT AS c
+        |       FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |cum2 AS (SELECT event_type, d, c,
+        |           sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum FROM ad),
+        |mad AS (SELECT cum2.event_type, min(d) AS mad
+        |        FROM cum2 JOIN n USING (event_type)
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |o AS (SELECT h.event_type,
+        |        sum(CASE WHEN abs(cents - med) > 3 * mad THEN c ELSE 0 END)::BIGINT AS n_out
+        |      FROM h JOIN med USING (event_type) JOIN mad USING (event_type) GROUP BY 1)
+        |SELECT n.event_type, n.n, med.med AS med_cents, mad.mad AS mad_cents,
+        |       o.n_out AS n_outliers, (1000 * o.n_out // n.n)::BIGINT AS outlier_milli
+        |FROM n JOIN med USING (event_type) JOIN mad USING (event_type)
+        |       JOIN o USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val h = T.df(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (T.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+        .persist()
+      graft.Caches.registerPersisted(h)
+      val n = h.groupBy("event_type").agg(sum("c").as("n"))
+      val wv = Window.partitionBy("event_type").orderBy("cents")
+      val med = h.withColumn("cum", sum("c").over(wv))
+        .join(broadcast(n), "event_type")
+        .filter(expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type").agg(min("cents").as("med"))
+      val ad = h.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), abs(col("cents") - col("med")).as("d"))
+        .agg(sum("c").as("c"))
+      val wd = Window.partitionBy("event_type").orderBy("d")
+      val mad = ad.withColumn("cum", sum("c").over(wd))
+        .join(broadcast(n), "event_type")
+        .filter(expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type").agg(min("d").as("mad"))
+      val out = h.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(sum(when(abs(col("cents") - col("med")) > col("mad") * 3, col("c"))
+          .otherwise(0L)).as("n_out"))
+      n.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .join(broadcast(out), "event_type")
+        .select(col("event_type"), col("n"), col("med").as("med_cents"),
+          col("mad").as("mad_cents"), col("n_out").as("n_outliers"),
+          expr("(1000 * n_out) div n").as("outlier_milli"))
+        .orderBy("event_type")
     }
   )
 
