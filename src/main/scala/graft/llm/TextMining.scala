@@ -2127,6 +2127,95 @@ object TextMining {
           expr("(cast(1000 as decimal(38,0)) * pad_tokens) div (n_docs * bucket)")
             .cast("long").as("pad_milli"))
         .orderBy("bucket")
+    },
+
+    // ---- Length↔quality concordance (round 16 — the question behind
+    // every cheap length filter: does document LENGTH proxy for
+    // QUALITY in this source, or would a length threshold just
+    // throttle a domain? Exact Kendall tau-a between the within-
+    // source deciles of token count and TTR, per source — rank
+    // correlation is the right tool (monotone, outlier-immune), and
+    // on DECILED signals it is exact integer arithmetic with no n²
+    // pair walk: concordant/discordant pair masses are quadrant sums
+    // over the ≤10×10 per-source cell table (C = Σ c_ij·|cells right-
+    // and-above|), never enumerated. Deciles are the q160 histogram
+    // device ((10·|strictly below|) div n — no corpus-scale rank
+    // window); the tau products run decimal(38,0)/HUGEINT
+    // UNCONDITIONALLY (C ≈ n²/2 wraps int64 at n ≈ 4.3e9 docs);
+    // negative tau truncates toward zero identically on both engines;
+    // single-doc sources NULL (no pairs). Plan at 100 TB: ONE corpus
+    // kernel pass to (source, x, y); two value-bounded histogram
+    // shuffles + cumulative windows build the decile maps; per-doc
+    // rows cross exactly two (source, value)-keyed exchanges to pick
+    // up their deciles; cells are |sources|·100 rows and the C/D
+    // quadrant join is census×census.
+    Q("q210_signal_concordance",
+      """WITH m AS (SELECT doc_id, source,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS nt,
+        |             len(list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))) AS nd
+        |           FROM documents),
+        |s AS (SELECT doc_id, source, nt::BIGINT AS x, (1000000 * nd // nt)::BIGINT AS y
+        |      FROM m WHERE nt > 0),
+        |n AS (SELECT source, count(*)::BIGINT AS n FROM s GROUP BY 1),
+        |hx AS (SELECT source, x, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        |cx AS (SELECT source, x, (sum(c) OVER (PARTITION BY source ORDER BY x) - c)::BIGINT AS below FROM hx),
+        |dxm AS (SELECT cx.source, x, (10 * below // n.n)::BIGINT AS dx
+        |        FROM cx JOIN n USING (source)),
+        |hy AS (SELECT source, y, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        |cy AS (SELECT source, y, (sum(c) OVER (PARTITION BY source ORDER BY y) - c)::BIGINT AS below FROM hy),
+        |dym AS (SELECT cy.source, y, (10 * below // n.n)::BIGINT AS dy
+        |        FROM cy JOIN n USING (source)),
+        |cells AS (SELECT s.source, dx, dy, count(*)::BIGINT AS c
+        |          FROM s JOIN dxm ON dxm.source = s.source AND dxm.x = s.x
+        |                 JOIN dym ON dym.source = s.source AND dym.y = s.y
+        |          GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.source,
+        |         sum(CASE WHEN b.dx > a.dx AND b.dy > a.dy
+        |                  THEN (a.c::HUGEINT) * b.c ELSE 0 END) AS conc,
+        |         sum(CASE WHEN b.dx > a.dx AND b.dy < a.dy
+        |                  THEN (a.c::HUGEINT) * b.c ELSE 0 END) AS disc
+        |       FROM cells a JOIN cells b ON a.source = b.source GROUP BY 1)
+        |SELECT n.source, n.n, conc::BIGINT AS n_conc, disc::BIGINT AS n_disc,
+        |       (1000::HUGEINT * (conc - disc) * 2
+        |        // NULLIF(n.n::HUGEINT * (n.n - 1), 0))::BIGINT AS tau_milli
+        |FROM n JOIN cd USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val sdf = docs(s, dir)
+        .select(col("doc_id"), col("source"), st.as("st"))
+        .select(col("doc_id"), col("source"),
+          element_at(col("st"), 1).as("nt"), element_at(col("st"), 2).as("nd"))
+        .filter(col("nt") > 0)
+        .select(col("doc_id"), col("source"), col("nt").as("x"),
+          expr("(1000000 * nd) div nt").cast("long").as("y"))
+      val n = sdf.groupBy("source").agg(count(lit(1)).as("n"))
+      def decileMap(sig: String): DataFrame = {
+        val h = sdf.groupBy("source", sig).agg(count(lit(1)).as("c"))
+        h.withColumn("below",
+            sum("c").over(Window.partitionBy("source").orderBy(sig)) - col("c"))
+          .join(broadcast(n), "source")
+          .select(col("source"), col(sig),
+            expr("(10 * below) div n").cast("long").as(s"d$sig"))
+      }
+      val cells = sdf
+        .join(decileMap("x"), Seq("source", "x"))
+        .join(decileMap("y"), Seq("source", "y"))
+        .groupBy("source", "dx", "dy").agg(count(lit(1)).as("c"))
+      val cd = cells.as("a")
+        .join(broadcast(cells.as("b")), col("a.source") === col("b.source"))
+        .groupBy(col("a.source").as("source"))
+        .agg(
+          sum(when(col("b.dx") > col("a.dx") && col("b.dy") > col("a.dy"),
+            expr("cast(a.c as decimal(38,0)) * b.c")).otherwise(lit(0))).as("conc"),
+          sum(when(col("b.dx") > col("a.dx") && col("b.dy") < col("a.dy"),
+            expr("cast(a.c as decimal(38,0)) * b.c")).otherwise(lit(0))).as("disc"))
+      n.join(broadcast(cd), "source")
+        .select(col("source"), col("n"),
+          col("conc").cast("long").as("n_conc"),
+          col("disc").cast("long").as("n_disc"),
+          expr("""(cast(1000 as decimal(38,0)) * (conc - disc) * 2)
+                 |  div nullif(cast(n as decimal(38,0)) * (n - 1), 0)""".stripMargin)
+            .cast("long").as("tau_milli"))
+        .orderBy("source")
     }
   )
 
