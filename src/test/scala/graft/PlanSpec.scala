@@ -1232,6 +1232,77 @@ class PlanSpec extends SparkSpec {
     } finally llm.TextMining.release(spark)
   }
 
+  test("q198 oov matrix: memoized term frame, broadcast-only joins") {
+    val qe = SparkEntry.queries("q198_oov_matrix")(spark, dir).queryExecution
+    try {
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      assert(qe.optimizedPlan.collect { case r: InMemoryRelation => r }.nonEmpty,
+        s"q198 re-derived the (source, w, c) frame:\n${qe.optimizedPlan}")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"a census join grew a shuffle:\n$p")
+      // the one nested-loop is the |sources|^2 totals cross — census-scale
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    } finally llm.TextMining.release(spark)
+  }
+
+  test("q199 zipf: no join at all; rank window partitioned by source") {
+    val p = plan("q199_zipf_curve")
+    assert(!p.contains("Join"), s"the curve grew a join:\n$p")
+    assert(p.contains("windowspecdefinition(source#"),
+      s"the rank window lost its source partitioning:\n$p")
+    llm.TextMining.release(spark)
+  }
+
+  test("q200 burstiness: head is a 20-row TakeOrdered broadcast, not a global sort") {
+    val p = plan("q200_burstiness")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"head selection materialized a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"head filter join not broadcast:\n$p")
+    llm.TextMining.release(spark)
+  }
+
+  test("q203 edit verify: no cartesian; DP stage behind an explicit repartition") {
+    val p = plan("q203_edit_verify")
+    assert(!p.contains("CartesianProduct"), s"pair verify degenerated:\n$p")
+    assert(p.contains("levenshtein"), s"the DP left the plan:\n$p")
+    // the distinct (pa, pb) collapse must survive — a plan without it
+    // re-runs the DP per member pair (the 252 s clone cliff)
+    assert(p.contains("HashAggregate"), p)
+    llm.LlmText.release(spark)
+  }
+
+  test("q205 percentile: histogram windows by source, no corpus rank window") {
+    val p = plan("q205_percentile_norm")
+    assert(p.contains("windowspecdefinition(source#"),
+      s"the cumulative window lost its source partitioning:\n$p")
+    assert(!p.contains("row_number"), s"a per-doc rank window appeared:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q207 padding: zero joins, reads the memoized length histogram") {
+    val qe = SparkEntry.queries("q207_padding_waste")(spark, dir).queryExecution
+    try {
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      assert(qe.optimizedPlan.collect { case r: InMemoryRelation => r }.nonEmpty,
+        s"q207 re-derived the length histogram:\n${qe.optimizedPlan}")
+      assert(!qe.executedPlan.toString.contains("Join"),
+        s"the census grew a join:\n${qe.executedPlan}")
+    } finally llm.TextMining.release(spark)
+  }
+
+  test("q209 scatter: one aggregate, no join, no pair enumeration") {
+    val p = plan("q209_label_scatter")
+    assert(!p.contains("Join"), s"the identity degenerated to a pair join:\n$p")
+    assert(!p.contains("Generate") || !p.contains("explode"),
+      s"a pair explode appeared:\n$p")
+  }
+
+  test("q210 concordance: cells join broadcast, no cartesian on corpus rows") {
+    val p = plan("q210_signal_concordance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q189 run census: shard-partitioned windows only, text never read") {
     val p = plan("q189_shuffle_run_census")
     assert(!p.contains("Join"), s"the census grew a join:\n$p")
