@@ -3015,6 +3015,99 @@ object LlmText {
         .filter(col("rk") <= 3)
         .select("source", "rk", "bench_doc", "n_evidence", "n_docs")
         .orderBy("source", "rk")
+    },
+
+    // ---- Code-switching purity census (round 16 — the WITHIN-doc
+    // face of langid: q45 labels whole documents, but web text mixes
+    // languages inside one doc (boilerplate chrome around translated
+    // bodies, quoted sources, spam keyword blocks), and a monolingual
+    // training slice assembled from whole-doc labels inherits every
+    // mixed doc's wrong half. Chunk each doc into fixed 32-token
+    // windows, langid each chunk with q45's profile heuristic
+    // (identical constants + tie order, so chunk and doc labels can
+    // be reconciled), and report per source how many docs are MIXED
+    // (≥2 chunk languages) plus the mean purity (plurality-chunk
+    // share) in milli. Undetermined chunks (zero profile hits) don't
+    // vote; docs with no voting chunk drop on both engines. Exact
+    // integers. Plan at 100 TB: chunking is a map-side HOF explode
+    // off the one corpus scan, the 4 profile counts project per chunk
+    // BEFORE any exchange (the langScores kernel — chunk TEXT never
+    // crosses), votes reduce in ONE doc-keyed partial-agg shuffle to
+    // four counters per doc (no per-doc window — plurality is
+    // greatest() over the pivoted counters, q45's device at chunk
+    // level), census agg |sources|-bounded.
+    Q("q211_code_switching",
+      """WITH tl AS (SELECT doc_id, source,
+        |              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |ch AS (SELECT doc_id, source, list_slice(t, i * 32 + 1, i * 32 + 32) AS ck
+        |       FROM tl, unnest(generate_series(0, greatest(len(t) - 1, 0) // 32)) AS u(i)
+        |       WHERE len(t) > 0),
+        |sc AS (SELECT doc_id, source,
+        |         len(list_filter(ck, w -> w IN ('the','a','of','and','in')))::BIGINT AS en,
+        |         len(list_filter(ck, w -> w IN ('der','die','und','das','ist')))::BIGINT AS de,
+        |         len(list_filter(ck, w -> w IN ('el','la','y','los','que')))::BIGINT AS es,
+        |         len(list_filter(ck, w -> w IN ('le','les','et','des','un')))::BIGINT AS fr
+        |       FROM ch),
+        |v AS (SELECT doc_id, source,
+        |        CASE WHEN en + de + es + fr = 0 THEN NULL
+        |             WHEN greatest(en, de, es, fr) = en THEN 'en'
+        |             WHEN greatest(en, de, es, fr) = de THEN 'de'
+        |             WHEN greatest(en, de, es, fr) = es THEN 'es'
+        |             ELSE 'fr' END AS lang
+        |      FROM sc),
+        |d AS (SELECT doc_id, source,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ven,
+        |        sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS vde,
+        |        sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS ves,
+        |        sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS vfr
+        |      FROM v WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT source, ven + vde + ves + vfr AS votes,
+        |             greatest(ven, vde, ves, vfr) AS major FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN major < votes THEN 1 ELSE 0 END)::BIGINT AS n_mixed,
+        |       (1000 * sum(CASE WHEN major < votes THEN 1 ELSE 0 END)
+        |        // count(*))::BIGINT AS mixed_milli,
+        |       (sum(1000 * major // votes) // count(*))::BIGINT AS mean_purity_milli
+        |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val profiles = Seq(
+        Seq("the", "a", "of", "and", "in"),
+        Seq("der", "die", "und", "das", "ist"),
+        Seq("el", "la", "y", "los", "que"),
+        Seq("le", "les", "et", "des", "un"))
+      val sc = docs(s, dir)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(0, (size(t) - 1) div 32), i -> slice(t, i * 32 + 1, 32))"))
+            .as("ck"))
+        .select(col("doc_id"), col("source"),
+          graft.plans.TextKernels.langScores(concat_ws(" ", col("ck")), profiles).as("sc"))
+        .select(col("doc_id"), col("source"),
+          element_at(col("sc"), 1).as("en"), element_at(col("sc"), 2).as("de"),
+          element_at(col("sc"), 3).as("es"), element_at(col("sc"), 4).as("fr"))
+      val g = greatest(col("en"), col("de"), col("es"), col("fr"))
+      val lang = when(col("en") + col("de") + col("es") + col("fr") === 0, lit(null))
+        .when(g === col("en"), "en").when(g === col("de"), "de")
+        .when(g === col("es"), "es").otherwise("fr")
+      val d = sc.withColumn("lang", lang).filter(col("lang").isNotNull)
+        .groupBy("doc_id", "source")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ven"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("vde"),
+          sum(when(col("lang") === "es", 1L).otherwise(0L)).as("ves"),
+          sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("vfr"))
+        .select(col("source"),
+          (col("ven") + col("vde") + col("ves") + col("vfr")).as("votes"),
+          greatest(col("ven"), col("vde"), col("ves"), col("vfr")).as("major"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("major") < col("votes"), 1L).otherwise(0L)).as("n_mixed"),
+          sum(expr("(1000 * major) div votes")).as("sp"))
+        .select(col("source"), col("n_docs"), col("n_mixed"),
+          expr("(1000 * n_mixed) div n_docs").as("mixed_milli"),
+          expr("sp div n_docs").as("mean_purity_milli"))
+        .orderBy("source")
     }
   )
 
