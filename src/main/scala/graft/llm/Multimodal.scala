@@ -369,6 +369,9 @@ object Multimodal {
       frame_idx: Option[Int], width: Option[Int], height: Option[Int],
       y_sum: Option[Long], u_sum: Option[Long], v_sum: Option[Long])
 
+  final case class Y4mDeltaQ(doc_id: Long, status: String,
+      frame_idx: Option[Int], y_sad: Option[Long], sad_px_milli: Option[Long])
+
   /** REAL video codec: YUV4MPEG2 (y4m), the standard uncompressed
     * video interchange container (mjpegtools; what `ffmpeg -f yuv4mpegpipe`
     * emits) — an ASCII parameter header (`YUV4MPEG2 W.. H.. F.. C..`)
@@ -470,15 +473,14 @@ object Multimodal {
       if (i < bytes.length) i else -1
     }
 
-    /** Total sampled decode: parse the stream header, count the frames
-      * COMPLETELY present (header scan only — plane bytes are skipped
-      * by offset arithmetic), flag 'short' against the catalog's
-      * `expected`, then sum ONLY the {first, middle, last} sampled
-      * frames' planes. Bad magic / truncated header / non-FRAME bytes
-      * mid-stream / implausible dimensions → one counted quarantine
-      * row; catches NonFatal + OOME like [[MediaCodec.decodeSafe]]. */
-    def decodeSampledSafe(docId: Long, expected: Int, bytes: Array[Byte]): Seq[Y4mFrameQ] =
-      try {
+    /** Header + complete-frame-offset parse shared by the sampled
+      * decode (q153) and the scene-delta decode (q212): returns
+      * (w, h, chroma plane cells, complete-frame offsets). THROWS on
+      * malformed input — callers wrap it in their quarantine
+      * envelope. Factored so the two decoders cannot drift on the
+      * format rules (colourspaces, bomb guard, tail-cut census). */
+    private def parseStream(docId: Long, bytes: Array[Byte])
+        : (Int, Int, Int, scala.collection.mutable.ArrayBuffer[Int]) = {
         val nl = nextNl(bytes, 0)
         require(nl > 0, s"doc $docId: no y4m header line")
         val header = new String(bytes, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
@@ -522,6 +524,19 @@ object Multimodal {
             else p = bytes.length // cut inside the frame's plane data
           }
         }
+        (w, h, cwh, offs)
+    }
+
+    /** Total sampled decode: parse the stream header, count the frames
+      * COMPLETELY present (header scan only — plane bytes are skipped
+      * by offset arithmetic), flag 'short' against the catalog's
+      * `expected`, then sum ONLY the {first, middle, last} sampled
+      * frames' planes. Bad magic / truncated header / non-FRAME bytes
+      * mid-stream / implausible dimensions → one counted quarantine
+      * row; catches NonFatal + OOME like [[MediaCodec.decodeSafe]]. */
+    def decodeSampledSafe(docId: Long, expected: Int, bytes: Array[Byte]): Seq[Y4mFrameQ] =
+      try {
+        val (w, h, cwh, offs) = parseStream(docId, bytes)
         val n = offs.length
         if (n <= 0) Seq(Y4mFrameQ(docId, "quarantined", None, None, None, None, None, None))
         else {
@@ -547,6 +562,42 @@ object Multimodal {
           Seq(Y4mFrameQ(docId, "quarantined", None, None, None, None, None, None))
         case _: OutOfMemoryError =>
           Seq(Y4mFrameQ(docId, "quarantined", None, None, None, None, None, None))
+      }
+
+    /** Scene-delta decode (q212): per consecutive complete-frame pair,
+      * the Y-plane SAD (sum of absolute pixel differences — the
+      * classic shot-cut signal) plus the per-pixel milli rate. Reads
+      * the SAME [[parseStream]] census as the sampled decode, so the
+      * status taxonomy (ok/short/quarantined, incomplete tails
+      * uncounted) cannot drift between the two operators. A video
+      * with fewer than two complete frames has no pairs — one
+      * status-only row keeps it visible in the census. Unlike the
+      * sampled decode this is inherently a FULL pass over the Y
+      * planes (every pair is inspected — the operator's contract);
+      * chroma planes are still skipped by offset arithmetic. */
+    def decodeDeltasSafe(docId: Long, expected: Int, bytes: Array[Byte]): Seq[Y4mDeltaQ] =
+      try {
+        val (w, h, _, offs) = parseStream(docId, bytes)
+        val n = offs.length
+        require(n > 0, s"doc $docId: no complete frames")
+        val status = if (n < expected) "short" else "ok"
+        if (n < 2) Seq(Y4mDeltaQ(docId, status, None, None, None))
+        else {
+          val wh = w * h
+          (0 until n - 1).map { f =>
+            val (a, b) = (offs(f), offs(f + 1))
+            var s = 0L; var i = 0
+            while (i < wh) {
+              s += math.abs((bytes(a + i) & 0xFF) - (bytes(b + i) & 0xFF)); i += 1
+            }
+            Y4mDeltaQ(docId, status, Some(f), Some(s), Some(1000L * s / wh))
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(Y4mDeltaQ(docId, "quarantined", None, None, None))
+        case _: OutOfMemoryError =>
+          Seq(Y4mDeltaQ(docId, "quarantined", None, None, None))
       }
   }
 
@@ -622,6 +673,17 @@ object Multimodal {
         // demuxer/decoder init would happen here, once per partition
         it.flatMap { case (id, expected, bytes) =>
           Y4mCodec.decodeSampledSafe(id, expected, bytes)
+        }
+      }
+    }
+
+    /** Partition-batched scene-delta decode ([[Y4mCodec.decodeDeltasSafe]])
+      * — same init-once, map-only shape; payload bytes never shuffle. */
+    def y4mSceneDeltasSafe(ds: Dataset[(Long, Int, Array[Byte])]): Dataset[Y4mDeltaQ] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        it.flatMap { case (id, expected, bytes) =>
+          Y4mCodec.decodeDeltasSafe(id, expected, bytes)
         }
       }
     }
@@ -1215,6 +1277,59 @@ object Multimodal {
       MediaBatch.sampleY4mFramesSafe(payloads)
         .select("doc_id", "status", "frame_idx", "width", "height",
           "y_sum", "u_sum", "v_sum")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- Video scene-delta census (round 16 — the first ANALYTIC
+    // over the real decoded video family: per consecutive complete-
+    // frame pair the Y-plane SAD (sum of absolute pixel differences,
+    // the classic shot-cut / motion signal a video-curation pipeline
+    // thresholds to sample one frame per shot instead of per second)
+    // plus the per-pixel milli rate that makes the threshold
+    // resolution-free. Unlike q153's sampled decode this is an
+    // inherently FULL pass over the Y planes — every pair is the
+    // operator's contract — but chroma planes are still skipped by
+    // offset arithmetic and the work is map-only per video (payload
+    // bytes never shuffle, the q143 manifest discipline). The status
+    // taxonomy (ok / short / quarantined, incomplete tails uncounted)
+    // is the SAME [[Y4mCodec.parseStream]] census as q153 — factored,
+    // so the two operators cannot drift on format rules; pairless
+    // videos (a tail-cut 2-frame clip) stay visible as status-only
+    // rows. Oracle recomputes every SAD from the generator formulas
+    // in exact BIGINT — the round-trip proves encoder, demuxer,
+    // offsets, and the SAD fold byte-for-byte.
+    Q("q212_video_scene_deltas",
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
+        |             (2 + doc_id % 4)::INT AS nf,
+        |             (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+        |           FROM documents),
+        |e AS (SELECT doc_id, w, h,
+        |        CASE WHEN kind = 4 THEN nf - 1 ELSE nf END AS n,
+        |        CASE WHEN kind = 4 THEN 'short' ELSE 'ok' END AS status
+        |      FROM d WHERE kind <> 3),
+        |pr AS (SELECT doc_id, status, w, h, unnest(generate_series(0, n - 2)) AS f
+        |       FROM e WHERE n >= 2),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 13)) AS y),
+        |sad AS (SELECT pr.doc_id, pr.status, pr.f, pr.w, pr.h,
+        |          sum(abs((doc_id * 7 + (f + 1) * 17 + x * 5 + y * 3) % 256
+        |                - (doc_id * 7 + f * 17 + x * 5 + y * 3) % 256))::BIGINT AS y_sad
+        |        FROM pr, xs, ys WHERE xs.x < pr.w AND ys.y < pr.h
+        |        GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, status, f::INT AS frame_idx, y_sad,
+        |       (1000 * y_sad // (w * h))::BIGINT AS sad_px_milli
+        |FROM sad
+        |UNION ALL
+        |SELECT doc_id, 'quarantined', NULL, NULL, NULL FROM d WHERE kind = 3
+        |UNION ALL
+        |SELECT doc_id, 'short', NULL, NULL, NULL FROM d WHERE kind = 4 AND nf = 2
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = y4mTable(s, dir)
+        .select(col("doc_id"), col("expected_frames"), col("payload"))
+        .as[(Long, Int, Array[Byte])]
+      MediaBatch.y4mSceneDeltasSafe(payloads)
+        .select("doc_id", "status", "frame_idx", "y_sad", "sad_px_milli")
         .orderBy("doc_id", "frame_idx")
     }
   )
