@@ -47,7 +47,8 @@ object Caches {
       llm.LlmText.release),
     (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
-      "q83_dedup_semantic", "q105_pq_adc", "q180_srp_transfer"),
+      "q83_dedup_semantic", "q105_pq_adc", "q180_srp_transfer",
+      "q213_ivf_recall_calib"),
       llm.LlmVector.release),
     (Set("q109_pagerank", "q113_triangle_count", "q122_frequent_pairs",
       "q136_bfs_hops", "q137_item_similarity"),

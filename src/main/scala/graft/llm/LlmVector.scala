@@ -102,7 +102,7 @@ object LlmVector {
     * q44 (recall grade) share one computation. */
   private val bruteCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def bruteTopk(s: SparkSession, dir: String): DataFrame =
+  private[llm] def bruteTopk(s: SparkSession, dir: String): DataFrame =
     bruteCache.computeIfAbsent((s, dir), _ => {
       val e = T.df(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
@@ -346,13 +346,14 @@ object LlmVector {
     * per-query top-k over candidate rows (nprobe/nlist of the corpus).
     * Factored out so the spec can compute recall on the ranked frame
     * directly while q44 grades the same frame in-plan. */
-  private[llm] def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def ivfTopk(s: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
     val ps = pivots(s, dir)
     val e = T.df(s, dir, "embeddings")
     val probes = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"),
-        explode(nearestPivotsCol(col("embedding"), ps, NProbe)).as("bucket"))
+        explode(nearestPivotsCol(col("embedding"), ps, nprobe)).as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     assignBuckets(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
@@ -1042,6 +1043,53 @@ object LlmVector {
           expr("(cast(1000 as decimal(38,0)) * (s2 - energy)) div nullif((n - 1) * energy, 0)")
             .cast("long").as("compact_milli"))
         .orderBy("label")
+    },
+
+    // ---- IVF recall-vs-nprobe calibration (round 16 — the TUNING
+    // table completing the sketch-calibration family: q166 calibrates
+    // LSH bands, q172/q180 the SimHash/SRP transfer laws; this prices
+    // the IVF knob a deployment actually turns. For nprobe ∈
+    // {1, 2, 3, 8} of the NList=16 index, the recall@10 of [[ivfTopk]]
+    // against the exact [[bruteTopk]] baseline. Like q44/q105 the
+    // k-means content is not SQL-expressible, so the query grades
+    // ITSELF in-plan and the oracle pins the grade TRUE: per row,
+    // recall must be MONOTONE non-decreasing in nprobe — a THEOREM
+    // here (nearest-pivot lists are prefix-nested, so candidate sets
+    // nest, and a true top-K member is only ever displaced by
+    // globally-better vectors), so a violation means the probe/rank
+    // machinery broke, not the data — and the production nprobe
+    // (NProbe = 3) must clear q44's aggregate recall floor. Any
+    // regression in pivots, bucket assignment, or ranking flips the
+    // hash compare. Plan: 4 tagged [[ivfTopk]] runs (the pivot fit is
+    // memoized; at 100 TB a calibration runs on a bounded query
+    // sample exactly as here — NQueries rows broadcast), hits counted
+    // against the broadcast K·NQueries baseline, one 4-row window.
+    Q("q213_ivf_recall_calib",
+      """SELECT * FROM (VALUES (1::BIGINT, 10::BIGINT, 5::BIGINT, true),
+        |                      (2::BIGINT, 10::BIGINT, 5::BIGINT, true),
+        |                      (3::BIGINT, 10::BIGINT, 5::BIGINT, true),
+        |                      (8::BIGINT, 10::BIGINT, 5::BIGINT, true))
+        |  AS t(nprobe, k, n_queries, grade_ok)
+        |ORDER BY nprobe""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sweep = Seq(1, 2, 3, 8)
+      val tagged = sweep.map(np =>
+        ivfTopk(s, dir, np).withColumn("nprobe", lit(np))).reduce(_.union(_))
+      val brute = bruteTopk(s, dir)
+        .select("query_id", "neighbor_id").withColumn("mark", lit(1))
+      val hits = tagged
+        .join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("nprobe").agg(count(col("mark")).as("hits"))
+      val floor = NQueries * math.ceil(RecallBound * K).toLong
+      sweep.toDF("nprobe")
+        .join(broadcast(hits), Seq("nprobe"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("prev", lag("hits", 1).over(Window.orderBy("nprobe")))
+        .select(col("nprobe").cast("long").as("nprobe"),
+          lit(K.toLong).as("k"), lit(NQueries.toLong).as("n_queries"),
+          (coalesce(col("hits") >= col("prev"), lit(true)) &&
+            (col("nprobe") =!= NProbe || col("hits") >= floor)).as("grade_ok"))
+        .orderBy("nprobe")
     }
   )
 
