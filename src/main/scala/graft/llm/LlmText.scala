@@ -2163,13 +2163,21 @@ object LlmText {
          |       (1000 * nb_sum // n_pairs)::BIGINT AS bands_milli,
          |       (pred_sum // n_pairs)::BIGINT AS pred_milli
          |FROM b ORDER BY bucket""".stripMargin) { (s, dir) =>
-      import graft.llm.TextHash.{ABase, M}
-      // seeds as BIGINT: sequence(1, 64) yields array<int>, and under
-      // ANSI an int·int product ABase·s overflows 32 bits at s ≥ 4
-      val sig = docShingles(s, dir).select(col("doc_id"), expr(
-        s"""transform(sequence(cast(1 as bigint), cast(64 as bigint)), s ->
-           |  array_min(transform(sh, h -> (h * (($ABase * s) % $M) + 7919 * s) % $M)))"""
-          .stripMargin).as("sig"))
+      // signatures via the COMPILED [[graft.plans.TextKernels.minhashSigs]]
+      // kernel (round 16): the original 64-seed HOF transform is
+      // CodegenFallback — interpreted per row — and the full board
+      // measured the same query at 0.5 s and 5.8 s depending on the
+      // JVM's accident of jit state around that interpreted path (all
+      // three sweeps slow against a flat isolated anchor). Same hash
+      // family constants; MinhashSigsKernelSpec pins the kernel equal
+      // to the HOF formulation on every fixture. The explicit
+      // repartition pins the CPU-dense stage's width regardless of
+      // the cached shingle frame's materialized partitioning (the
+      // q203 lesson).
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val sig = docShingles(s, dir).repartition(nPart, col("doc_id"))
+        .select(col("doc_id"),
+          graft.plans.TextKernels.minhashSigs(col("sh")).as("sig"))
       lshPairs(s, dir)
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

@@ -63,6 +63,7 @@ object TextKernels {
   /** 16 LSH band keys (4 minhash rows per band, 64 seeds) of a
     * shingle-set array: array<long>, empty iff the input is empty. */
   def minhashBands(sh: Column): Column = column(MinHashBands(expression(sh)))
+  def minhashSigs(sh: Column): Column = column(MinHashSigs(expression(sh)))
 
   /** 30-bit SimHash of a token-hash array (±1 per occurrence per bit,
     * bit set iff the accumulator is positive). */
@@ -195,6 +196,57 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
   * (on null-free inputs: null ELEMENTS hash as 0 here, whereas the
   * relational min-aggregate would skip them — unreachable from the
   * pipeline, [[ShingleSet]] emits containsNull=false). */
+/** array<long> shingle hashes → the raw `nSeeds`-entry minhash
+  * signature: the [[MinHashBands]] mins WITHOUT the band packing.
+  * q166 compares signatures per SEED (exact 4-tuple band equality —
+  * a packed band key only approximates it up to mod-M collisions),
+  * and the HOF formulation it replaces (transform over 64 seeds ×
+  * |sh| shingles) is CodegenFallback — interpreted per row, the
+  * board's one bimodal hot spot (0.5 s jit-hot vs 5.8 s cold-path).
+  * Same hash family constants as [[MinHashBands]]; empty inputs keep
+  * the fill sentinel (callers filter size(sh) > 0 upstream). */
+case class MinHashSigs(child: Expression, nSeeds: Int = 64)
+    extends UnaryExpression {
+  private val mulA: Array[Long] =
+    (1 to nSeeds).map(s => TextHash.ABase * s % TextKernels.M).toArray
+  private val addB: Array[Long] = (1 to nSeeds).map(s => 7919L * s).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  def sigs(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    val mins = new Array[Long](nSeeds)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = if (in.isNullAt(i)) 0L else in.getLong(i)
+      var s = 0
+      while (s < nSeeds) {
+        val v = (h * mulA(s) + addB(s)) % TextKernels.M
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    sigs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigs", this, classOf[MinHashSigs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sigs(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
 case class MinHashBands(child: Expression, nSeeds: Int = 64, nBands: Int = 16)
     extends UnaryExpression {
   require(nSeeds == 4 * nBands, s"nSeeds=$nSeeds must be 4*nBands=${4 * nBands}")
