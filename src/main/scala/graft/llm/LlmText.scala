@@ -1113,11 +1113,15 @@ object LlmText {
          |FROM dsh CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8]) AS s)
          |GROUP BY doc_id, s
          |ORDER BY doc_id, seed""".stripMargin) { (s, dir) =>
+      // the first 8 entries of the compiled 64-seed signature ARE the
+      // seed-1..8 minhashes (same family; MinhashSigsKernelSpec pins
+      // the kernel equal to the HOF formulation this replaced —
+      // the interpreted-HOF bimodality q166 exhibited, same fix)
       docShingles(s, dir)
-        .select(col("doc_id"), col("sh"), explode(sequence(lit(1L), lit(8L))).as("seed"))
-        .select(col("doc_id"), col("seed"),
-          array_min(transform(col("sh"),
-            h => (h * (lit(ABase) * col("seed") % M) + lit(7919L) * col("seed")) % M)).as("minhash"))
+        .select(col("doc_id"),
+          posexplode(slice(graft.plans.TextKernels.minhashSigs(col("sh")), 1, 8)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("seed"),
+          col("col").as("minhash"))
         .orderBy("doc_id", "seed")
     },
 
