@@ -26,11 +26,19 @@ object Caches {
   // release fires before the new last consumer and its recomputed
   // frames stay resident for the rest of the sweep. Sweeps should also
   // call releaseAll at the end as a drift backstop (Bench does).
-  private val families: Seq[(Set[String], SparkSession => Unit)] = Seq(
-    (Set("q32_registry_trial", "q33_registry_flags", "q34_registry_imp",
+  /** (family name, consumer queries, release, untimed-build). The
+    * build fn force-materializes the family's memoized frames —
+    * Bench's named untimed cache-build slot (round 17, VERDICT r16
+    * items 1/3): without it a sweep bills each family's build to its
+    * first consumer, so that query's median measures the CACHE (q57
+    * read 4.5 s on the r16 board for a 0.1 s query). The build cost
+    * still lands in the artifact — per sweep, under its own name —
+    * it just stops masquerading as query time. */
+  private val families: Seq[(String, Set[String], SparkSession => Unit, (SparkSession, String) => Unit)] = Seq(
+    ("registry", Set("q32_registry_trial", "q33_registry_flags", "q34_registry_imp",
       "q35_registry_sponsor", "q36_registry_location", "q37_registry_search_export"),
-      registry.Registry.release),
-    (Set("q39_dedup_ngram_jaccard", "q40_dedup_minhash_sig", "q41_dedup_minhash_lsh",
+      registry.Registry.release, registry.Registry.prebuild),
+    ("text", Set("q39_dedup_ngram_jaccard", "q40_dedup_minhash_sig", "q41_dedup_minhash_lsh",
       "q42_dedup_simhash", "q48_text_fingerprint", "q57_dedup_clusters",
       "q62_text_contamination", "q63_text_repetition", "q66_dedup_simhash_ham",
       "q74_chunk_sliding", "q81_decontaminate_bloom", "q82_lm_perplexity",
@@ -44,16 +52,16 @@ object Caches {
       "q174_langid_agreement", "q191_langid_kappa", "q192_langid_prf",
       "q194_split_gram_leak", "q203_edit_verify",
       "q204_stream_decon_gate", "q206_contamination_attribution"),
-      llm.LlmText.release),
-    (Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
+      llm.LlmText.release, llm.LlmText.prebuild),
+    ("vector", Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",
       "q83_dedup_semantic", "q105_pq_adc", "q180_srp_transfer",
       "q213_ivf_recall_calib"),
-      llm.LlmVector.release),
-    (Set("q109_pagerank", "q113_triangle_count", "q122_frequent_pairs",
+      llm.LlmVector.release, llm.LlmVector.prebuild),
+    ("graph", Set("q109_pagerank", "q113_triangle_count", "q122_frequent_pairs",
       "q136_bfs_hops", "q137_item_similarity"),
-      ops.Graph.release),
-    (Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift",
+      ops.Graph.release, ops.Graph.prebuild),
+    ("mining", Set("q110_pmi_bigrams", "q111_fuzzy_vocab_join", "q117_split_drift",
       "q156_source_overlap", "q158_ks_split_drift", "q159_source_terms",
       "q162_bpe_pair_counts", "q165_source_w1_lengths",
       "q173_head_coverage", "q177_token_budget_fill",
@@ -61,19 +69,35 @@ object Caches {
       "q195_step_boundaries", "q197_trimmed_length",
       "q198_oov_matrix", "q199_zipf_curve", "q200_burstiness",
       "q202_step_novelty", "q207_padding_waste"),
-      llm.TextMining.release))
+      llm.TextMining.release, llm.TextMining.prebuild))
 
   /** query-name → release actions to fire AFTER that query, for a
     * sweep running `order`: each family releases right after its last
     * consumer in the order. Families with no consumer present get no
     * hook (their caches are never populated in that sweep). */
   def releaseHooks(order: Seq[String]): Map[String, Seq[SparkSession => Unit]] =
-    families.flatMap { case (consumers, rel) =>
+    families.flatMap { case (_, consumers, rel, _) =>
       order.lastIndexWhere(consumers) match {
         case -1 => None
         case i  => Some(order(i) -> rel)
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  /** Run every family's untimed build whose consumer set intersects
+    * `selected` (a family with no consumer in the sweep would build
+    * frames no release hook ever drops), returning per-family build
+    * seconds — the bench's NAMED billing slot: the cost lands in the
+    * artifact under the family's name instead of inside its first
+    * consumer's median. Safe to call on a populated cache (the memo
+    * map returns the existing frame; count() re-reads the storage
+    * tier — pennies). */
+  def prebuild(s: SparkSession, dir: String, selected: Set[String]): Seq[(String, Double)] =
+    families.collect {
+      case (name, consumers, _, build) if consumers.exists(selected) =>
+        val t0 = System.nanoTime()
+        build(s, dir)
+        name -> (System.nanoTime() - t0) / 1e9
+    }
 
   /** Ad-hoc persisted frames registered by operators whose plan
     * CONSTRUCTION persists an intermediate (the skyline's probe frame,
@@ -89,7 +113,7 @@ object Caches {
   /** Drop every cache family's state owned by `s` (end of a sweep, or
     * a service evicting a corpus snapshot). */
   def releaseAll(s: SparkSession): Unit = {
-    families.foreach(_._2(s))
+    families.foreach(_._3(s))
     val it = adHoc.iterator()
     while (it.hasNext) {
       val df = it.next()

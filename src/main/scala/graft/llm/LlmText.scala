@@ -830,6 +830,32 @@ object LlmText {
       bm25Cache, langCmCache, splitGramCache)
       .foreach(graft.Caches.dropSession(_, s)(_.unpersist()))
 
+  /** q101's fixed (q_id, term) query table — factored to a constant so
+    * [[prebuild]] keys the SAME bm25Cache entry the query reads. */
+  private[llm] val Bm25QueryTerms: Seq[(Long, String)] =
+    Seq(0L -> "join", 0L -> "hash", 1L -> "vector",
+      1L -> "scan", 1L -> "filter", 2L -> "merge", 2L -> "slow")
+
+  /** Force-build every memoized frame of the text-dedup family — the
+    * bench's NAMED UNTIMED cache-build slot (round 17, VERDICT r16
+    * items 1/3): a sweep previously billed each family build to the
+    * family's first consumer (q57 absorbed the token-hash → shingle →
+    * LSH-pair → connected-components chain, reading 2.5–12 s for a
+    * 0.1 s query), which made first-consumer medians measure the
+    * CACHE, not the query. Materializing [[docComponents]] populates
+    * the whole chain (persist is lazy — the action runs through and
+    * fills each parent's storage); the other three are independent
+    * roots. count() is enough: each frame is persisted at its own
+    * root, so the scan fills the columnar cache completely. */
+  private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
+    docComponents(s, dir).count()
+    bruteJaccardPairs(s, dir).count()
+    splitGramCounts(s, dir).count()
+    langConfusion(s, dir).count()
+    bm25Pre(s, dir, Bm25QueryTerms.map(_._2).distinct).count()
+    ()
+  }
+
   /** q194's (gram-hash, split, count) frame — the ONE corpus explode
     * behind the leakage census, persisted because the pair join reads
     * it twice AND the per-split distinct totals read it again (gram-
@@ -2093,8 +2119,7 @@ object LlmText {
         |SELECT q_id::BIGINT AS q_id, rk, doc_id, score_milli
         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val terms = Seq(0L -> "join", 0L -> "hash", 1L -> "vector",
-        1L -> "scan", 1L -> "filter", 2L -> "merge", 2L -> "slow")
+      val terms = Bm25QueryTerms
       val qtab = terms.toDF("q_id", "term")
       val pre = bm25Pre(s, dir, terms.map(_._2).distinct)
       val scalars = pre.agg(count(lit(1)).cast("long").as("n"),
@@ -2942,6 +2967,12 @@ object LlmText {
         |       JOIN n ON n.source = s.source
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      // persisted: THREE consumers read this projection (the histogram,
+      // the per-source totals, and the final per-doc join) — without the
+      // persist each one re-scans documents and re-runs the qualityStats
+      // kernel (ADVICE r16 measured 3 corpus passes where the plan note
+      // claimed one). Narrow rows (doc_id, source, ttr) — far below
+      // corpus bytes; released with the sweep's ad-hoc frames.
       val scored = docs(s, dir)
         .select(col("doc_id"), col("source"), st.as("st"))
         .select(col("doc_id"), col("source"),
@@ -2949,6 +2980,8 @@ object LlmText {
         .filter(col("nt") > 0)
         .select(col("doc_id"), col("source"),
           expr("(1000000 * nd) div nt").cast("long").as("ttr"))
+        .persist()
+      graft.Caches.registerPersisted(scored)
       val h = scored.groupBy("source", "ttr").agg(count(lit(1)).as("c"))
       val below = h.withColumn("below",
         sum("c").over(Window.partitionBy("source").orderBy("ttr")) - col("c"))

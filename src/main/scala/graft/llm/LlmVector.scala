@@ -480,6 +480,20 @@ object LlmVector {
     graft.Caches.dropSession(pqCache, s)(_ => ())
   }
 
+  /** Force-build the embedding family's memoized frames + fits — the
+    * bench's named untimed cache-build slot (round 17; see
+    * [[graft.llm.LlmText.prebuild]] for the billing rationale). The
+    * pivot/PQ fits are driver-side arrays (calling the accessor IS
+    * the build); the three frames are persisted roots. */
+  private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
+    pivots(s, dir)
+    pqCodebooks(s, dir)
+    bruteTopk(s, dir).count()
+    blockedPairs(s, dir).count()
+    semanticDedup(s, dir).count()
+    ()
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (baseline; broadcast query side).

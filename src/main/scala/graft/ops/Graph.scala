@@ -175,6 +175,18 @@ object Graph {
     graft.Caches.dropSession(pairSupportCache, s)(_.unpersist())
   }
 
+  /** Force-build the graph family's memoized frames — the bench's
+    * named untimed cache-build slot (round 17; see
+    * [[graft.llm.LlmText.prebuild]] for the billing rationale).
+    * [[edgesDeg]] forces [[pairs]]; [[oriented]] forces
+    * [[pairSupport]] → [[orderItems]]. */
+  private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
+    edgesDeg(s, dir).count()
+    pairSupport(s, dir).count()
+    oriented(s, dir).count()
+    ()
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q109_pagerank",
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
