@@ -601,6 +601,244 @@ object Multimodal {
       }
   }
 
+  /** Decoded MJPEG-AVI frame record: one row per frame chunk found in
+    * the container. `status` is per-row: 'ok' (container complete,
+    * frame decoded), 'short' (container's header DECLARES more frames
+    * than the movi list delivers — a writer crash / truncated copy —
+    * the present frames still decode exactly), 'bad_frame' (the chunk
+    * is present but its JPEG payload is undecodable — per-FRAME
+    * quarantine, the rest of the container stays usable),
+    * 'quarantined' (the RIFF walk itself fails — one doc-level row).
+    * Dims are decoder-reported, not header-copied: a demuxer that
+    * slices chunk offsets wrong feeds the JPEG decoder garbage and
+    * flips the row to bad_frame — the oracle's per-frame dims check
+    * proves the walk, not just the header parse. */
+  final case class AviFrameQ(doc_id: Long, status: String,
+      frame_idx: Option[Int], width: Option[Int], height: Option[Int],
+      n_px: Option[Long])
+
+  /** MJPEG-in-AVI demuxer + fixture (round 17, VERDICT r16 item 4 —
+    * the last media-container family without a REAL decoder). mp4/webm
+    * stay documented [[MediaStub]] doubles (the JVM ships no
+    * H.264/VP9 decoder and vendoring native codecs is out of scope),
+    * but AVI is a pure RIFF chunk walk — fourcc + LE32 size, LIST
+    * nesting, even-byte padding — and its MJPEG payload is exactly
+    * the JPEG decoder the JVM DOES ship ([[MediaCodec]]'s
+    * `javax.imageio` path). So "every container family has one real
+    * decoder" closes here with zero native code: container walk
+    * hand-written against the public RIFF/AVI layout (avih at
+    * hdrl[0] carries dwTotalFrames; frames are movi-list '..dc'/'..db'
+    * chunks), frame pixels through ImageIO.
+    *
+    * Unlike GIF/y4m, AVI SELF-DECLARES its frame count (avih
+    * dwTotalFrames), so the fixture carries no `expected_frames`
+    * catalog column — truncation detection is container-internal
+    * (declared vs complete movi chunks found), which is the realistic
+    * contract for this family.
+    *
+    * Scale/hostility guards, same discipline as [[Y4mCodec]]:
+    * every chunk read is bounds-checked against the REMAINING buffer
+    * before any slice (a hostile LE32 size of 0xFFFFFFFF must not
+    * drive an allocation — sizes are clamped by what is physically
+    * present); an incomplete tail chunk is NOT counted (the
+    * tail-truncation path); JPEG decode failures are caught PER
+    * FRAME. JPEG is lossy, so the oracle checks decoder-reported
+    * dims + the status taxonomy (the q129 contract), not pixel sums —
+    * the dims cross the demuxer's offsets, which is what q214 gates. */
+  object AviCodec {
+    def nFrames(id: Long): Int = (2 + id % 4).toInt
+    def dims(id: Long): (Int, Int) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+
+    private def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte)
+
+    /** Frame f of doc id as a real JPEG: the q128 RGB channel formulas
+      * with a frame axis. Pixel values are irrelevant to the oracle
+      * (JPEG is lossy); the dims and the byte-stream validity are
+      * what the round-trip proves. */
+    def frameJpeg(id: Long, f: Int): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 7 + f * 17 + x * 5 + y * 3) % 256).toInt
+          val g = ((id * 11 + f * 5 + x * 2 + y * 7) % 256).toInt
+          val b = ((id * 13 + f * 3 + x * 3 + y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Hand-assemble a minimal standards-shaped AVI: RIFF('AVI ') →
+      * LIST(hdrl){ avih, LIST(strl){ strh('vids'/'MJPG'), strf(BMIH) } }
+      * → LIST(movi){ '00dc' chunks, even-padded }. `declared` lands in
+      * avih.dwTotalFrames and strh.dwLength; `payloads` are the movi
+      * frame chunks (the fixture's corrupt-frame mode swaps one out
+      * before calling). Runs IN THE EXECUTORS ([[aviTable]]). */
+    def encodeAvi(id: Long, declared: Int, payloads: Seq[Array[Byte]]): Array[Byte] = {
+      val (w, h) = dims(id)
+      def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+        fourcc(cc) ++ le32(body.length) ++ body ++ pad
+      }
+      def list(listType: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", fourcc(listType) ++ body)
+      val avih = chunk("avih",
+        le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++   // usec/frame, maxbps, pad, flags
+        le32(declared) ++ le32(0) ++ le32(1) ++ le32(0) ++ // totalFrames, initial, streams, bufsize
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val strh = chunk("strh",
+        fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++       // initial, scale, rate, start
+        le32(declared) ++ le32(0) ++ le32(0) ++ le32(0) ++ // length, bufsize, quality, sampleSize
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))          // rcFrame
+      val strf = chunk("strf",
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fourcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        payloads.iterator.map(p => chunk("00dc", p)).foldLeft(Array.emptyByteArray)(_ ++ _))
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    private def rdLe32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xFFL)) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+    private def cc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** The factored RIFF walk (the [[Y4mCodec.parseStream]] role:
+      * every AVI consumer shares ONE census so format rules cannot
+      * drift between operators): returns (declaredFrames,
+      * complete frame-chunk (offset, length) slices in movi order).
+      * Throws on anything structurally unwalkable — bad magic, no
+      * hdrl/avih, no movi — the caller's quarantine path. Chunk sizes
+      * are UNTRUSTED: every read is clamped to the physical buffer
+      * BEFORE any slice, and an incomplete tail chunk (size runs past
+      * the bytes present — the truncated-copy case) stops the walk
+      * without being counted. */
+    private[llm] def parseRiff(docId: Long, bytes: Array[Byte]): (Int, Seq[(Int, Int)]) = {
+      require(bytes.length >= 12 && cc(bytes, 0) == "RIFF" && cc(bytes, 8) == "AVI ",
+        s"doc $docId: not a RIFF AVI")
+      // outer bound: trust the SMALLER of the declared RIFF size and
+      // the physical buffer (a truncated copy under-delivers; a
+      // hostile header over-declares)
+      val end = math.min(bytes.length.toLong, 8L + rdLe32(bytes, 4)).toInt
+      var declared = -1
+      val frames = Vector.newBuilder[(Int, Int)]
+      var off = 12
+      var sawMovi = false
+      while (off + 8 <= end) {
+        val id = cc(bytes, off)
+        val size = rdLe32(bytes, off + 4)
+        val dataOff = off + 8
+        // clamp EVERY read to the physical buffer: sizes are untrusted
+        // (hostile over-declaration) and a truncated copy genuinely
+        // under-delivers. A truncated LIST is still ENTERED — its
+        // complete subchunks salvage (the real-demuxer contract; the
+        // tail-cut fixture mode lands exactly here) — while the
+        // incomplete tail subchunk is never counted.
+        val bounded = math.min(size, (end - dataOff).toLong).toInt
+        if (id == "LIST" && bounded >= 4) {
+          val lt = cc(bytes, dataOff)
+          if (lt == "hdrl") {
+            // avih is hdrl's first subchunk per the AVI layout
+            if (bounded >= 12 + 20 && cc(bytes, dataOff + 4) == "avih")
+              declared = rdLe32(bytes, dataOff + 12 + 16).toInt
+          } else if (lt == "movi") {
+            sawMovi = true
+            var mo = dataOff + 4
+            val mend = dataOff + bounded
+            var done = false
+            while (!done && mo + 8 <= mend) {
+              val fid = cc(bytes, mo)
+              val fsize = rdLe32(bytes, mo + 4)
+              if (fsize > (mend - (mo + 8))) done = true // truncated tail frame
+              else {
+                if (fid.endsWith("dc") || fid.endsWith("db"))
+                  frames += ((mo + 8, fsize.toInt))
+                mo += 8 + fsize.toInt + (fsize.toInt % 2) // even padding
+              }
+            }
+          }
+        }
+        if (size > (end - dataOff)) off = end // truncated chunk ate the rest
+        else off = dataOff + size.toInt + (size.toInt % 2)
+      }
+      require(declared >= 0, s"doc $docId: no avih header")
+      require(sawMovi, s"doc $docId: no movi list")
+      (declared, frames.result())
+    }
+
+    /** One reusable JPEG reader — the init-once-per-partition handle
+      * [[MediaBatch.decodeAviFramesSafe]] hoists out of the per-frame
+      * loop: `ImageIO.read` re-scans the service-provider registry and
+      * allocates a fresh reader + input stream PER CALL, which at
+      * MJPEG frame rates (every frame is a JPEG) is the dominant cost
+      * of the whole operator (measured 3.4 s → re-anchored after the
+      * hoist; a container format whose payload is thousands of tiny
+      * images pays registry overhead thousands of times). Single-
+      * threaded use only (one per partition iterator). */
+    def newJpegReader(): javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+      require(it.hasNext, "no JPEG ImageReader registered")
+      it.next()
+    }
+
+    /** Total decode: RIFF walk → per-frame JPEG decode through the
+      * partition's reused `reader`, each failure mode a COUNTED row
+      * ([[AviFrameQ]] taxonomy). Catches NonFatal + OOME like
+      * [[MediaCodec.decodeSafe]] — a hostile payload must never kill
+      * the stage. */
+    def decodeFramesSafe(docId: Long, bytes: Array[Byte],
+        reader: javax.imageio.ImageReader): Seq[AviFrameQ] =
+      try {
+        val (declared, frames) = parseRiff(docId, bytes)
+        require(frames.nonEmpty, s"doc $docId: no frame chunks")
+        val status = if (frames.length < declared) "short" else "ok"
+        frames.zipWithIndex.map { case ((foff, flen), f) =>
+          val img =
+            try {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes, foff, flen))
+              try {
+                reader.setInput(iis, true, true)
+                reader.read(0)
+              } finally iis.close()
+            } catch {
+              case scala.util.control.NonFatal(_) => null
+              case _: OutOfMemoryError => null
+            }
+          if (img == null) AviFrameQ(docId, "bad_frame", Some(f), None, None, None)
+          else AviFrameQ(docId, status, Some(f), Some(img.getWidth),
+            Some(img.getHeight), Some(img.getWidth.toLong * img.getHeight))
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+        case _: OutOfMemoryError =>
+          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+      }
+
+    /** Convenience form (specs, single-doc callers): fresh reader per
+      * call. The batch path reuses one per partition. */
+    def decodeFramesSafe(docId: Long, bytes: Array[Byte]): Seq[AviFrameQ] =
+      decodeFramesSafe(docId, bytes, newJpegReader())
+  }
+
   object MediaBatch {
     /** Partition-batched decode: init-once-per-partition shape (the
       * place a codec/session handle would be created). */
@@ -685,6 +923,21 @@ object Multimodal {
         it.flatMap { case (id, expected, bytes) =>
           Y4mCodec.decodeDeltasSafe(id, expected, bytes)
         }
+      }
+    }
+
+    /** Partition-batched TOTAL MJPEG-AVI decode
+      * ([[AviCodec.decodeFramesSafe]]): init-once-per-partition,
+      * map-only — container bytes never shuffle, only per-frame
+      * scalar rows cross the wire. */
+    def decodeAviFramesSafe(ds: Dataset[(Long, Array[Byte])]): Dataset[AviFrameQ] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        // codec init ONCE per partition: MJPEG decodes a JPEG per
+        // frame, so the per-call reader-registry scan ImageIO.read
+        // performs would dominate the operator (see AviCodec)
+        val reader = AviCodec.newJpegReader()
+        it.flatMap { case (id, bytes) => AviCodec.decodeFramesSafe(id, bytes, reader) }
       }
     }
 
@@ -929,6 +1182,42 @@ object Multimodal {
           (id, Y4mCodec.nFrames(id), payload)
         })
         .toDF("doc_id", "expected_frames", "payload")
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+
+  /** MJPEG-AVI fixture, staged with [[stagedTable]]'s stamp +
+    * atomic-rename discipline and ENCODED IN THE EXECUTORS like
+    * [[y4mTable]]. NO `expected_frames` column — AVI self-declares
+    * its frame count (see [[AviCodec]]). Per doc_id%5 (the
+    * gifTable/y4mTable taxonomy plus a per-frame corruption mode):
+    *  0,1 → valid container, 2+doc_id%4 MJPEG frames;
+    *  2 → valid container, frame 1's JPEG payload cut to 8 bytes —
+    *      the chunk walks fine, the DECODE of that one frame fails
+    *      (per-frame quarantine; the other frames stay usable);
+    *  3 → header-cut to 6 bytes (bad magic — the RIFF walk throws,
+    *      the doc-level quarantine path);
+    *  4 → tail-cut by 10 bytes (the cut lands inside the last
+    *      frame's JPEG data — every fixture JPEG is ≥ hundreds of
+    *      bytes — so the walk counts nf−1 complete frames against a
+    *      declared nf: the container-internal 'short' path). */
+  private[llm] def aviTable(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "avi") { stage =>
+      import s.implicits._
+      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nf = AviCodec.nFrames(id)
+          val jpegs = (0 until nf).map(f => AviCodec.frameJpeg(id, f))
+          val payloads =
+            if (id % 5 == 2) jpegs.updated(1, jpegs(1).take(8)) else jpegs
+          val whole = AviCodec.encodeAvi(id, nf, payloads)
+          val payload = id % 5 match {
+            case 3 => whole.take(6)
+            case 4 => whole.take(whole.length - 10)
+            case _ => whole
+          }
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(stage.toString)
     }
 
@@ -1330,6 +1619,57 @@ object Multimodal {
         .as[(Long, Int, Array[Byte])]
       MediaBatch.y4mSceneDeltasSafe(payloads)
         .select("doc_id", "status", "frame_idx", "y_sad", "sad_px_milli")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- MJPEG-in-AVI decode census (round 17, VERDICT r16 item 4 —
+    // with this, every media container family has one REAL decoder:
+    // PNG/JPEG via ImageIO, WAV via javax.sound, GIF multi-frame via
+    // ImageIO, y4m raw video hand-parsed, and now a COMPRESSED-video
+    // interchange container, demuxed by a hand-written RIFF chunk
+    // walk feeding the JVM's own JPEG decoder; mp4/webm remain
+    // documented stubs — no JVM codec exists). The oracle recomputes
+    // per-frame decoder-reported dims + the full status taxonomy
+    // (ok / short / bad_frame / quarantined) from the fixture
+    // formulas: dims crossing the demuxer's chunk offsets is the
+    // round-trip proof — a walk that mis-slices feeds the decoder
+    // garbage and flips rows to bad_frame (JPEG pixel values are
+    // lossy, so sums are NOT the contract here; q129's dims
+    // discipline is). Plan at 100 TB: map-only per container (the
+    // q143 manifest discipline — payload bytes never shuffle; only
+    // per-frame scalar rows exit the decode), quarantine total by
+    // construction, chunk sizes untrusted (bounds-clamped before any
+    // slice — the decompression-bomb guard carried over from y4m).
+    Q("q214_avi_mjpeg_decode",
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
+        |             (2 + doc_id % 4)::INT AS nf,
+        |             (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+        |           FROM documents),
+        |e AS (SELECT doc_id, kind, w, h,
+        |        CASE WHEN kind = 4 THEN nf - 1 ELSE nf END AS n,
+        |        CASE WHEN kind = 4 THEN 'short' ELSE 'ok' END AS status
+        |      FROM d WHERE kind <> 3),
+        |fr AS (SELECT doc_id, kind, status, w, h,
+        |         unnest(generate_series(0, n - 1)) AS f
+        |       FROM e)
+        |SELECT doc_id,
+        |       CASE WHEN kind = 2 AND f = 1 THEN 'bad_frame' ELSE status END AS status,
+        |       f::INT AS frame_idx,
+        |       CASE WHEN kind = 2 AND f = 1 THEN NULL ELSE w END AS width,
+        |       CASE WHEN kind = 2 AND f = 1 THEN NULL ELSE h END AS height,
+        |       CASE WHEN kind = 2 AND f = 1 THEN NULL
+        |            ELSE (w * h)::BIGINT END AS n_px
+        |FROM fr
+        |UNION ALL
+        |SELECT doc_id, 'quarantined', NULL, NULL, NULL, NULL
+        |FROM d WHERE kind = 3
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = aviTable(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+      MediaBatch.decodeAviFramesSafe(payloads)
+        .select("doc_id", "status", "frame_idx", "width", "height", "n_px")
         .orderBy("doc_id", "frame_idx")
     }
   )
