@@ -103,4 +103,147 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  // -------------------------------------------------------------------
+  // The unified front door (round 17, VERDICT r16 item 5 — SURVEY
+  // §2.4 A4's stated north star: "both surfaces share one
+  // `dedup(cols, matchRule, mergeRule)` API"). The engine's four
+  // dedup surfaces — exact key dedup (q38/q53), quality-aware
+  // keep-best (q196), LSH/SimHash near-dup clustering (q41/q66 +
+  // [[components]], q57), and the reference's per-group any-field
+  // union-find ([[graft.registry.ImpDedup]], q34) — were four
+  // separate APIs; [[dedup]] dispatches a (matchRule, mergeRule)
+  // pair onto them. DedupFacadeSpec pins each dispatch ≡ its direct
+  // form on the fixtures; no new query — the oracle-gated queries
+  // keep calling the direct forms, the facade is the composition
+  // surface a library user programs against.
+  // -------------------------------------------------------------------
+
+  /** How two rows are decided to be duplicates. */
+  sealed trait MatchRule
+  object MatchRule {
+    /** Rows match iff `key` (any expression over the row — a column,
+      * a normalization, an md5 of a token prefix) is equal: the
+      * hash-dedup regime. One shuffle on the key. */
+    final case class ExactKey(key: Column) extends MatchRule
+
+    /** Rows match iff connected in `pairs` — the near-dup regime.
+      * Any candidate generator plugs in: the memoized MinHash-LSH
+      * verified pairs ([[nearDupLsh]]), the SimHash hamming-bucket
+      * pairs ([[nearDupSimHash]]), an embedding-cosine pair list.
+      * Transitivity via [[components]] (A~B, B~C ⇒ one cluster — the
+      * reference's swap-delete semantics at corpus scale). */
+    final case class PairGraph(pairs: DataFrame, aCol: String, bCol: String)
+      extends MatchRule
+
+    /** The reference's per-group any-field rule (SURVEY §2.4 A4):
+      * within one `group` value, two entries match when ANY of
+      * {trade, product, code} is non-empty-equal, transitively.
+      * `seqCol` is the deterministic scan order; `listCol` an
+      * `array<struct<pos, trade, product, code>>` column of entries.
+      * Only pairs with [[MergeRule.FieldMerge]] (the rule set IS the
+      * reference's). */
+    final case class AnyFieldInGroup(group: String, seqCol: String,
+        listCol: String) extends MatchRule
+  }
+
+  /** Which member survives (and how) once a cluster is known. */
+  sealed trait MergeRule
+  object MergeRule {
+    /** Deterministic first-wins: the minimum id survives (q53's
+      * ordered `dropDuplicates`, [[components]]' representative). */
+    case object KeepFirst extends MergeRule
+
+    /** Quality-aware keep-best (q196): the member maximizing `score`
+      * survives; ties break to the smaller id. `score` may be a
+      * struct for lexicographic multi-signal ordering, e.g.
+      * `struct(quality, n_tokens)`. */
+    final case class KeepBest(score: Column) extends MergeRule
+
+    /** The reference's field merge: keep the shorter non-empty
+      * trade/product, fill blanks from the duplicate
+      * ([[graft.registry.ImpDedup]] verbatim semantics). */
+    case object FieldMerge extends MergeRule
+  }
+
+  /** The memoized corpus MinHash-LSH match rule (q41's verified-pair
+    * family) for `documents` under `dir`. */
+  def nearDupLsh(s: org.apache.spark.sql.SparkSession, dir: String): MatchRule =
+    MatchRule.PairGraph(LlmText.lshPairs(s, dir), "doc_a", "doc_b")
+
+  /** The SimHash hamming-bucket match rule (q66's pair family). */
+  def nearDupSimHash(s: org.apache.spark.sql.SparkSession, dir: String): MatchRule =
+    MatchRule.PairGraph(LlmText.simhashHamPairs(s, dir), "doc_a", "doc_b")
+
+  /** One dedup front door. For [[MatchRule.ExactKey]]/[[MatchRule.PairGraph]]
+    * the result is the full MEMBERSHIP MAP — one row per input row:
+    * (idCol, kept_id, n_members); survivors are `idCol === kept_id`,
+    * losers everything else (callers filter or anti-join as q38/q57's
+    * direct forms do). `idCol` must be numeric (the engine's ids are
+    * longs) — KeepBest's tie-break negates it inside an argmax struct.
+    * For [[MatchRule.AnyFieldInGroup]] + [[MergeRule.FieldMerge]] the
+    * result is (group, merged) with the consolidated entry list —
+    * field merge produces merged RECORDS, not surviving ids, exactly
+    * as the reference's q34 surface does.
+    *
+    * Scale shapes are those of the direct forms: ExactKey = one
+    * key-shuffle aggregate + a same-key join back (exchange-reusable);
+    * PairGraph = the diameter-bounded [[components]] loop + one
+    * rep-keyed aggregate; AnyFieldInGroup = map-side partial
+    * aggregation into one group-keyed shuffle with bounded per-group
+    * lists. Nothing here collects, windows globally, or enumerates
+    * cross-cluster pairs. */
+  def dedup(df: DataFrame, idCol: String, matchRule: MatchRule,
+            mergeRule: MergeRule): DataFrame = (matchRule, mergeRule) match {
+    case (MatchRule.ExactKey(key), mr) if mr != MergeRule.FieldMerge =>
+      val keyed = df.select(col(idCol), key.as("k"),
+        (mr match {
+          case MergeRule.KeepBest(s) => s
+          case _ => lit(0L)
+        }).as("s"))
+      keptByGroup(keyed, idCol, "k", mr)
+        .select(col(idCol), col("kept_id"), col("n_members"))
+    case (MatchRule.PairGraph(pairs, a, b), mr) if mr != MergeRule.FieldMerge =>
+      val comp = components(pairs, a, b).withColumnRenamed("id", idCol)
+      val m = df.select(col(idCol),
+          (mr match {
+            case MergeRule.KeepBest(s) => s
+            case _ => lit(0L)
+          }).as("s"))
+        .join(comp, Seq(idCol), "left")
+        .select(col(idCol), col("s"),
+          coalesce(col("cluster_rep"), col(idCol)).as("k"))
+      keptByGroup(m, idCol, "k", mr)
+        .select(col(idCol), col("kept_id"), col("n_members"))
+    case (MatchRule.AnyFieldInGroup(group, seqCol, listCol), MergeRule.FieldMerge) =>
+      val impAgg = org.apache.spark.sql.functions.udaf(graft.registry.ImpDedup)
+      df.groupBy(group)
+        .agg(impAgg(col(seqCol), col(listCol)).as("merged"))
+    case (m, r) =>
+      throw new IllegalArgumentException(
+        s"unsupported dedup combination: ${m.getClass.getSimpleName} + " +
+          s"${r.getClass.getSimpleName} (FieldMerge pairs only with " +
+          "AnyFieldInGroup — the rule set is the reference's)")
+  }
+
+  /** Shared survivor election for the membership-map arms: per `kCol`
+    * group pick min id (KeepFirst) or argmax (score, then min id)
+    * (KeepBest) via a single struct-max aggregate — no per-group row
+    * window (the q97 skew lesson: a hot cluster must not serialize
+    * through one task; an aggregate combines map-side). */
+  private def keptByGroup(m: DataFrame, idCol: String, kCol: String,
+                          mr: MergeRule): DataFrame = {
+    val agg = mr match {
+      case MergeRule.KeepBest(_) =>
+        m.groupBy(kCol).agg(
+          max(struct(col("s"), (-col(idCol)).as("negid"))).as("best"),
+          count(lit(1)).as("n_members"))
+          .select(col(kCol), (-col("best.negid")).cast("long").as("kept_id"),
+            col("n_members"))
+      case _ =>
+        m.groupBy(kCol).agg(min(idCol).as("kept_id"),
+          count(lit(1)).as("n_members"))
+    }
+    m.join(agg, kCol)
+  }
 }
