@@ -439,7 +439,7 @@ object LlmVector {
     * plan degrades to an empty frame instead of crashing). Probes ONE
     * row — callers must pair it with [[guardDim]] so a ragged corpus
     * fails loudly instead of silently skewing centroids. */
-  private[llm] def embDim(e: DataFrame): Int =
+  private[graft] def embDim(e: DataFrame): Int =
     e.select(size(col("embedding")).as("d"))
       .head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
@@ -1125,7 +1125,7 @@ object LlmVector {
     * per-plane dot is an exact integer fold over the milli-quantized
     * vector, and bit p sets on dot > 0. Returns
     * (vec_id, sg, n2, qv). */
-  private[llm] def srpSignatures(e: DataFrame, dim: Int): DataFrame =
+  private[graft] def srpSignatures(e: DataFrame, dim: Int): DataFrame =
     e.filter(guardDim(dim))
       .withColumn("qv", expr(QuantExpr))
       .withColumn("sgns", typedLit(srpSigns(16, dim)))

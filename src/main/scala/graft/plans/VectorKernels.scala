@@ -25,6 +25,16 @@ import org.apache.spark.sql.types._
 object VectorKernels {
   /** Deterministic left-fold dot product of two float arrays (double). */
   def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+
+  /** Exact integer dot product of two bigint arrays (the milli-
+    * quantized embedding grid of `LlmVector.QuantExpr`) — the compiled
+    * form of `aggregate(zip_with(a, b, _*_), 0L, _+_)`, which as a
+    * higher-order function evaluates INTERPRETED per row (the q166
+    * lesson). The streaming embedding gate evaluates one of these per
+    * (arrival × benchmark) pair, so the fold must not sit interpreted
+    * in the innermost loop. Integer adds are order-exact, so kernel ≡
+    * HOF unconditionally (VectorKernelsSpec pins it). */
+  def dotq(a: Column, b: Column): Column = column(DotLong(expression(a), expression(b)))
 }
 
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -64,5 +74,50 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Compiled exact bigint-array dot product (see [[VectorKernels.dotq]]).
+  * Totality mirrors [[DotProduct]]: null elements read as 0, ragged
+  * lengths dot over the shorter prefix, null array → null. Overflow
+  * is the caller's contract — the milli-quantized grid keeps per-pair
+  * dots ≲ 2^40 at dim ≤ 4096, far inside int64. */
+case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dotq"
+
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0L else a.getLong(i)
+      val y = if (b.isNullAt(i)) 0L else b.getLong(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  protected override def nullSafeEval(v1: Any, v2: Any): Any =
+    dot(v1.asInstanceOf[ArrayData], v2.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotLong", this, classOf[DotLong].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.dot(($a), ($b));")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
     copy(left = newLeft, right = newRight)
 }

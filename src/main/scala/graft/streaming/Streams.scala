@@ -46,8 +46,25 @@ object Streams {
     // OTHER ts encoding — must never meet a stale staged copy whose
     // physical type contradicts the freshly-read schema below.
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
-    val stamp = java.nio.file.Files.size(src) + "_" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    // a fixture table may be a single FILE (the driver fixtures) or a
+    // Spark output DIRECTORY of part files (CloneFixture, spec
+    // fixtures written with .write.parquet). Files.copy on a directory
+    // copies an EMPTY directory — round 16's clone10 streaming numbers
+    // silently measured a ZERO-ROW stream through exactly that hole —
+    // so directory sources enumerate their part files and both the
+    // stamp and the staging walk them.
+    import scala.jdk.CollectionConverters._
+    def partFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val listing = java.nio.file.Files.list(p)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      finally listing.close()
+    }
+    val srcFiles =
+      if (java.nio.file.Files.isDirectory(src)) partFiles(src) else Seq(src)
+    val stamp = srcFiles.map(java.nio.file.Files.size).sum + "_" +
+      srcFiles.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+        .maxOption.getOrElse(0L)
     val prefix = s"stream_${table}_" + Integer.toHexString(dir.hashCode) + "_"
     val landing = java.nio.file.Paths.get("/tmp/graft/" + prefix + stamp)
     // a regenerated fixture leaves the PREVIOUS stamp's staged copy
@@ -74,19 +91,24 @@ object Streams {
       } finally listing.close()
     }
     java.nio.file.Files.createDirectories(landing)
-    val dst = landing.resolve(s"$table.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
-      // write-to-temp + ATOMIC_MOVE (the pngTable/mediaTable staging
-      // discipline): a concurrent process computing the same stamp must
-      // never observe a half-copied file behind the exists-check
-      val tmp = landing.resolve(
-        s"$table.parquet." + java.lang.ProcessHandle.current().pid() + ".tmp")
-      java.nio.file.Files.copy(src, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      try java.nio.file.Files.move(tmp, dst,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp) }
+    srcFiles.zipWithIndex.foreach { case (f, i) =>
+      val dst =
+        if (srcFiles.size == 1) landing.resolve(s"$table.parquet")
+        else landing.resolve(f"$table%s_part$i%05d.parquet")
+      if (!java.nio.file.Files.exists(dst)) {
+        // write-to-temp + ATOMIC_MOVE (the pngTable/mediaTable staging
+        // discipline): a concurrent process computing the same stamp
+        // must never observe a half-copied file behind the exists-check
+        val tmp = landing.resolve(
+          dst.getFileName.toString + "." +
+            java.lang.ProcessHandle.current().pid() + ".tmp")
+        java.nio.file.Files.copy(f, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
+      }
     }
     landing
   }
@@ -115,6 +137,15 @@ object Streams {
   private[streaming] def docStream(s: SparkSession, dir: String): DataFrame = {
     val landing = stageLanding(dir, "documents")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema).parquet(landing.toString)
+  }
+
+  /** Embedding ingest stream over the staged fixture — the front of
+    * the q215 embedding-space decontamination gate (stateless per row,
+    * like [[docStream]]: vectors carry no event time). */
+  private[streaming] def embStream(s: SparkSession, dir: String): DataFrame = {
+    val landing = stageLanding(dir, "embeddings")
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
     s.readStream.schema(schema).parquet(landing.toString)
   }
 
@@ -488,6 +519,55 @@ object Streams {
         |        // NULLIF(count(*) FILTER (WHERE has_sh), 0))::BIGINT AS flagged_milli
         |FROM pop GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       StreamDeconGate.run(s, dir)
+    },
+
+    // ---- Embedding-space decontamination gate (round 17 — q204's
+    // gate on the vector side; q100's leakage audit as a FRONT DOOR).
+    // Streaming embeddings are gated against the static benchmark
+    // vectors: SRP-hamming ≤ 10 candidates (q180's calibrated
+    // full-recall band for θ ≥ 0.45), exact integer-cosine verify on
+    // the candidate residue, and an n_missed audit column that
+    // MEASURES the sketch band's recall instead of assuming it.
+    // Stateless per row → batching-invariant (EmbDeconGateSpec);
+    // exactly-once via the batch=N overwrite store. Oracle: the q180
+    // md5-parity/quantized-integer devices, end to end in SQL.
+    Q("q215_emb_decon_gate",
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, i - 1 AS j, CAST(round(v::DOUBLE * 1000) AS BIGINT) AS qv FROM e),
+        |pl AS (SELECT p, j,
+        |         CASE WHEN ('0x' || substr(md5(p || ':' || j), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+        |       FROM generate_series(0, 15) t(p), (SELECT DISTINCT j FROM q) u(j)),
+        |bits AS (SELECT vec_id, p, CASE WHEN sum(s * qv) > 0 THEN 1 ELSE 0 END AS b
+        |         FROM q JOIN pl USING (j) GROUP BY 1, 2),
+        |sg AS (SELECT vec_id, sum(b * (1::BIGINT << p))::BIGINT AS sg FROM bits GROUP BY 1),
+        |n2 AS (SELECT vec_id, sum(qv * qv)::BIGINT AS n2 FROM q GROUP BY 1),
+        |arr AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 20 <> 0),
+        |ben AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+        |pd AS (SELECT a.vec_id, b.vec_id AS b_id, sum(qa.qv * qb.qv)::BIGINT AS dq
+        |       FROM arr a CROSS JOIN ben b
+        |         JOIN q qa ON qa.vec_id = a.vec_id
+        |         JOIN q qb ON qb.vec_id = b.vec_id AND qb.j = qa.j
+        |       GROUP BY 1, 2),
+        |px AS (SELECT pd.vec_id,
+        |         bit_count(xor(sa.sg, sb.sg))::BIGINT AS ham,
+        |         (dq > 0 AND 1000000::HUGEINT * dq * dq >= 202500::HUGEINT * na.n2 * nb.n2) AS hit
+        |       FROM pd JOIN sg sa ON sa.vec_id = pd.vec_id JOIN sg sb ON sb.vec_id = pd.b_id
+        |         JOIN n2 na ON na.vec_id = pd.vec_id JOIN n2 nb ON nb.vec_id = pd.b_id),
+        |per AS (SELECT vec_id,
+        |          max(CASE WHEN ham <= 10 THEN 1 ELSE 0 END)::BIGINT AS cand,
+        |          max(CASE WHEN ham <= 10 AND hit THEN 1 ELSE 0 END)::BIGINT AS flg,
+        |          max(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS hit_true
+        |        FROM px GROUP BY 1)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |       sum(coalesce(cand, 0))::BIGINT AS n_cand,
+        |       sum(coalesce(flg, 0))::BIGINT AS n_flagged,
+        |       sum(CASE WHEN coalesce(hit_true, 0) = 1 AND coalesce(cand, 0) = 0
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_missed,
+        |       (1000 * sum(coalesce(flg, 0)) // NULLIF(count(*), 0))::BIGINT AS flagged_milli
+        |FROM arr LEFT JOIN per USING (vec_id)
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      EmbDeconGate.run(s, dir)
     }
   )
 }

@@ -24,6 +24,33 @@ class VectorKernelsSpec extends SparkSpec {
     assert(diverging == 0, s"$diverging pairs diverge from the HOF fold")
   }
 
+  test("DotLong kernel equals the integer HOF fold on quantized fixture pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint)) as q")
+    val pairs = e.as("a").crossJoin(e.as("b").limit(7))
+      .select(col("a.q").as("qa"), col("b.q").as("qb"))
+    val diverging = pairs
+      .select(VectorKernels.dotq(col("qa"), col("qb")).as("k"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("h"))
+      .filter(col("k") =!= col("h"))
+      .count()
+    assert(diverging == 0, s"$diverging pairs diverge from the integer HOF fold")
+  }
+
+  test("DotLong totality: null arrays, null elements, ragged lengths") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1L, 2L), array(3L, 4L), 11L),
+        |  (array(1L, CAST(NULL AS BIGINT)), array(5L, 7L), 5L),
+        |  (array(2L), array(3L, 9L), 6L),
+        |  (CAST(NULL AS ARRAY<BIGINT>), array(1L), CAST(NULL AS BIGINT))
+        |AS t(a, b, expected)""".stripMargin)
+    val bad = df.select(VectorKernels.dotq(col("a"), col("b")).as("d"), col("expected"))
+      .filter(!(col("d") <=> col("expected"))).count()
+    assert(bad == 0)
+  }
+
   test("totality: null arrays, null elements, ragged lengths") {
     val df = spark.sql(
       """SELECT * FROM VALUES
