@@ -17,6 +17,38 @@ import graft.core.{Q, T}
   */
 object Streams {
 
+  /** Micro-batch shuffle/state width for the streaming queries.
+    *
+    * MEASURED (round 17): the per-query streaming floor was dominated
+    * not by data but by 32-way task + state-store overhead per
+    * micro-batch — each stateful operator writes one delta file PER
+    * STATE PARTITION per batch (fsync'd; /tmp here is real disk), and
+    * a fixture micro-batch is MB-scale, so 32-wide state was ~4 KB of
+    * state per 5–10 ms fsync. Width 8 re-anchored q55 2.83 → 1.69 s
+    * hot with identical results. State width is a CAPACITY dial, not
+    * semantics: a deployment sizes it to its batch volume exactly as
+    * this harness sizes `spark.sql.shuffle.partitions` 32 (not 200)
+    * to the fixture — at 100 TB/day you raise it (state partition
+    * count is fixed per checkpoint lineage; these harness entries
+    * start fresh checkpoints per run, so the width is free to choose
+    * here and pinned-for-life in a real deployment).
+    *
+    * StreamExecution CLONES the session at `start()`, so the width
+    * set here binds every micro-batch of queries started inside
+    * `f`, while the conf restore keeps batch post-processing (and
+    * every non-streaming query) on the session default. */
+  private[streaming] def withStreamParts[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, old)
+  }
+
+  /** A streaming Q: the whole body runs under [[withStreamParts]]. */
+  private def SQ(name: String, oracle: String)(
+      body: (SparkSession, String) => DataFrame): Q =
+    Q(name, oracle)((s, dir) => withStreamParts(s)(body(s, dir)))
+
   /** Streaming exact-dedup for a document ingest stream: drop every
     * record whose `keyCol` was already seen within the watermark
     * horizon. `dropDuplicatesWithinWatermark` keeps one state row per
@@ -150,7 +182,7 @@ object Streams {
   }
 
   val qs: Seq[Q] = Seq(
-    Q("q55_stream_window",
+    SQ("q55_stream_window",
       """SELECT cast(date_trunc('day', ts) as date)::VARCHAR AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, dir) =>
       val name = "stream_window_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -177,7 +209,7 @@ object Streams {
     // windowed aggregation. At 100 TB/day this is the standard
     // "enrich-then-aggregate" topology: dims broadcast, state is one
     // row per (window, nation).
-    Q("q72_stream_static_join",
+    SQ("q72_stream_static_join",
       """SELECT cast(date_trunc('day', ts) as date)::VARCHAR AS day, n_name AS nation,
         |       count(*) AS n,
         |       cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
@@ -226,7 +258,7 @@ object Streams {
     // checkpointing). The oracle is the equivalent batch interval
     // join; timestamps compare and export in micros, where the two
     // engines' ns→µs truncation agrees exactly.
-    Q("q86_stream_stream_join",
+    SQ("q86_stream_stream_join",
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
         |       epoch_us(a.ts) AS click_ts_us, epoch_us(b.ts) AS purchase_ts_us
         |FROM events a JOIN events b
@@ -298,7 +330,7 @@ object Streams {
     // one click_id the output is either all-matched rows or ONE null
     // row, never mixed, so cross-engine NULL-ordering cannot reorder
     // the sorted compare.
-    Q("q149_stream_interval_outer",
+    SQ("q149_stream_interval_outer",
       """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
         |           FROM events
         |           WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-29 00:00:00'),
@@ -356,7 +388,7 @@ object Streams {
     // final set is each bucket's LAST emission (max update-seq).
     // Oracle = plain exact top-20 — any sketch-completeness regression
     // flips the hash compare.
-    Q("q106_stream_topk",
+    SQ("q106_stream_topk",
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
         |SELECT rk, user_id, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
@@ -400,7 +432,7 @@ object Streams {
     // hash-comparable — no rand() anywhere. The final set is each
     // bucket's LAST emission (q106's update-seq pattern) merged and
     // re-ranked: a ≤ buckets·k presentation step.
-    Q("q131_stream_sample",
+    SQ("q131_stream_sample",
       """WITH h AS (SELECT DISTINCT event_id,
         |             ((event_id % 1000000007) * 2654435761) % 1000000007 AS hv
         |           FROM events)
@@ -452,7 +484,7 @@ object Streams {
     // cross-row arithmetic, totals in decimal(38,0)/HUGEINT. The
     // per-day totals window runs over the aggregate-bounded state
     // frame, never the stream.
-    Q("q163_stream_mix_monitor",
+    SQ("q163_stream_mix_monitor",
       """WITH t AS (SELECT cast(date_trunc('day', ts) as date)::VARCHAR AS day, event_type,
         |                  count(*)::BIGINT AS n,
         |                  sum(cast(value as decimal(12,2))) AS mass_dec
@@ -501,7 +533,7 @@ object Streams {
     // store (see [[StreamDeconGate]] for the full scale argument).
     // Census: per source, gated docs / flagged docs / trivially-passed
     // short docs / flagged share in milli (NULLIF on both engines).
-    Q("q204_stream_decon_gate",
+    SQ("q204_stream_decon_gate",
       graft.llm.LlmText.sqlPrelude + """,
         |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 20 = 0),
         |hits AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
@@ -531,7 +563,7 @@ object Streams {
     // Stateless per row → batching-invariant (EmbDeconGateSpec);
     // exactly-once via the batch=N overwrite store. Oracle: the q180
     // md5-parity/quantized-integer devices, end to end in SQL.
-    Q("q215_emb_decon_gate",
+    SQ("q215_emb_decon_gate",
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
         |           FROM embeddings),
         |q AS (SELECT vec_id, i - 1 AS j, CAST(round(v::DOUBLE * 1000) AS BIGINT) AS qv FROM e),
