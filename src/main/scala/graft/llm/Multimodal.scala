@@ -839,6 +839,294 @@ object Multimodal {
       decodeFramesSafe(docId, bytes, newJpegReader())
   }
 
+  /** MJPEG-in-mp4 demuxer + fixture (round 17 — the ISO BMFF box walk
+    * that closes the last "documented stub" container: mp4 files CAN
+    * carry Motion-JPEG ('jpeg' sample entries), which the JVM's own
+    * JPEG decoder handles, so the mp4 CONTAINER gets a real demuxer
+    * while H.264/VP9 PAYLOADS stay out of scope (no JVM codec exists —
+    * an mp4 with an 'avc1' track walks fine and quarantines per frame
+    * at decode, the honest boundary). Same discipline as [[AviCodec]]:
+    * fixture encoder + parser live side by side so the round-trip
+    * crosses every offset computation; sizes are untrusted and every
+    * slice clamps to the physical buffer; 64-bit largesize and
+    * size-0 (to-EOF) boxes handled; sample→offset mapping walks the
+    * REAL stsc/stco/stsz tables, not a fixture shortcut.
+    * cf. ISO/IEC 14496-12 box layout (public spec). */
+  object Mp4Codec {
+    def nFrames(id: Long): Int = (2 + id % 3).toInt
+    def dims(id: Long): (Int, Int) = ((8 + id % 8).toInt, (8 + id % 6).toInt)
+
+    private def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private def be32(v: Int): Array[Byte] =
+      Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    private def be16(v: Int): Array[Byte] =
+      Array[Byte]((v >> 8).toByte, v.toByte)
+
+    /** Frame f of doc id as a real JPEG (the [[AviCodec.frameJpeg]]
+      * device with its own channel constants and this codec's dims). */
+    def frameJpeg(id: Long, f: Int): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 5 + f * 13 + x * 7 + y * 2) % 256).toInt
+          val g = ((id * 3 + f * 7 + x * 4 + y * 5) % 256).toInt
+          val b = ((id * 17 + f * 2 + x + y * 9) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Hand-assemble a minimal standards-shaped mp4 (faststart layout,
+      * moov BEFORE mdat so a truncated copy loses frame data, not the
+      * index — the layout real encoders emit for streaming): ftyp →
+      * moov{ mvhd, trak{ tkhd, mdia{ mdhd, hdlr('vide'),
+      * minf{ vmhd, dinf/dref, stbl{ stsd('jpeg'), stts, stsc, stsz,
+      * stco } } } } } → mdat. `declared` lands in stts's sample count;
+      * stsz/stco index the payloads ACTUALLY present (the corrupt-
+      * frame fixture swaps a payload before calling — its real length
+      * lands in stsz, so the slice is valid and only the DECODE
+      * fails). stco holds one chunk with all samples, offsets resolved
+      * by building moov once with a placeholder (box sizes don't
+      * depend on the offset VALUE). Runs in the executors. */
+    def encodeMp4(id: Long, declared: Int, payloads: Seq[Array[Byte]]): Array[Byte] = {
+      val (w, h) = dims(id)
+      val n = payloads.length
+      def box(t: String, body: Array[Byte]): Array[Byte] =
+        be32(8 + body.length) ++ fourcc(t) ++ body
+      def fbox(t: String, flags: Int, body: Array[Byte]): Array[Byte] =
+        box(t, be32(flags) ++ body)
+      val matrix = be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+      val dur = declared * 40
+      val ftyp = box("ftyp", fourcc("isom") ++ be32(0x200) ++ fourcc("isom") ++ fourcc("iso2"))
+      def moov(chunkOff: Int): Array[Byte] = {
+        val mvhd = fbox("mvhd", 0, be32(0) ++ be32(0) ++ be32(1000) ++ be32(dur) ++
+          be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+          matrix ++ Array.fill(24)(0: Byte) ++ be32(2))
+        val tkhd = fbox("tkhd", 7, be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+          be32(dur) ++ Array.fill(8)(0: Byte) ++ be16(0) ++ be16(0) ++ be16(0) ++
+          be16(0) ++ matrix ++ be32(w << 16) ++ be32(h << 16))
+        val mdhd = fbox("mdhd", 0, be32(0) ++ be32(0) ++ be32(1000) ++ be32(dur) ++
+          be16(0x55C4) ++ be16(0))
+        val hdlr = fbox("hdlr", 0, be32(0) ++ fourcc("vide") ++
+          Array.fill(12)(0: Byte) ++ Array[Byte]('v', 0))
+        val vmhd = fbox("vmhd", 1, be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
+        val dinf = box("dinf", fbox("dref", 0, be32(1) ++ fbox("url ", 1,
+          Array.emptyByteArray)))
+        val entry = {
+          val body = Array.fill(6)(0: Byte) ++ be16(1) ++ // data_reference_index
+            be16(0) ++ be16(0) ++ Array.fill(12)(0: Byte) ++
+            be16(w) ++ be16(h) ++ be32(0x00480000) ++ be32(0x00480000) ++
+            be32(0) ++ be16(1) ++ Array.fill(32)(0: Byte) ++
+            be16(0x0018) ++ be16(0xFFFF)
+          box("jpeg", body)
+        }
+        val stsd = fbox("stsd", 0, be32(1) ++ entry)
+        val stts = fbox("stts", 0, be32(1) ++ be32(declared) ++ be32(40))
+        val stsc = fbox("stsc", 0, be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+        val stsz = fbox("stsz", 0, be32(0) ++ be32(n) ++
+          payloads.iterator.map(p => be32(p.length))
+            .foldLeft(Array.emptyByteArray)(_ ++ _))
+        val stco = fbox("stco", 0, be32(1) ++ be32(chunkOff))
+        val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+        val minf = box("minf", vmhd ++ dinf ++ stbl)
+        val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+        val trak = box("trak", tkhd ++ mdia)
+        box("moov", mvhd ++ trak)
+      }
+      val moovLen = moov(0).length // offset value doesn't change sizes
+      val chunkOff = ftyp.length + moovLen + 8 // + mdat header
+      val mdatBody = payloads.foldLeft(Array.emptyByteArray)(_ ++ _)
+      ftyp ++ moov(chunkOff) ++ box("mdat", mdatBody)
+    }
+
+    private def rdBe32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+    private def rdBe64(b: Array[Byte], off: Int): Long =
+      (rdBe32(b, off) << 32) | rdBe32(b, off + 4)
+    private def cc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the boxes of [start, end): (type, payloadStart,
+      * payloadEnd) with sizes UNTRUSTED — payloadEnd clamps to the
+      * physical window; size 0 = to-EOF; size 1 = 64-bit largesize;
+      * a declared size below the header length stops the walk
+      * (structurally unwalkable, never an infinite loop). */
+    private def boxes(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var off = start
+      var done = false
+      while (!done && off + 8 <= end) {
+        val sz32 = rdBe32(b, off)
+        val t = cc(b, off + 4)
+        val (hdr, sz) =
+          if (sz32 == 1L && off + 16 <= end) (16, rdBe64(b, off + 8))
+          else (8, if (sz32 == 0L) (end - off).toLong else sz32)
+        if (sz < hdr) done = true
+        else {
+          val pEnd = math.min(end.toLong, off + sz).toInt
+          if (off + hdr <= pEnd) out += ((t, off + hdr, pEnd))
+          if (off + sz >= end) done = true else off = (off + sz).toInt
+        }
+      }
+      out.result()
+    }
+    private def find(b: Array[Byte], start: Int, end: Int, t: String): Option[(Int, Int)] =
+      boxes(b, start, end).collectFirst { case (`t`, s, e) => (s, e) }
+
+    /** The factored ISO BMFF walk (the [[AviCodec.parseRiff]] role):
+      * (declared sample count from stts, complete sample (offset,
+      * length) slices in stsc/stco/stsz order). Throws on anything
+      * structurally unwalkable — no moov, no video trak, no sample
+      * tables — the caller's quarantine path. A sample whose
+      * stco/stsz-resolved slice runs past the physical buffer (the
+      * truncated-copy case) stops the mapping without being counted. */
+    private[llm] def parseMp4(docId: Long, bytes: Array[Byte]): (Int, Seq[(Int, Int)]) = {
+      require(bytes.length >= 16, s"doc $docId: not an mp4 (too short)")
+      val top = boxes(bytes, 0, bytes.length)
+      val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+      require(moov.isDefined, s"doc $docId: no moov box")
+      // the video trak: hdlr handler_type == 'vide'
+      val stbl = boxes(bytes, moov.get._1, moov.get._2)
+        .collect { case ("trak", s, e) => (s, e) }
+        .flatMap { case (ts, te) =>
+          find(bytes, ts, te, "mdia").flatMap { case (ms, me) =>
+            val isVide = find(bytes, ms, me, "hdlr").exists { case (hs, he) =>
+              hs + 12 <= he && cc(bytes, hs + 8) == "vide"
+            }
+            if (!isVide) None
+            else find(bytes, ms, me, "minf")
+              .flatMap { case (s2, e2) => find(bytes, s2, e2, "stbl") }
+          }
+        }.headOption
+      require(stbl.isDefined, s"doc $docId: no video track sample table")
+      val (ss, se) = stbl.get
+      def table(t: String): (Int, Int) = {
+        val r = find(bytes, ss, se, t)
+        require(r.isDefined, s"doc $docId: no $t")
+        r.get
+      }
+      // declared = Σ stts sample counts (version+flags, entry_count,
+      // then (count, delta) pairs)
+      val (tts, tte) = table("stts")
+      require(tts + 8 <= tte, s"doc $docId: stts truncated")
+      val nTts = rdBe32(bytes, tts + 4).toInt
+      var declared = 0L
+      var i = 0
+      while (i < nTts && tts + 8 + i * 8 + 8 <= tte) {
+        declared += rdBe32(bytes, tts + 8 + i * 8); i += 1
+      }
+      // stsz: sample_size (uniform if nonzero), count, sizes
+      val (zs, ze) = table("stsz")
+      require(zs + 12 <= ze, s"doc $docId: stsz truncated")
+      val uniform = rdBe32(bytes, zs + 4)
+      val nSamples = rdBe32(bytes, zs + 8).toInt
+      def sampleSize(k: Int): Long =
+        if (uniform != 0L) uniform
+        else { val o = zs + 12 + k * 4; if (o + 4 <= ze) rdBe32(bytes, o) else -1L }
+      // stco chunk offsets (co64 for 64-bit files)
+      val (cs, ce, wide) = find(bytes, ss, se, "stco") match {
+        case Some((s2, e2)) => (s2, e2, false)
+        case None =>
+          val r = find(bytes, ss, se, "co64")
+          require(r.isDefined, s"doc $docId: no stco/co64")
+          (r.get._1, r.get._2, true)
+      }
+      require(cs + 8 <= ce, s"doc $docId: chunk offsets truncated")
+      val nChunks = rdBe32(bytes, cs + 4).toInt
+      def chunkOff(c: Int): Long = {
+        val o = cs + 8 + c * (if (wide) 8 else 4)
+        if (wide) { require(o + 8 <= ce, s"doc $docId: co64 truncated"); rdBe64(bytes, o) }
+        else { require(o + 4 <= ce, s"doc $docId: stco truncated"); rdBe32(bytes, o) }
+      }
+      // stsc entries: (first_chunk, samples_per_chunk, desc_idx)
+      val (scs, sce) = table("stsc")
+      require(scs + 8 <= sce, s"doc $docId: stsc truncated")
+      val nScs = rdBe32(bytes, scs + 4).toInt
+      val scEntries = (0 until nScs).flatMap { k =>
+        val o = scs + 8 + k * 12
+        if (o + 12 <= sce)
+          Some((rdBe32(bytes, o).toInt, rdBe32(bytes, o + 4).toInt))
+        else None
+      }
+      require(scEntries.nonEmpty, s"doc $docId: empty stsc")
+      // walk chunks in order, resolving each sample's absolute slice;
+      // stop at the first sample that runs past the physical buffer
+      val frames = Vector.newBuilder[(Int, Int)]
+      var sample = 0
+      var chunk = 1
+      var truncated = false
+      while (!truncated && sample < nSamples && chunk <= nChunks) {
+        val spc = scEntries.takeWhile(_._1 <= chunk).lastOption
+          .getOrElse(scEntries.head)._2
+        var off = chunkOff(chunk - 1)
+        var k = 0
+        while (!truncated && k < spc && sample < nSamples) {
+          val sz = sampleSize(sample)
+          if (sz < 0 || off < 0 || off + sz > bytes.length) truncated = true
+          else {
+            frames += ((off.toInt, sz.toInt))
+            off += sz; sample += 1; k += 1
+          }
+        }
+        chunk += 1
+      }
+      (declared.toInt, frames.result())
+    }
+
+    /** Total decode: box walk → per-frame JPEG decode through the
+      * partition's reused `reader` ([[AviCodec.newJpegReader]] — the
+      * same init-once handle; MJPEG-in-mp4 pays the identical
+      * per-frame registry cost otherwise). Taxonomy and row type are
+      * [[AviFrameQ]]'s — the census contract is per-CONTAINER-family
+      * invariant by design. */
+    def decodeFramesSafe(docId: Long, bytes: Array[Byte],
+        reader: javax.imageio.ImageReader): Seq[AviFrameQ] =
+      try {
+        val (declared, frames) = parseMp4(docId, bytes)
+        require(frames.nonEmpty, s"doc $docId: no samples")
+        val status = if (frames.length < declared) "short" else "ok"
+        frames.zipWithIndex.map { case ((foff, flen), f) =>
+          val img =
+            try {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes, foff, flen))
+              try {
+                reader.setInput(iis, true, true)
+                reader.read(0)
+              } finally iis.close()
+            } catch {
+              case scala.util.control.NonFatal(_) => null
+              case _: OutOfMemoryError => null
+            }
+          if (img == null) AviFrameQ(docId, "bad_frame", Some(f), None, None, None)
+          else AviFrameQ(docId, status, Some(f), Some(img.getWidth),
+            Some(img.getHeight), Some(img.getWidth.toLong * img.getHeight))
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+        case _: OutOfMemoryError =>
+          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+      }
+
+    /** Convenience form (specs, single-doc callers). */
+    def decodeFramesSafe(docId: Long, bytes: Array[Byte]): Seq[AviFrameQ] =
+      decodeFramesSafe(docId, bytes, AviCodec.newJpegReader())
+  }
+
   object MediaBatch {
     /** Partition-batched decode: init-once-per-partition shape (the
       * place a codec/session handle would be created). */
@@ -938,6 +1226,16 @@ object Multimodal {
         // performs would dominate the operator (see AviCodec)
         val reader = AviCodec.newJpegReader()
         it.flatMap { case (id, bytes) => AviCodec.decodeFramesSafe(id, bytes, reader) }
+      }
+    }
+
+    /** [[decodeAviFramesSafe]]'s shape for the mp4 demuxer — one
+      * JPEG reader per partition, one census row type. */
+    def decodeMp4FramesSafe(ds: Dataset[(Long, Array[Byte])]): Dataset[AviFrameQ] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        val reader = AviCodec.newJpegReader()
+        it.flatMap { case (id, bytes) => Mp4Codec.decodeFramesSafe(id, bytes, reader) }
       }
     }
 
@@ -1210,6 +1508,33 @@ object Multimodal {
           val payloads =
             if (id % 5 == 2) jpegs.updated(1, jpegs(1).take(8)) else jpegs
           val whole = AviCodec.encodeAvi(id, nf, payloads)
+          val payload = id % 5 match {
+            case 3 => whole.take(6)
+            case 4 => whole.take(whole.length - 10)
+            case _ => whole
+          }
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+
+  /** The mp4 fixture — [[aviTable]]'s doc_id%5 taxonomy verbatim
+    * (valid / valid / one-frame-corrupt / header-cut / tail-cut) over
+    * [[Mp4Codec.encodeMp4]]. The corrupt mode swaps frame 1's payload
+    * for its first 8 bytes BEFORE encoding, so stsz carries the real
+    * (8-byte) size and only the DECODE fails — the per-frame
+    * quarantine path, not a walk error. */
+  private[llm] def mp4Table(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "mp4") { stage =>
+      import s.implicits._
+      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nf = Mp4Codec.nFrames(id)
+          val jpegs = (0 until nf).map(f => Mp4Codec.frameJpeg(id, f))
+          val payloads =
+            if (id % 5 == 2) jpegs.updated(1, jpegs(1).take(8)) else jpegs
+          val whole = Mp4Codec.encodeMp4(id, nf, payloads)
           val payload = id % 5 match {
             case 3 => whole.take(6)
             case 4 => whole.take(whole.length - 10)
@@ -1669,6 +1994,51 @@ object Multimodal {
         .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
       MediaBatch.decodeAviFramesSafe(payloads)
+        .select("doc_id", "status", "frame_idx", "width", "height", "n_px")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- MJPEG-in-mp4 decode census (round 17 — the ISO BMFF walk
+    // that retires mp4's "documented stub" status: the CONTAINER now
+    // has a real demuxer (boxes → moov → video trak → stsd/stts/stsc/
+    // stsz/stco → sample slices), with Motion-JPEG payloads decoded by
+    // the JVM's own JPEG reader; H.264/VP9 payloads remain the honest
+    // out-of-scope boundary — such a file WALKS fine and quarantines
+    // per frame at decode. Same oracle discipline as q214: per-frame
+    // decoder-reported dims + the 4-way taxonomy recomputed from the
+    // fixture formulas; dims crossing the stsc/stco/stsz sample
+    // mapping is the round-trip proof (a mis-resolved offset feeds the
+    // decoder garbage and flips the row). Map-only per container;
+    // payload bytes never shuffle; sizes untrusted and clamped. */
+    Q("q216_mp4_mjpeg_decode",
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
+        |             (2 + doc_id % 3)::INT AS nf,
+        |             (8 + doc_id % 8)::INT AS w, (8 + doc_id % 6)::INT AS h
+        |           FROM documents),
+        |e AS (SELECT doc_id, kind, w, h,
+        |        CASE WHEN kind = 4 THEN nf - 1 ELSE nf END AS n,
+        |        CASE WHEN kind = 4 THEN 'short' ELSE 'ok' END AS status
+        |      FROM d WHERE kind <> 3),
+        |fr AS (SELECT doc_id, kind, status, w, h,
+        |         unnest(generate_series(0, n - 1)) AS f
+        |       FROM e)
+        |SELECT doc_id,
+        |       CASE WHEN kind = 2 AND f = 1 THEN 'bad_frame' ELSE status END AS status,
+        |       f::INT AS frame_idx,
+        |       CASE WHEN kind = 2 AND f = 1 THEN NULL ELSE w END AS width,
+        |       CASE WHEN kind = 2 AND f = 1 THEN NULL ELSE h END AS height,
+        |       CASE WHEN kind = 2 AND f = 1 THEN NULL
+        |            ELSE (w * h)::BIGINT END AS n_px
+        |FROM fr
+        |UNION ALL
+        |SELECT doc_id, 'quarantined', NULL, NULL, NULL, NULL
+        |FROM d WHERE kind = 3
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = mp4Table(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+      MediaBatch.decodeMp4FramesSafe(payloads)
         .select("doc_id", "status", "frame_idx", "width", "height", "n_px")
         .orderBy("doc_id", "frame_idx")
     }
