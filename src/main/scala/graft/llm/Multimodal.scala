@@ -1170,7 +1170,7 @@ object Multimodal {
     // EBML varints: SIZE values carry a leading-1 length marker in the
     // first byte that is STRIPPED from the value; element IDs keep
     // their marker (matroska convention: IDs compare raw).
-    private def vint(v: Long): Array[Byte] = {
+    private[llm] def vint(v: Long): Array[Byte] = {
       // minimal length whose value field holds v AND is not all-ones
       // (all-ones means "unknown size")
       var len = 1
@@ -1246,7 +1246,7 @@ object Multimodal {
     }
 
     /** (idValue, idLen) or null length on unreadable. */
-    private def rdId(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    private[llm] def rdId(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
       if (off >= end) return (0L, 0)
       val first = b(off) & 0xFF
       if (first == 0) return (0L, 0)
@@ -1258,7 +1258,7 @@ object Multimodal {
       (v, len)
     }
     /** (sizeValue, sizeLen); size −1 encodes "unknown" (all ones). */
-    private def rdSize(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    private[llm] def rdSize(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
       if (off >= end) return (-2L, 0)
       val first = b(off) & 0xFF
       if (first == 0) return (-2L, 0)
