@@ -21,17 +21,21 @@ object Streams {
     *
     * MEASURED (round 17): the per-query streaming floor was dominated
     * not by data but by 32-way task + state-store overhead per
-    * micro-batch — each stateful operator writes one delta file PER
-    * STATE PARTITION per batch (fsync'd; /tmp here is real disk), and
-    * a fixture micro-batch is MB-scale, so 32-wide state was ~4 KB of
-    * state per 5–10 ms fsync. Width 8 re-anchored q55 2.83 → 1.69 s
-    * hot with identical results. State width is a CAPACITY dial, not
-    * semantics: a deployment sizes it to its batch volume exactly as
-    * this harness sizes `spark.sql.shuffle.partitions` 32 (not 200)
-    * to the fixture — at 100 TB/day you raise it (state partition
-    * count is fixed per checkpoint lineage; these harness entries
-    * start fresh checkpoints per run, so the width is free to choose
-    * here and pinned-for-life in a real deployment).
+    * micro-batch — every stateful operator instantiates, loads, and
+    * commits one state-store instance PER STATE PARTITION per batch,
+    * and a fixture micro-batch is MB-scale. Width 8 re-anchored q55
+    * 2.83 → 1.03 s with identical results. The mechanism is the
+    * per-partition TASK + store lifecycle, NOT checkpoint disk
+    * flushes: an A/B moving the scratch checkpoints to tmpfs moved
+    * nothing (q55 1.03 → 1.03, q86/q149 within noise), so the
+    * durable-checkpoint shape is kept as-is. State width is a
+    * CAPACITY dial, not semantics: a deployment sizes it to its
+    * batch volume exactly as this harness sizes
+    * `spark.sql.shuffle.partitions` 32 (not 200) to the fixture — at
+    * 100 TB/day you raise it (state partition count is fixed per
+    * checkpoint lineage; these harness entries start fresh
+    * checkpoints per run, so the width is free to choose here and
+    * pinned-for-life in a real deployment).
     *
     * StreamExecution CLONES the session at `start()`, so the width
     * set here binds every micro-batch of queries started inside
