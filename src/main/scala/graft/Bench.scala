@@ -153,10 +153,11 @@ object Bench {
     * chain); now the build cost lands here, per sweep, under its own
     * name, and per-query medians measure the queries. */
   final case class SweepStat(sum: Double, gcMs: Long, compiles: Long,
-      build: Double = 0.0)
+      build: Double = 0.0, warm: Boolean = false)
 
   /** One mid-sweep calibration sample at query index `pos` (0-based,
-    * position in the sweep order) of sweep `sweep` (1-based). */
+    * position in the sweep order) of sweep `sweep` (1-based; 0 = the
+    * discarded warm sweep). */
   final case class CalibSample(sweep: Int, pos: Int, hash: Double, spark: Double)
 
   def median(xs: Seq[Double]): Double = {
@@ -229,7 +230,8 @@ object Bench {
     val sw =
       if (sweeps.isEmpty) ""
       else sweeps.map(s =>
-        s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}}""")
+        s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}""" +
+          (if (s.warm) ",\"warm\":true}" else "}"))
         .mkString(",\"sweeps\":[", ",", "]")
     val det = detail.map(d => s""",\"detail\":\"$d\"""").getOrElse("")
     // fixed parts first; whatever budget remains goes to per-query
@@ -272,7 +274,8 @@ object Bench {
       s"""{\"sweep\":${c.sweep},\"pos\":${c.pos},\"hash\":${fmt(c.hash)},\"spark\":${fmt(c.spark)}}""")
       .mkString("[", ",", "]")
     val sw = sweeps.map(s =>
-      s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}}""")
+      s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}""" +
+        (if (s.warm) ",\"warm\":true}" else "}"))
       .mkString("[", ",", "]")
     val total = times.collect { case (n, ts) if !errors.contains(n) && ts.nonEmpty => median(ts) }.sum
     s"""{\"total\":${fmt(total)},\"runs\":$runs,\"cpus\":\"$cpus\",\"sf\":\"$sfDir\",""" +
@@ -403,7 +406,20 @@ object Bench {
     // restores the pre-r17 first-consumer billing (the A/B knob).
     val famBuild = !sys.env.get("SPARK_GRAFT_FAMBUILD").contains("0")
     val selectedNames = selected.map(_.name).toSet
-    for (sweep <- 1 to repeat) {
+    // DISCARDED WARM SWEEP (round 17, VERDICT r16 item 3's second
+    // lever): even with the kernel pre-warm and the untimed family
+    // builds, sweep 1 carried a ~20% sum excess over steady state
+    // (BENCH detail: 366 vs 155 residual codegen compiles — each
+    // query's sf-specific plan variants still compile on first timed
+    // evaluation). Run one full sweep UNTIMED first (sweep 0 in the
+    // artifact, `warm: true`; its per-query times never enter the
+    // medians), so the counted sweeps all run at steady state and
+    // their sums agree. Costs one sweep of wall clock; the warm
+    // sweep's counters still land in `sweeps` so the compile mass
+    // stays visible. SPARK_GRAFT_WARMSWEEP=0 disables (the A/B knob).
+    val warmSweep = !sys.env.get("SPARK_GRAFT_WARMSWEEP").contains("0")
+    for (sweep <- (if (warmSweep) 0 else 1) to repeat) {
+      val timed = sweep >= 1
       val buildSec =
         if (!famBuild) 0.0
         else try Caches.prebuild(spark, sfDir, selectedNames).map(_._2).sum
@@ -424,7 +440,7 @@ object Bench {
         err match {
           case Some(e) => errors.getOrElseUpdate(q.name, e)
           case None =>
-            times(q.name) = times.getOrElse(q.name, Vector.empty) :+ dt
+            if (timed) times(q.name) = times.getOrElse(q.name, Vector.empty) :+ dt
             sweepTimes(q.name) = dt
         }
         hooks.getOrElse(q.name, Nil).foreach(_(spark))
@@ -435,7 +451,7 @@ object Bench {
       Caches.releaseAll(spark)
       val (cgN1, _) = codegenStats
       sweepStats += SweepStat(sweepTimes.values.sum, gcMillis - gc0,
-        cgN1 - cgN0, buildSec)
+        cgN1 - cgN0, buildSec, warm = !timed)
       if (perSweep) {
         val qd = sweepTimes.map { case (n, t) =>
           n.takeWhile(_ != '_') + "=" + fmt(t) }.mkString(" ")

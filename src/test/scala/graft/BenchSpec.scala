@@ -117,6 +117,21 @@ class BenchSpec extends SparkSpec {
     assert((parsed \ "total") == JDouble(2.0), j)
   }
 
+  test("the discarded warm sweep is marked in both JSON forms and absent by default") {
+    import org.json4s._
+    val sweeps = Seq(Bench.SweepStat(5.0, 10L, 300L, 2.0, warm = true),
+      Bench.SweepStat(3.0, 10L, 50L, 1.0))
+    val j = Bench.detailJson("/sf", 3, "32", Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Seq("pre_hash" -> 0.25), Nil, sweeps)
+    val parsed = org.json4s.jackson.JsonMethods.parse(j)
+    assert((parsed \ "sweeps")(0) \ "warm" == JBool(true), j)
+    assert((parsed \ "sweeps")(1) \ "warm" == JNothing, j) // timed rows keep the old shape
+    val line = Bench.metricLine("/sf", 3, Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Seq("pre_hash" -> 0.25), Nil, sweeps, None)
+    val lp = org.json4s.jackson.JsonMethods.parse(line)
+    assert((lp \ "sweeps")(0) \ "warm" == JBool(true), line)
+  }
+
   test("median") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0)) == 2.5)
