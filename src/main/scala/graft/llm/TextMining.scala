@@ -31,6 +31,41 @@ object TextMining {
         .persist()
     })
 
+  /** q218's merge-step count — fixed, so the training loop has the
+    * PageRank iteration shape (never data-dependent). */
+  private[llm] val BpeSteps = 8
+
+  /** q218's oracle, GENERATED as unrolled SQL (one CTE block per merge
+    * step): a recursive CTE cannot reference the working set twice
+    * (once for the words, once for the argmax) nor aggregate over the
+    * recursive term, so the loop unrolls — the oracle text is data,
+    * built by the same loop bound as the engine side. Framing device
+    * and tie-break are byte-identical to the Spark body's. */
+  private[llm] def bpeOracleSql(g: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+      |  FROM documents) t
+      |WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 32 GROUP BY 1),
+      |w0 AS (SELECT n, regexp_replace(w, '(.)', '·\1·', 'g') AS tok FROM wf)""".stripMargin
+    for (i <- 0 until g) {
+      sb ++= s""",
+        |sp$i AS (SELECT n, sp, unnest(generate_series(1, len(sp) - 1)) AS i
+        |         FROM (SELECT n, string_split(trim(tok, '·'), '··') AS sp FROM w$i) t),
+        |pc$i AS (SELECT sp[i] AS a, sp[i + 1] AS b, sum(n)::BIGINT AS cnt
+        |         FROM sp$i GROUP BY 1, 2),
+        |b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+        |w${i + 1} AS (SELECT n,
+        |    replace(tok, '·' || b$i.a || '··' || b$i.b || '·',
+        |                 '·' || b$i.a || b$i.b || '·') AS tok
+        |  FROM w$i, b$i)""".stripMargin
+    }
+    sb ++= (0 until g).map(i =>
+        s"SELECT ${i + 1}::INT AS step, a AS lhs, b AS rhs, cnt AS pair_n FROM b$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
   /** The overflow-safe q112 split hash: reducing doc_id mod the prime
     * 1e9+7 BEFORE the Knuth multiply bounds the product at
     * (1e9+6)·2654435761 ≈ 2.66e18 < 2^63−1 for ANY doc_id — the raw
@@ -1181,6 +1216,75 @@ object TextMining {
         .agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // ---- BPE merge TRAINING (round 17 — the iterative step q162's
+    // single pair census stops short of: the actual merge table a
+    // tokenizer build produces). Word-level BPE exactly as the public
+    // GPT-2/HF convention: per merge step, the highest-count adjacent
+    // token pair over the word-frequency table (count DESC, then
+    // lexicographic pair — a total order both engines share on ASCII)
+    // merges everywhere it occurs, LEFT-TO-RIGHT NON-OVERLAPPING
+    // within each word; 8 steps emit (step, lhs, rhs, pair_n). BOTH
+    // engines perform the literal SAME string operation: words are
+    // framed as ·c₁··c₂··…·, a merge of (a,b) is
+    // replace(tok, '·a··b·', '·ab·') — the shared-separator framing
+    // makes left-to-right non-overlapping replacement EQUAL canonical
+    // BPE merge application (consecutive runs: ·l··l··l··l· →
+    // ·ll··ll·, two merges, the double separator is what lets
+    // adjacent matches not consume each other's boundary), and '·'
+    // cannot occur inside tokens because the vocabulary is filtered
+    // to ^[a-z]+$ (BPE over alphabetic words, the calibration
+    // convention; length ≤ 32 bounds the string work per word).
+    // BpeMergeSpec pins the framing device against a direct
+    // token-list reference implementation on adversarial words.
+    // Plan at 100 TB: the corpus is scanned ONCE (the memoized
+    // Heaps-bounded word-frequency frame — distinct words grow
+    // ~O(corpus^0.5), the q168 measurement); each of the G=8 merge
+    // steps is one bounded aggregate over |vocab| rows + a map-side
+    // replace + one argmax row to the driver — G is FIXED, so the
+    // loop is the PageRank iteration shape, never data-dependent.
+    // Spark's sequence(1, size-1) DESCENDS when size = 1 (unlike
+    // DuckDB's empty generate_series) — single-token words are
+    // filtered before the transform on the Spark side, matching the
+    // oracle's empty unnest.
+    Q("q218_bpe_merges", bpeOracleSql(BpeSteps)) { (s, dir) =>
+      import s.implicits._
+      var cur = vocab(s, dir)
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")).between(2, 32))
+        .select(col("n_w").as("n"),
+          regexp_replace(col("w"), "(.)", "·$1·").as("tok"))
+        .persist()
+      cur.count()
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var step = 1
+      while (step <= BpeSteps) {
+        val best = cur
+          .select(col("n"),
+            split(regexp_replace(col("tok"), "^·|·$", ""), "··").as("sp"))
+          .filter(size(col("sp")) >= 2) // sequence(1,0) would DESCEND
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(sp) - 1), i ->
+              |  struct(element_at(sp, i) AS a, element_at(sp, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        require(best.nonEmpty, "BPE vocabulary exhausted before G merges")
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, cnt))
+        // a, b are ^[a-z]+ by construction — SQL-literal safe
+        val next = cur.select(col("n"),
+          expr(s"replace(tok, '·${a}··${b}·', '·${a}${b}·')").as("tok")).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+      cur.unpersist()
+      merges.toSeq.toDF("step", "lhs", "rhs", "pair_n").orderBy("step")
     },
 
     // ---- Exact eval-budget apportionment (round 15 — the allocation
