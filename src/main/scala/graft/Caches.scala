@@ -68,7 +68,8 @@ object Caches {
       "q184_curriculum_interleave", "q187_hapax_ttr",
       "q195_step_boundaries", "q197_trimmed_length",
       "q198_oov_matrix", "q199_zipf_curve", "q200_burstiness",
-      "q202_step_novelty", "q207_padding_waste", "q218_bpe_merges"),
+      "q202_step_novelty", "q207_padding_waste", "q218_bpe_merges",
+      "q219_bpe_fertility"),
       llm.TextMining.release, llm.TextMining.prebuild))
 
   /** query-name → release actions to fire AFTER that query, for a

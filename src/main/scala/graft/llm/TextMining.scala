@@ -35,19 +35,69 @@ object TextMining {
     * PageRank iteration shape (never data-dependent). */
   private[llm] val BpeSteps = 8
 
+  /** Trained BPE state, memoized per (session, dir) like [[vocab]]:
+    * the merge table AND the final per-word token state (w, n, tok) —
+    * q218 reads the merges, q219 applies the trained tokenizer, and
+    * the G-step loop runs ONCE per session (the simhashHamPairs
+    * lesson: shared expensive frames must not rebuild per consumer).
+    * The state frame stays persisted; [[release]] drops it. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  private[llm] def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeCache.computeIfAbsent((s, dir), _ => {
+      var cur = vocab(s, dir)
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")).between(2, 32))
+        .select(col("w"), col("n_w").as("n"),
+          regexp_replace(col("w"), "(.)", "·$1·").as("tok"))
+        .persist()
+      cur.count()
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var step = 1
+      while (step <= BpeSteps) {
+        val best = cur
+          .select(col("n"),
+            split(regexp_replace(col("tok"), "^·|·$", ""), "··").as("sp"))
+          .filter(size(col("sp")) >= 2) // sequence(1,0) would DESCEND
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(sp) - 1), i ->
+              |  struct(element_at(sp, i) AS a, element_at(sp, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        require(best.nonEmpty, "BPE vocabulary exhausted before G merges")
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, cnt))
+        // a, b are ^[a-z]+ by construction — SQL-literal safe
+        val next = cur.select(col("w"), col("n"),
+          expr(s"replace(tok, '·${a}··${b}·', '·${a}${b}·')").as("tok")).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+      (merges.toSeq, cur)
+    })
+
   /** q218's oracle, GENERATED as unrolled SQL (one CTE block per merge
     * step): a recursive CTE cannot reference the working set twice
     * (once for the words, once for the argmax) nor aggregate over the
     * recursive term, so the loop unrolls — the oracle text is data,
     * built by the same loop bound as the engine side. Framing device
     * and tie-break are byte-identical to the Spark body's. */
-  private[llm] def bpeOracleSql(g: Int): String = {
+  /** The shared unrolled-training prefix: WITH blocks w0..wG (each
+    * carrying (w, n, tok)) and the per-step argmax blocks b0..b(G−1). */
+  private def bpeOracleBase(g: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
       |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
       |  FROM documents) t
       |WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 32 GROUP BY 1),
-      |w0 AS (SELECT n, regexp_replace(w, '(.)', '·\1·', 'g') AS tok FROM wf)""".stripMargin
+      |w0 AS (SELECT w, n, regexp_replace(w, '(.)', '·\1·', 'g') AS tok FROM wf)""".stripMargin
     for (i <- 0 until g) {
       sb ++= s""",
         |sp$i AS (SELECT n, sp, unnest(generate_series(1, len(sp) - 1)) AS i
@@ -55,16 +105,37 @@ object TextMining {
         |pc$i AS (SELECT sp[i] AS a, sp[i + 1] AS b, sum(n)::BIGINT AS cnt
         |         FROM sp$i GROUP BY 1, 2),
         |b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
-        |w${i + 1} AS (SELECT n,
+        |w${i + 1} AS (SELECT w, n,
         |    replace(tok, '·' || b$i.a || '··' || b$i.b || '·',
         |                 '·' || b$i.a || b$i.b || '·') AS tok
         |  FROM w$i, b$i)""".stripMargin
     }
-    sb ++= (0 until g).map(i =>
-        s"SELECT ${i + 1}::INT AS step, a AS lhs, b AS rhs, cnt AS pair_n FROM b$i")
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
     sb.toString
   }
+
+  private[llm] def bpeOracleSql(g: Int): String =
+    bpeOracleBase(g) + (0 until g).map(i =>
+        s"SELECT ${i + 1}::INT AS step, a AS lhs, b AS rhs, cnt AS pair_n FROM b$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q219's oracle: the same unrolled training, then the trained
+    * state's per-word token counts joined against per-source word
+    * counts — the fertility census. */
+  private[llm] def bpeFertilityOracleSql(g: Int): String =
+    bpeOracleBase(g) + s""",
+      |nt AS (SELECT w, len(string_split(trim(tok, '·'), '··'))::BIGINT AS nt FROM w$g),
+      |psw AS (SELECT source, w, count(*)::BIGINT AS c FROM (
+      |    SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+      |    FROM documents) t
+      |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) BETWEEN 2 AND 32
+      |  GROUP BY 1, 2)
+      |SELECT source, sum(c)::BIGINT AS n_words,
+      |       sum(c * nt)::BIGINT AS n_tokens,
+      |       sum(c * length(w))::BIGINT AS n_chars,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c), 0))::BIGINT AS tpw_milli,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c * length(w)), 0))::BIGINT AS tpc_milli
+      |FROM psw JOIN nt USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** The overflow-safe q112 split hash: reducing doc_id mod the prime
     * 1e9+7 BEFORE the Knuth multiply bounds the product at
@@ -220,6 +291,7 @@ object TextMining {
   }
 
   def release(s: SparkSession): Unit = {
+    graft.Caches.dropSession(bpeCache, s)(_._2.unpersist())
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
     graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
     graft.Caches.dropSession(sourceGramCache, s)(_.unpersist())
@@ -234,6 +306,7 @@ object TextMining {
     * independent persisted roots, each one corpus pass. */
   private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
     vocab(s, dir).count()
+    bpeTrain(s, dir)._2.count()
     splitCounts(s, dir).count()
     sourceGrams(s, dir).count()
     splitLenCounts(s, dir).count()
@@ -1250,43 +1323,44 @@ object TextMining {
     // oracle's empty unnest.
     Q("q218_bpe_merges", bpeOracleSql(BpeSteps)) { (s, dir) =>
       import s.implicits._
-      var cur = vocab(s, dir)
-        .filter(col("w").rlike("^[a-z]+$") &&
-          length(col("w")).between(2, 32))
-        .select(col("n_w").as("n"),
-          regexp_replace(col("w"), "(.)", "·$1·").as("tok"))
-        .persist()
-      cur.count()
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-      var step = 1
-      while (step <= BpeSteps) {
-        val best = cur
-          .select(col("n"),
-            split(regexp_replace(col("tok"), "^·|·$", ""), "··").as("sp"))
-          .filter(size(col("sp")) >= 2) // sequence(1,0) would DESCEND
-          .select(col("n"), explode(expr(
-            """transform(sequence(1, size(sp) - 1), i ->
-              |  struct(element_at(sp, i) AS a, element_at(sp, i + 1) AS b))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("n").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
-        require(best.nonEmpty, "BPE vocabulary exhausted before G merges")
-        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, a, b, cnt))
-        // a, b are ^[a-z]+ by construction — SQL-literal safe
-        val next = cur.select(col("n"),
-          expr(s"replace(tok, '·${a}··${b}·', '·${a}${b}·')").as("tok")).persist()
-        next.count()
-        cur.unpersist()
-        cur = next
-        step += 1
-      }
-      cur.unpersist()
-      merges.toSeq.toDF("step", "lhs", "rhs", "pair_n").orderBy("step")
+      bpeTrain(s, dir)._1.toDF("step", "lhs", "rhs", "pair_n").orderBy("step")
     },
 
+    // ---- BPE tokenizer APPLICATION: per-source fertility census
+    // (round 17 -- the USE of q218's trained merges, and the
+    // tokenizer-aware upgrade of q47's whitespace/regex token counts:
+    // after G merges, how many BPE tokens does each source's text
+    // cost? Fertility (tokens per word, milli) and compression
+    // (tokens per char, milli) are the numbers a curation budget and
+    // a context-window plan read per source -- a source whose
+    // fertility stays near chars/word is one the tokenizer serves
+    // badly. The trained state is the MEMOIZED (w, n, tok) frame
+    // (built once per session with the merge table); the per-source
+    // side is one corpus scan into a (source, word, count) frame
+    // joined against the vocab-bounded token counts -- word text
+    // crosses the exchange only as the Heaps-bounded distinct-word
+    // key, never per occurrence. Same vocabulary window as the
+    // trainer, so train and apply see the same words. Exact integers
+    // (NULLIF-guarded divisions).
+    Q("q219_bpe_fertility", bpeFertilityOracleSql(BpeSteps)) { (s, dir) =>
+      val state = bpeTrain(s, dir)._2
+      val ntok = state.select(col("w"),
+        size(split(regexp_replace(col("tok"), "^·|·$", ""), "··"))
+          .cast("long").as("nt"))
+      val psw = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")).between(2, 32))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      psw.join(ntok, "w")
+        .groupBy("source")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("nt")).as("n_tokens"),
+          sum(col("c") * length(col("w"))).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+          expr("(1000 * n_tokens) div nullif(n_words, 0)").as("tpw_milli"),
+          expr("(1000 * n_tokens) div nullif(n_chars, 0)").as("tpc_milli"))
+        .orderBy("source")
+    },
     // ---- Exact eval-budget apportionment (round 15 — the allocation
     // step after the mix decision: distribute a FIXED eval budget of
     // B = 1000 docs across sources proportionally to size. Naive

@@ -104,4 +104,19 @@ class BpeMergeSpec extends SparkSpec {
     assert(rows.forall(_._4 > 0))
     graft.Caches.releaseAll(spark)
   }
+
+  test("fertility census obeys the counting laws and the merge direction") {
+    val q219 = graft.SparkEntry.all.find(_.name == "q219_bpe_fertility").get
+    val rows = q219.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nt, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is >= 1 token; tokens never exceed chars (merges
+      // only ever SHRINK the initial char tokenization)
+      assert(nw <= nt && nt <= nc, s"token law broken: $r")
+      assert(r.getLong(4) == 1000L * nt / nw, s"tpw law broken: $r")
+      assert(r.getLong(5) == 1000L * nt / nc, s"tpc law broken: $r")
+    }
+    graft.Caches.releaseAll(spark)
+  }
 }
