@@ -153,7 +153,8 @@ object Bench {
     * chain); now the build cost lands here, per sweep, under its own
     * name, and per-query medians measure the queries. */
   final case class SweepStat(sum: Double, gcMs: Long, compiles: Long,
-      build: Double = 0.0, warm: Boolean = false)
+      build: Double = 0.0, warm: Boolean = false,
+      builds: Seq[(String, Double)] = Nil)
 
   /** One mid-sweep calibration sample at query index `pos` (0-based,
     * position in the sweep order) of sweep `sweep` (1-based; 0 = the
@@ -273,10 +274,17 @@ object Bench {
     val midS = mid.map(c =>
       s"""{\"sweep\":${c.sweep},\"pos\":${c.pos},\"hash\":${fmt(c.hash)},\"spark\":${fmt(c.spark)}}""")
       .mkString("[", ",", "]")
-    val sw = sweeps.map(s =>
-      s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}""" +
-        (if (s.warm) ",\"warm\":true}" else "}"))
-      .mkString("[", ",", "]")
+    val sw = sweeps.map { s =>
+      // the DETAIL record attributes the untimed slot per family (the
+      // "named slot" promise — review r17): a regression in ONE
+      // family's build is visible, not folded into the aggregate
+      val fam =
+        if (s.builds.isEmpty) ""
+        else s.builds.map { case (n, t) => s"""\"$n\":${fmt(t)}""" }
+          .mkString(",\"builds\":{", ",", "}")
+      s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}$fam""" +
+        (if (s.warm) ",\"warm\":true}" else "}")
+    }.mkString("[", ",", "]")
     val total = times.collect { case (n, ts) if !errors.contains(n) && ts.nonEmpty => median(ts) }.sum
     s"""{\"total\":${fmt(total)},\"runs\":$runs,\"cpus\":\"$cpus\",\"sf\":\"$sfDir\",""" +
       s"""\"calib\":$cal,\"mid_calib\":$midS,\"sweeps\":$sw,\"queries\":$qs}"""
@@ -420,11 +428,12 @@ object Bench {
     val warmSweep = !sys.env.get("SPARK_GRAFT_WARMSWEEP").contains("0")
     for (sweep <- (if (warmSweep) 0 else 1) to repeat) {
       val timed = sweep >= 1
-      val buildSec =
-        if (!famBuild) 0.0
-        else try Caches.prebuild(spark, sfDir, selectedNames).map(_._2).sum
+      val familyBuilds =
+        if (!famBuild) Nil
+        else try Caches.prebuild(spark, sfDir, selectedNames)
         catch { case NonFatal(e) =>
-          System.err.println(s"family prebuild failed: $e"); 0.0 }
+          System.err.println(s"family prebuild failed: $e"); Nil }
+      val buildSec = familyBuilds.map(_._2).sum
       val gc0 = gcMillis; val (cgN0, _) = codegenStats
       val sweepTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
       selected.zipWithIndex.foreach { case (q, i) =>
@@ -438,7 +447,11 @@ object Bench {
         }
         val (dt, err) = timedRun(spark, sfDir, q)
         err match {
-          case Some(e) => errors.getOrElseUpdate(q.name, e)
+          // a warm-sweep-only failure must not poison the board: the
+          // discarded sweep's errors are discarded with its times
+          // (review r17) — a query that also fails in a COUNTED sweep
+          // is still recorded there
+          case Some(e) => if (timed) errors.getOrElseUpdate(q.name, e)
           case None =>
             if (timed) times(q.name) = times.getOrElse(q.name, Vector.empty) :+ dt
             sweepTimes(q.name) = dt
@@ -446,12 +459,13 @@ object Bench {
         hooks.getOrElse(q.name, Nil).foreach(_(spark))
       }
       // drop EVERY memo map entry between sweeps so each sweep rebuilds
-      // its caches and bills the build to the same first consumer — the
-      // per-sweep numbers stay comparable to rounds 1-7's single runs.
+      // its caches from cold; by default the rebuild lands in the next
+      // sweep's NAMED untimed prebuild slot (SPARK_GRAFT_FAMBUILD=0
+      // restores the pre-r17 first-consumer billing).
       Caches.releaseAll(spark)
       val (cgN1, _) = codegenStats
       sweepStats += SweepStat(sweepTimes.values.sum, gcMillis - gc0,
-        cgN1 - cgN0, buildSec, warm = !timed)
+        cgN1 - cgN0, buildSec, warm = !timed, builds = familyBuilds)
       if (perSweep) {
         val qd = sweepTimes.map { case (n, t) =>
           n.takeWhile(_ != '_') + "=" + fmt(t) }.mkString(" ")

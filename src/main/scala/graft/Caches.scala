@@ -88,10 +88,22 @@ object Caches {
     * `selected` (a family with no consumer in the sweep would build
     * frames no release hook ever drops), returning per-family build
     * seconds — the bench's NAMED billing slot: the cost lands in the
-    * artifact under the family's name instead of inside its first
-    * consumer's median. Safe to call on a populated cache (the memo
-    * map returns the existing frame; count() re-reads the storage
-    * tier — pennies). */
+    * artifact's per-sweep `builds` map under each family's name
+    * instead of inside its first consumer's median. Safe to call on a
+    * populated cache (the memo map returns the existing frame;
+    * count() re-reads the storage tier — pennies).
+    *
+    * FOOTPRINT TRADE (review r17): building every family up front
+    * makes ALL families resident at sweep start — the peak the
+    * staggered release hooks exist to bound (round 4's 2–8× diffuse
+    * slowdown came from exactly that accumulation). At fixture scale
+    * the peak is measured harmless (the r17 boards are the evidence);
+    * a larger-SF deployment staggers instead — build each family just
+    * before its FIRST consumer, still billed to this slot — which
+    * keeps the hooks' bounded-resident invariant. The dial exists
+    * (SPARK_GRAFT_FAMBUILD=0 + the hooks) rather than the staggered
+    * scheduler, because the measured fixture cost of the simple form
+    * is zero. */
   def prebuild(s: SparkSession, dir: String, selected: Set[String]): Seq[(String, Double)] =
     families.collect {
       case (name, consumers, _, build) if consumers.exists(selected) =>

@@ -201,8 +201,17 @@ object Dedup {
           case MergeRule.KeepBest(s) => s
           case _ => lit(0L)
         }).as("s"))
-      keptByGroup(keyed, idCol, "k", mr)
+      // a NULL key means "no key", not "matches other NULLs": those
+      // rows are SINGLETONS (kept_id = own id). Without the split the
+      // equi-join back would silently DROP them from the membership
+      // map — neither survivor nor loser (review r17) — and a caller
+      // filtering survivors would delete them.
+      val nullKeyed = keyed.filter(col("k").isNull)
+        .select(col(idCol), col(idCol).as("kept_id"),
+          lit(1L).as("n_members"))
+      keptByGroup(keyed.filter(col("k").isNotNull), idCol, "k", mr)
         .select(col(idCol), col("kept_id"), col("n_members"))
+        .unionAll(nullKeyed)
     case (MatchRule.PairGraph(pairs, a, b), mr) if mr != MergeRule.FieldMerge =>
       val comp = components(pairs, a, b).withColumnRenamed("id", idCol)
       val m = df.select(col(idCol),

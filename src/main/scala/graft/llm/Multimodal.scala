@@ -617,6 +617,45 @@ object Multimodal {
       frame_idx: Option[Int], width: Option[Int], height: Option[Int],
       n_px: Option[Long])
 
+  /** ONE per-frame JPEG decode + taxonomy body for all three container
+    * demuxers (review r17: AVI/mp4/mkv each carried a verbatim copy of
+    * this loop — a fix to the decode contract had to land three
+    * times). Each (offset, length) slice decodes through the
+    * partition's reused `reader`; a failing frame quarantines as a
+    * COUNTED `bad_frame` row without poisoning its neighbors. */
+  private[llm] def decodeJpegFrames(docId: Long, status: String,
+      frames: Seq[(Int, Int)], bytes: Array[Byte],
+      reader: javax.imageio.ImageReader): Seq[AviFrameQ] =
+    frames.zipWithIndex.map { case ((foff, flen), f) =>
+      val img =
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes, foff, flen))
+          try {
+            reader.setInput(iis, true, true)
+            reader.read(0)
+          } finally iis.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => null
+          case _: OutOfMemoryError => null
+        }
+      if (img == null) AviFrameQ(docId, "bad_frame", Some(f), None, None, None)
+      else AviFrameQ(docId, status, Some(f), Some(img.getWidth),
+        Some(img.getHeight), Some(img.getWidth.toLong * img.getHeight))
+    }
+
+  /** The demuxers' shared doc-level quarantine envelope: anything the
+    * container walk throws becomes one counted row, never a stage
+    * failure (catches NonFatal + OOME like [[MediaCodec.decodeSafe]]). */
+  private[llm] def quarantining(docId: Long)(
+      body: => Seq[AviFrameQ]): Seq[AviFrameQ] =
+    try body catch {
+      case scala.util.control.NonFatal(_) =>
+        Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+      case _: OutOfMemoryError =>
+        Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+    }
+
   /** MJPEG-in-AVI demuxer + fixture (round 17, VERDICT r16 item 4 —
     * the last media-container family without a REAL decoder). mp4/webm
     * stay documented [[MediaStub]] doubles (the JVM ships no
@@ -798,39 +837,16 @@ object Multimodal {
       it.next()
     }
 
-    /** Total decode: RIFF walk → per-frame JPEG decode through the
-      * partition's reused `reader`, each failure mode a COUNTED row
-      * ([[AviFrameQ]] taxonomy). Catches NonFatal + OOME like
-      * [[MediaCodec.decodeSafe]] — a hostile payload must never kill
-      * the stage. */
+    /** Total decode: RIFF walk → the shared [[decodeJpegFrames]] body
+      * under the shared [[quarantining]] envelope — a hostile payload
+      * must never kill the stage. */
     def decodeFramesSafe(docId: Long, bytes: Array[Byte],
         reader: javax.imageio.ImageReader): Seq[AviFrameQ] =
-      try {
+      quarantining(docId) {
         val (declared, frames) = parseRiff(docId, bytes)
         require(frames.nonEmpty, s"doc $docId: no frame chunks")
         val status = if (frames.length < declared) "short" else "ok"
-        frames.zipWithIndex.map { case ((foff, flen), f) =>
-          val img =
-            try {
-              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(bytes, foff, flen))
-              try {
-                reader.setInput(iis, true, true)
-                reader.read(0)
-              } finally iis.close()
-            } catch {
-              case scala.util.control.NonFatal(_) => null
-              case _: OutOfMemoryError => null
-            }
-          if (img == null) AviFrameQ(docId, "bad_frame", Some(f), None, None, None)
-          else AviFrameQ(docId, status, Some(f), Some(img.getWidth),
-            Some(img.getHeight), Some(img.getWidth.toLong * img.getHeight))
-        }
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
-        case _: OutOfMemoryError =>
-          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+        decodeJpegFrames(docId, status, frames, bytes, reader)
       }
 
     /** Convenience form (specs, single-doc callers): fresh reader per
@@ -1086,40 +1102,19 @@ object Multimodal {
       (declared.toInt, frames.result())
     }
 
-    /** Total decode: box walk → per-frame JPEG decode through the
-      * partition's reused `reader` ([[AviCodec.newJpegReader]] — the
-      * same init-once handle; MJPEG-in-mp4 pays the identical
-      * per-frame registry cost otherwise). Taxonomy and row type are
-      * [[AviFrameQ]]'s — the census contract is per-CONTAINER-family
-      * invariant by design. */
+    /** Total decode: box walk → the shared [[decodeJpegFrames]] body
+      * under the shared [[quarantining]] envelope (the
+      * [[AviCodec.newJpegReader]] init-once handle; MJPEG-in-mp4 pays
+      * the identical per-frame registry cost otherwise). Taxonomy and
+      * row type are [[AviFrameQ]]'s — the census contract is
+      * per-CONTAINER-family invariant by design. */
     def decodeFramesSafe(docId: Long, bytes: Array[Byte],
         reader: javax.imageio.ImageReader): Seq[AviFrameQ] =
-      try {
+      quarantining(docId) {
         val (declared, frames) = parseMp4(docId, bytes)
         require(frames.nonEmpty, s"doc $docId: no samples")
         val status = if (frames.length < declared) "short" else "ok"
-        frames.zipWithIndex.map { case ((foff, flen), f) =>
-          val img =
-            try {
-              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(bytes, foff, flen))
-              try {
-                reader.setInput(iis, true, true)
-                reader.read(0)
-              } finally iis.close()
-            } catch {
-              case scala.util.control.NonFatal(_) => null
-              case _: OutOfMemoryError => null
-            }
-          if (img == null) AviFrameQ(docId, "bad_frame", Some(f), None, None, None)
-          else AviFrameQ(docId, status, Some(f), Some(img.getWidth),
-            Some(img.getHeight), Some(img.getWidth.toLong * img.getHeight))
-        }
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
-        case _: OutOfMemoryError =>
-          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+        decodeJpegFrames(docId, status, frames, bytes, reader)
       }
 
     /** Convenience form (specs, single-doc callers). */
@@ -1373,37 +1368,17 @@ object Multimodal {
       frames.result()
     }
 
-    /** Total decode ([[AviCodec.decodeFramesSafe]]'s shape, graded
-      * against the fixture's EXTERNAL expected-frame count like y4m —
-      * Matroska self-declares no frame total). */
+    /** Total decode: EBML walk → the shared [[decodeJpegFrames]] body
+      * under the shared [[quarantining]] envelope, graded against the
+      * fixture's EXTERNAL expected-frame count like y4m — Matroska
+      * self-declares no frame total. */
     def decodeFramesSafe(docId: Long, expected: Int, bytes: Array[Byte],
         reader: javax.imageio.ImageReader): Seq[AviFrameQ] =
-      try {
+      quarantining(docId) {
         val frames = parseMkv(docId, bytes)
         require(frames.nonEmpty, s"doc $docId: no frame blocks")
         val status = if (frames.length < expected) "short" else "ok"
-        frames.zipWithIndex.map { case ((foff, flen), f) =>
-          val img =
-            try {
-              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(bytes, foff, flen))
-              try {
-                reader.setInput(iis, true, true)
-                reader.read(0)
-              } finally iis.close()
-            } catch {
-              case scala.util.control.NonFatal(_) => null
-              case _: OutOfMemoryError => null
-            }
-          if (img == null) AviFrameQ(docId, "bad_frame", Some(f), None, None, None)
-          else AviFrameQ(docId, status, Some(f), Some(img.getWidth),
-            Some(img.getHeight), Some(img.getWidth.toLong * img.getHeight))
-        }
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
-        case _: OutOfMemoryError =>
-          Seq(AviFrameQ(docId, "quarantined", None, None, None, None))
+        decodeJpegFrames(docId, status, frames, bytes, reader)
       }
 
     /** Convenience form (specs, single-doc callers). */

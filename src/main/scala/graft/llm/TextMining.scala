@@ -56,7 +56,7 @@ object TextMining {
       cur.count()
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
       var step = 1
-      while (step <= BpeSteps) {
+      try while (step <= BpeSteps) {
         val best = cur
           .select(col("n"),
             split(regexp_replace(col("tok"), "^·|·$", ""), "··").as("sp"))
@@ -79,6 +79,13 @@ object TextMining {
         cur.unpersist()
         cur = next
         step += 1
+      } catch { case t: Throwable =>
+        // a mid-loop abort (vocabulary exhausted, executor loss) must
+        // not leak the working frame: the exception escapes
+        // computeIfAbsent, so no cache entry exists for release() to
+        // drop (review r17)
+        cur.unpersist()
+        throw t
       }
       (merges.toSeq, cur)
     })

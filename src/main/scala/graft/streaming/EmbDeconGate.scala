@@ -153,17 +153,6 @@ object EmbDeconGate {
       else s.createDataFrame(s.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "vec_id BIGINT, label INT, cand BIGINT, flagged BIGINT, hit_true BIGINT"))
-    import scala.jdk.CollectionConverters._
-    val out = census(dec)
-    val rows = out.collect().toSeq // |labels| rows — bounded
-    def rmTree(root: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(root)) {
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
-    rmTree(java.nio.file.Paths.get(store))
-    rmTree(java.nio.file.Paths.get(store + ".ckpt"))
-    s.createDataFrame(rows.asJava, out.schema)
+    Streams.materializeScratch(s, store, census(dec))
   }
 }

@@ -108,25 +108,6 @@ object StreamDeconGate {
       else s.createDataFrame(s.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, source STRING, n_sh BIGINT, flagged BOOLEAN"))
-    // Materialize the census EAGERLY (|sources| rows — bounded by
-    // construction) and delete the UUID-keyed decision store +
-    // checkpoint before returning: each run writes corpus-row-scale
-    // parquet under a fresh UUID, so a lazily-returned frame over the
-    // store would force keeping every run's store on disk — repeated
-    // bench sweeps accumulated them unboundedly (ADVICE r16). A real
-    // deployment KEEPS its decision store (it IS the gate's output);
-    // this harness entry returns the census, so the store is scratch.
-    import scala.jdk.CollectionConverters._
-    val out = census(dec)
-    val rows = out.collect().toSeq
-    def rmTree(root: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(root)) {
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
-    rmTree(java.nio.file.Paths.get(store))
-    rmTree(java.nio.file.Paths.get(store + ".ckpt"))
-    s.createDataFrame(rows.asJava, out.schema)
+    Streams.materializeScratch(s, store, census(dec))
   }
 }

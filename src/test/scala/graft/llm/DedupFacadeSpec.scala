@@ -62,6 +62,18 @@ class DedupFacadeSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("NULL keys are singletons, never dropped and never cross-matched (review r17)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("a")))
+      .toDF("id", "key")
+    val got = Dedup.dedup(df, "id",
+        MatchRule.ExactKey(col("key")), MergeRule.KeepFirst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // the membership map covers EVERY input row; the two NULL-key rows
+    // are independent singletons, not a 2-member NULL cluster
+    assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 2L)))
+  }
+
   test("PairGraph + KeepFirst == components representatives, singletons survive") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
