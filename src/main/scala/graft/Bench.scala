@@ -154,12 +154,56 @@ object Bench {
     * name, and per-query medians measure the queries. */
   final case class SweepStat(sum: Double, gcMs: Long, compiles: Long,
       build: Double = 0.0, warm: Boolean = false,
-      builds: Seq[(String, Double)] = Nil)
+      builds: Seq[(String, Double)] = Nil, calibFlag: Boolean = false)
 
   /** One mid-sweep calibration sample at query index `pos` (0-based,
     * position in the sweep order) of sweep `sweep` (1-based; 0 = the
     * discarded warm sweep). */
   final case class CalibSample(sweep: Int, pos: Int, hash: Double, spark: Double)
+
+  /** Committed flat-calib anchors (round 18, VERDICT r17 item 2):
+    * query short-name → (cold, hot) seconds from ANCHORS.json. The
+    * parser is deliberately line-lenient (one entry per line, regex
+    * field pick) — the file is hand-curated JSON and Bench must not
+    * gain a JSON-library dependency for it; AnchorsSpec pins the
+    * round-trip against the committed file. Missing file → empty map
+    * (anchor emission silently off, never a crash). */
+  private val AnchorRe =
+    ("\"(q[0-9]+)\"\\s*:\\s*\\{[^}]*\"cold\"\\s*:\\s*([0-9.]+)" +
+      "[^}]*\"hot\"\\s*:\\s*([0-9.]+)").r
+  def parseAnchors(text: String): Map[String, (Double, Double)] =
+    AnchorRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .toMap
+  def loadAnchors(path: String = "ANCHORS.json"): Map[String, (Double, Double)] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) Map.empty
+      else parseAnchors(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    } catch { case NonFatal(_) => Map.empty }
+
+  /** The self-flag rule (VERDICT r17 item 2 — ">2× movers should be
+    * one glance, not a session of archaeology"): a board median
+    * flags SLOW when it clears BOTH committed bounds by 2× (cold AND
+    * hot — pre-r17 cold anchors for family first-consumers price a
+    * build the board now bills untimed, so a sub-cold median is
+    * normal) above a 0.4 s floor (sub-second noise never flags), and
+    * flags FAST when it reads at most HALF the isolated hot anchor
+    * (the q204-clone10 zero-row-stream class: a result that beats
+    * hot by 2× is evidence of work NOT done, not of speed). Returns
+    * short-name → board/cold ratio. */
+  def anchorFlags(meds: Seq[(String, Double)],
+                  anchors: Map[String, (Double, Double)]): Seq[(String, Double)] =
+    meds.flatMap { case (n, m) =>
+      val shortN = n.takeWhile(_ != '_')
+      anchors.get(shortN).collect {
+        case (cold, hot) if m >= 0.4 && cold > 0 && m >= 2 * cold && m >= 2 * hot =>
+          shortN -> m / cold
+        case (cold, hot) if hot >= 0.2 && m > 0 && m <= 0.5 * hot && cold > 0 =>
+          shortN -> m / cold
+      }
+    }
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -191,6 +235,7 @@ object Bench {
                  mid: Seq[CalibSample] = Nil,
                  sweeps: Seq[SweepStat] = Nil,
                  detail: Option[String] = None,
+                 anchors: Map[String, (Double, Double)] = Map.empty,
                  budget: Int = LineBudget): String = {
     def short(n: String) = n.takeWhile(_ != '_')
     val meds = times.map { case (n, ts) =>
@@ -209,7 +254,12 @@ object Bench {
               if !errors.contains(n) && ts.size > 1 && median(ts) > 0.2 =>
             (n, ts.min, ts.max, (ts.max - ts.min) / median(ts)) }
           .sortBy(-_._4).take(5)
-          .map { case (n, lo, hi, _) => "\"" + short(n) + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
+          // a spread row for an ANCHORED query carries its committed
+          // cold anchor as a third element — the row adjudicates
+          // itself (drift vs regression) without README archaeology
+          .map { case (n, lo, hi, _) =>
+            val mark = anchors.get(short(n)).map(a => "," + fmt(a._1)).getOrElse("")
+            "\"" + short(n) + "\":[" + fmt(lo) + "," + fmt(hi) + mark + "]" }
         if (worst.isEmpty) "" else worst.mkString(",\"spread\":{", ",", "}")
       }
     val errs =
@@ -232,16 +282,28 @@ object Bench {
       if (sweeps.isEmpty) ""
       else sweeps.map(s =>
         s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}""" +
-          (if (s.warm) ",\"warm\":true}" else "}"))
+          (if (s.warm) ",\"warm\":true" else "") +
+          (if (s.calibFlag) ",\"calib_flag\":true" else "") + "}")
         .mkString(",\"sweeps\":[", ",", "]")
     val det = detail.map(d => s""",\"detail\":\"$d\"""").getOrElse("")
+    // the self-flag block: normally EMPTY (costs ~0 budget); a >2×
+    // mover vs its committed anchor — or a suspicious half-of-hot
+    // reading — names itself in the artifact of record
+    val anchorN = meds.count { case (n, _) => anchors.contains(short(n)) }
+    val flags = anchorFlags(meds, anchors)
+    val anch =
+      if (anchors.isEmpty) ""
+      else s""",\"anchored\":$anchorN""" + (
+        if (flags.isEmpty) ""
+        else flags.map { case (n, r) => "\"" + n + "\":" + fmt(r) }
+          .mkString(",\"anchor_flags\":{", ",", "}"))
     // fixed parts first; whatever budget remains goes to per-query
     // medians, most expensive first (errored queries are mandatory)
     def assemble(qEntries: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""",\"queries_omitted\":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
         s""""error_count":${errors.size}$errs,"queries":${qEntries.mkString("{", ",", "}")}""" +
-        s"""$om$spread$midS$sw$cal$det,"sf":"$sfDir"}"""
+        s"""$om$spread$midS$sw$cal$det$anch,"sf":"$sfDir"}"""
     }
     val ranked = meds.sortBy { case (n, m) =>
       (if (errors.contains(n)) Double.NegativeInfinity else -m, n) }
@@ -263,11 +325,19 @@ object Bench {
                  errors: Map[String, String],
                  calib: Seq[(String, Double)],
                  mid: Seq[CalibSample],
-                 sweeps: Seq[SweepStat]): String = {
+                 sweeps: Seq[SweepStat],
+                 anchors: Map[String, (Double, Double)] = Map.empty): String = {
     def short(n: String) = n.takeWhile(_ != '_')
     val qs = times.map { case (n, ts) =>
       val med = if (errors.contains(n) || ts.isEmpty) -1.0 else median(ts)
-      s"""\"${short(n)}\":{\"median\":${fmt(med)},\"runs\":[${ts.map(fmt).mkString(",")}]""" +
+      // per-query board-vs-anchor ratio (VERDICT r17 item 2): ratio =
+      // board median / committed cold anchor — the full-coverage form
+      // of the stdout line's flags-only block
+      val anch = anchors.get(short(n)).collect {
+        case (cold, _) if cold > 0 && med >= 0 =>
+          s""",\"anchor\":${fmt(cold)},\"ratio\":${fmt(med / cold)}"""
+      }.getOrElse("")
+      s"""\"${short(n)}\":{\"median\":${fmt(med)},\"runs\":[${ts.map(fmt).mkString(",")}]$anch""" +
         errors.get(n).map(e => s""",\"error\":\"$e\"""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val cal = calib.map { case (n, v) => s"""\"$n\":${fmt(v)}""" }.mkString("{", ",", "}")
@@ -283,7 +353,8 @@ object Bench {
         else s.builds.map { case (n, t) => s"""\"$n\":${fmt(t)}""" }
           .mkString(",\"builds\":{", ",", "}")
       s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}$fam""" +
-        (if (s.warm) ",\"warm\":true}" else "}")
+        (if (s.warm) ",\"warm\":true" else "") +
+        (if (s.calibFlag) ",\"calib_flag\":true" else "") + "}"
     }.mkString("[", ",", "]")
     val total = times.collect { case (n, ts) if !errors.contains(n) && ts.nonEmpty => median(ts) }.sum
     s"""{\"total\":${fmt(total)},\"runs\":$runs,\"cpus\":\"$cpus\",\"sf\":\"$sfDir\",""" +
@@ -477,6 +548,26 @@ object Bench {
     val (h1, s1) = calibrate(spark)
     calib += ("post_hash" -> h1) += ("post_spark" -> s1)
     val ordered = order.map(n => n -> times.getOrElse(n, Vector.empty))
+    // counted-sweep guard (round 18, VERDICT r17 item 2's second
+    // half): BENCH_r17's sweep-2 mid-calib read 0.443/0.411/0.388
+    // against a 0.285–0.30 session norm — a measurable machine
+    // episode inside the artifact that nothing FLAGGED. A sweep
+    // whose mid-calib hash median departs >25% from the session's
+    // mid-calib median now carries `calib_flag` in both JSON forms
+    // (the warm-sweep-error-discard analogue: the protocol step is
+    // marking, medians stay — the flag is the adjudication pointer).
+    val sessionNorm = median(midSamples.map(_.hash).toSeq)
+    val flaggedSweeps: Set[Int] =
+      if (midSamples.isEmpty || sessionNorm <= 0) Set.empty
+      else midSamples.groupBy(_.sweep).collect {
+        case (sw, ss) if math.abs(median(ss.map(_.hash).toSeq) - sessionNorm) >
+            0.25 * sessionNorm => sw
+      }.toSet
+    val sweepStatsFlagged = sweepStats.toSeq.zipWithIndex.map { case (st, i) =>
+      val sweepNo = if (warmSweep) i else i + 1
+      if (flaggedSweeps(sweepNo)) st.copy(calibFlag = true) else st
+    }
+    val anchors = loadAnchors()
     // full record into the repo (the round commit carries it); path
     // overridable for ablation arms so they don't clobber the official
     // record
@@ -485,13 +576,13 @@ object Bench {
       try {
         val w = new java.io.PrintWriter(detailPath, "UTF-8")
         try w.println(detailJson(sfDir, repeat, cpus, ordered, errors.toMap,
-          calib.toSeq, midSamples.toSeq, sweepStats.toSeq))
+          calib.toSeq, midSamples.toSeq, sweepStatsFlagged, anchors))
         finally w.close()
         Some(new java.io.File(detailPath).getName)
       } catch { case NonFatal(e) =>
         System.err.println(s"detail write failed: $e"); None }
     println(metricLine(sfDir, repeat, ordered, errors.toMap, calib.toSeq,
-      midSamples.toSeq, sweepStats.toSeq, detailName))
+      midSamples.toSeq, sweepStatsFlagged, detailName, anchors))
     spark.stop()
   }
 }

@@ -2989,32 +2989,7 @@ object LlmText {
         |FROM s JOIN cum ON cum.source = s.source AND cum.ttr = s.ttr
         |       JOIN n ON n.source = s.source
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
-      // persisted: THREE consumers read this projection (the histogram,
-      // the per-source totals, and the final per-doc join) — without the
-      // persist each one re-scans documents and re-runs the qualityStats
-      // kernel (ADVICE r16 measured 3 corpus passes where the plan note
-      // claimed one). Narrow rows (doc_id, source, ttr) — far below
-      // corpus bytes; released with the sweep's ad-hoc frames.
-      val scored = docs(s, dir)
-        .select(col("doc_id"), col("source"), st.as("st"))
-        .select(col("doc_id"), col("source"),
-          element_at(col("st"), 1).as("nt"), element_at(col("st"), 2).as("nd"))
-        .filter(col("nt") > 0)
-        .select(col("doc_id"), col("source"),
-          expr("(1000000 * nd) div nt").cast("long").as("ttr"))
-        .persist()
-      graft.Caches.registerPersisted(scored)
-      val h = scored.groupBy("source", "ttr").agg(count(lit(1)).as("c"))
-      val below = h.withColumn("below",
-        sum("c").over(Window.partitionBy("source").orderBy("ttr")) - col("c"))
-      val n = scored.groupBy("source").agg(count(lit(1)).as("n"))
-      scored
-        .join(below.select("source", "ttr", "below"), Seq("source", "ttr"))
-        .join(broadcast(n), "source")
-        .select(col("doc_id"), col("source"), col("ttr").as("ttr_micro"),
-          expr("(1000 * below) div nullif(n - 1, 0)").as("pct_milli"))
-        .orderBy("doc_id")
+      percentileNorm(s, dir, usePersist = false)
     },
 
     // ---- Contamination attribution (round 16 — the WHICH question
@@ -3355,6 +3330,42 @@ object LlmText {
         coalesce(element_at(typedLit(offsets), col("bucket")), lit(0L))
           + cum - col("n_tokens"))
       .drop("bucket")
+  }
+
+  /** q205 body, persist-parameterized for the round-18 TripleAb
+    * adjudication (VERDICT r17 #1): the ADVICE-r16 persist landed
+    * unmeasured and q205 became a >2× board mover. Three consumers
+    * read the narrow (doc_id, source, ttr) projection; whether
+    * caching it beats recomputing the qualityStats kernel per
+    * consumer is a MEASURED decision (the q133 counter-example: an
+    * InMemoryRelation changes the optimizer's size evidence). The
+    * registered query pins the winning arm; `tools.PersistAb` runs
+    * both arms interleaved in one session. */
+  private[graft] def percentileNorm(s: SparkSession, dir: String,
+      usePersist: Boolean): DataFrame = {
+    val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), st.as("st"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("st"), 1).as("nt"), element_at(col("st"), 2).as("nd"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("source"),
+        expr("(1000000 * nd) div nt").cast("long").as("ttr"))
+    val scored = if (usePersist) {
+      val p = base.persist(); graft.Caches.registerPersisted(p); p
+    } else base
+    val h = scored.groupBy("source", "ttr").agg(count(lit(1)).as("c"))
+    val below = h.withColumn("below",
+      sum("c").over(Window.partitionBy("source").orderBy("ttr")) - col("c"))
+    // per-source totals fold over the VALUE-BOUNDED histogram, not the
+    // corpus — one fewer corpus pass in the unpersisted form (r18)
+    val n = h.groupBy("source").agg(sum("c").as("n"))
+    scored
+      .join(below.select("source", "ttr", "below"), Seq("source", "ttr"))
+      .join(broadcast(n), "source")
+      .select(col("doc_id"), col("source"), col("ttr").as("ttr_micro"),
+        expr("(1000 * below) div nullif(n - 1, 0)").as("pct_milli"))
+      .orderBy("doc_id")
   }
 }
 

@@ -2378,25 +2378,39 @@ object TextMining {
         |       (1000::HUGEINT * (conc - disc) * 2
         |        // NULLIF(n.n::HUGEINT * (n.n - 1), 0))::BIGINT AS tau_milli
         |FROM n JOIN cd USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
-      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
-      // persisted: FOUR consumers read this projection (per-source n,
-      // both decile-map histograms, and the cells join) — without the
-      // persist each one re-scans documents and re-runs the
-      // qualityStats kernel (ADVICE r16 measured 4+ corpus passes
-      // where the plan note claimed one). Narrow (doc_id, source,
-      // x, y) rows; released with the sweep's ad-hoc frames.
-      val sdf = docs(s, dir)
-        .select(col("doc_id"), col("source"), st.as("st"))
-        .select(col("doc_id"), col("source"),
-          element_at(col("st"), 1).as("nt"), element_at(col("st"), 2).as("nd"))
-        .filter(col("nt") > 0)
-        .select(col("doc_id"), col("source"), col("nt").as("x"),
-          expr("(1000000 * nd) div nt").cast("long").as("y"))
-        .persist()
-      graft.Caches.registerPersisted(sdf)
-      val n = sdf.groupBy("source").agg(count(lit(1)).as("n"))
-      def decileMap(sig: String): DataFrame = {
-        val h = sdf.groupBy("source", sig).agg(count(lit(1)).as("c"))
+      signalConcordance(s, dir, usePersist = false)
+    }
+  )
+
+  /** q210 body, persist-parameterized for the round-18 TripleAb
+    * adjudication (VERDICT r17 #1): the ADVICE-r16 persist landed
+    * unmeasured and q210 became the board's biggest mover (0.68 →
+    * 2.18 s, flat across sweeps). Four consumers read the narrow
+    * (doc_id, source, x, y) projection; whether caching beats
+    * recomputing the qualityStats kernel per consumer is a MEASURED
+    * decision. The registered query pins the winning arm;
+    * `tools.PersistAb` runs both arms interleaved in one session. */
+  private[graft] def signalConcordance(s: SparkSession, dir: String,
+      usePersist: Boolean): DataFrame = {
+    val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), st.as("st"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("st"), 1).as("nt"), element_at(col("st"), 2).as("nd"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("source"), col("nt").as("x"),
+        expr("(1000000 * nd) div nt").cast("long").as("y"))
+    val sdf =
+      if (usePersist) { val p = base.persist(); graft.Caches.registerPersisted(p); p }
+      else base
+    // histograms are the ONLY corpus-scale aggregations; everything
+    // else (per-source n, both decile maps) folds over these
+    // value-bounded frames — 3 corpus passes total in the unpersisted
+    // form (hx + hy + the cells join), the structural minimum (r18)
+    val hx = sdf.groupBy("source", "x").agg(count(lit(1)).as("c"))
+    val hy = sdf.groupBy("source", "y").agg(count(lit(1)).as("c"))
+    val n = hx.groupBy("source").agg(sum("c").as("n"))
+      def decileMap(sig: String, h: DataFrame): DataFrame = {
         h.withColumn("below",
             sum("c").over(Window.partitionBy("source").orderBy(sig)) - col("c"))
           .join(broadcast(n), "source")
@@ -2404,8 +2418,8 @@ object TextMining {
             expr("(10 * below) div n").cast("long").as(s"d$sig"))
       }
       val cells = sdf
-        .join(decileMap("x"), Seq("source", "x"))
-        .join(decileMap("y"), Seq("source", "y"))
+        .join(decileMap("x", hx), Seq("source", "x"))
+        .join(decileMap("y", hy), Seq("source", "y"))
         .groupBy("source", "dx", "dy").agg(count(lit(1)).as("c"))
       val cd = cells.as("a")
         .join(broadcast(cells.as("b")), col("a.source") === col("b.source"))
@@ -2423,8 +2437,7 @@ object TextMining {
                  |  div nullif(cast(n as decimal(38,0)) * (n - 1), 0)""".stripMargin)
             .cast("long").as("tau_milli"))
         .orderBy("source")
-    }
-  )
+  }
 
   /** The q179 scorer: per-document mean per-token (target − base)
     * occurrence-share shift in integer micro — returns the

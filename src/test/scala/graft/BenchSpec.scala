@@ -132,6 +132,94 @@ class BenchSpec extends SparkSpec {
     assert((lp \ "sweeps")(0) \ "warm" == JBool(true), line)
   }
 
+  test("a synthetic >2x mover vs its committed anchor self-flags in the line") {
+    // VERDICT r17 item 2: BENCH_r18 must make a q210-class mover
+    // (0.68 -> 2.18 against a committed anchor) one glance, not a
+    // session of archaeology
+    val anchors = Map("q9" -> (0.68, 0.60), "q8" -> (1.0, 0.9))
+    val line = Bench.metricLine("/sf", runs = 3,
+      times = Seq(
+        "q9_mover" -> Seq(2.10, 2.18, 2.24), // 3.2x cold, 3.6x hot -> flags
+        "q8_steady" -> Seq(1.05, 1.00, 0.95)), // at anchor -> silent
+      errors = Map.empty, anchors = anchors)
+    assert(line.contains(""""anchored":2"""), line)
+    assert(line.contains(""""anchor_flags":{"q9":"""), line)
+    assert(!line.contains(""""q8":3"""), line)
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    import org.json4s._
+    val JDouble(r) = parsed \ "anchor_flags" \ "q9"
+    assert(math.abs(r - 2.18 / 0.68) < 0.01, line)
+  }
+
+  test("a suspicious half-of-hot reading flags too (the zero-row-stream class)") {
+    // the q204-clone10 lesson: a number 2x FASTER than the isolated
+    // hot anchor is evidence of work not done, not of speed
+    val anchors = Map("q7" -> (1.93, 1.17))
+    val line = Bench.metricLine("/sf", 3,
+      Seq("q7_gate" -> Seq(0.40, 0.41, 0.39)), Map.empty, anchors = anchors)
+    assert(line.contains(""""anchor_flags":{"q7":"""), line)
+    // ...but a family-cache query legitimately below its PRE-r17 cold
+    // anchor (build now billed untimed) must NOT flag
+    val fam = Map("q6" -> (4.34, 1.76)) // q109-class stale cold
+    val ok = Bench.metricLine("/sf", 3,
+      Seq("q6_rank" -> Seq(1.22, 1.25, 1.20)), Map.empty, anchors = fam)
+    assert(!ok.contains("anchor_flags"), ok)
+  }
+
+  test("sub-0.4s movers stay silent") {
+    // 2.5x a 0.1s anchor is noise, not a mover: the 0.4s floor holds
+    val line = Bench.metricLine("/sf", 3,
+      Seq("q5_tiny" -> Seq(0.25, 0.26, 0.24)), Map.empty,
+      anchors = Map("q5" -> (0.10, 0.08)))
+    assert(!line.contains("anchor_flags"), line)
+  }
+
+  test("spread rows for anchored queries carry the committed cold anchor") {
+    val line = Bench.metricLine("/sf", runs = 3,
+      times = Seq("q9_mover" -> Seq(0.5, 0.6, 1.4), "q4_plain" -> Seq(0.5, 0.6, 1.3)),
+      errors = Map.empty, anchors = Map("q9" -> (0.68, 0.60)))
+    assert(line.contains(""""q9":[0.500,1.400,0.680]"""), line)
+    assert(line.contains(""""q4":[0.500,1.300]"""), line)
+  }
+
+  test("detail json carries per-query anchor + board-vs-anchor ratio") {
+    import org.json4s._
+    val j = Bench.detailJson("/sf", 3, "32",
+      Seq("q9_mover" -> Seq(2.10, 2.18, 2.24), "q3_new" -> Seq(0.5)),
+      Map.empty, Nil, Nil, Nil, Map("q9" -> (0.68, 0.60)))
+    val parsed = org.json4s.jackson.JsonMethods.parse(j)
+    assert((parsed \ "queries" \ "q9" \ "anchor") == JDouble(0.68), j)
+    val JDouble(r) = parsed \ "queries" \ "q9" \ "ratio"
+    assert(math.abs(r - 2.18 / 0.68) < 0.01, j)
+    assert((parsed \ "queries" \ "q3" \ "ratio") == JNothing, j)
+  }
+
+  test("ANCHORS.json parses and covers the adjudicated movers") {
+    // round-trips the COMMITTED file (not a fixture) so a format
+    // drift that would silently disable anchor emission fails here
+    val a = Bench.loadAnchors("ANCHORS.json")
+    assert(a.size >= 80, s"only ${a.size} anchors parsed")
+    assert(a("q210") == (1.36, 1.20), a.get("q210").toString)
+    assert(a("q205") == (0.93, 0.80), a.get("q205").toString)
+    assert(a.keys.forall(_.matches("q[0-9]+")), a.keys.take(5).toString)
+  }
+
+  test("a contended counted sweep renders calib_flag in both JSON forms") {
+    import org.json4s._
+    val sweeps = Seq(Bench.SweepStat(5.0, 10L, 300L, 2.0, warm = true),
+      Bench.SweepStat(3.0, 10L, 50L, 1.0, calibFlag = true),
+      Bench.SweepStat(3.0, 10L, 50L, 1.0))
+    val j = Bench.detailJson("/sf", 3, "32", Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, sweeps)
+    val parsed = org.json4s.jackson.JsonMethods.parse(j)
+    assert((parsed \ "sweeps")(1) \ "calib_flag" == JBool(true), j)
+    assert((parsed \ "sweeps")(2) \ "calib_flag" == JNothing, j)
+    val line = Bench.metricLine("/sf", 3, Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, sweeps, None)
+    val lp = org.json4s.jackson.JsonMethods.parse(line)
+    assert((lp \ "sweeps")(1) \ "calib_flag" == JBool(true), line)
+  }
+
   test("median") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0)) == 2.5)
