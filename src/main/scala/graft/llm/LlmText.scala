@@ -1135,6 +1135,76 @@ object LlmText {
         .orderBy("kept_doc_id")
     },
 
+    // ---- The unified dedup facade, oracle-pinned end-to-end (round
+    // 18, VERDICT r17 item 3): q196's semantics routed through
+    // `Dedup.dedup(df, id, ExactKey, KeepBest)` — the COMPOSITION
+    // surface itself hash-pinned against DuckDB, not just
+    // differentially against its direct forms (DedupFacadeSpec keeps
+    // the spec-level pins; this query makes the facade a first-class
+    // board citizen). Output is the facade's contract: the full
+    // MEMBERSHIP MAP — one row per input row with its elected
+    // survivor and class size (q196 reports only multi-member
+    // survivors; the map is what downstream curation joins against).
+    // The keep rule is q196's argmax (quality, n_tokens, −doc_id),
+    // expressed as KeepBest(struct(quality, n_tokens)) — the struct
+    // max IS the lexicographic order and the facade's negid tie-break
+    // IS the min-id rule, so the oracle's row_number form must agree
+    // exactly. Plan at 100 TB: identical to q196's class-bounded
+    // shape — one map-only kernel pass, one key-shuffle struct-max
+    // aggregate (map-side combinable, no per-class row window), one
+    // same-key join back (exchange-reusable).
+    Q("q220_dedup_facade",
+      """WITH unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |         array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:30], ' ')
+        |  FROM documents),
+        |tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |       FROM unioned),
+        |m AS (SELECT doc_id,
+        |        md5(array_to_string(t[1:8], ' ')) AS key,
+        |        len(t) AS n_tokens,
+        |        (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        |         + CASE WHEN 10 * len(list_distinct(t)) >= 3 * len(t) THEN 1 ELSE 0 END
+        |         + CASE WHEN coalesce(list_max(list_transform(t, w -> length(w))), 0) <= 15 THEN 1 ELSE 0 END) AS quality
+        |      FROM tl),
+        |rk AS (SELECT key, doc_id,
+        |         row_number() OVER (PARTITION BY key
+        |           ORDER BY quality DESC, n_tokens DESC, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY key) AS n_members
+        |       FROM m),
+        |k AS (SELECT key, doc_id AS kept_id, n_members FROM rk WHERE rk = 1)
+        |SELECT m.doc_id, k.kept_id, k.n_members::BIGINT AS n_members,
+        |       (m.doc_id = k.kept_id) AS survivor
+        |FROM m JOIN k USING (key)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = T.df(s, dir, "documents")
+      val both = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select(col("doc_id") + 10000,
+          concat_ws(" ", slice(expr("filter(split(text, ' '), x -> x != '')"), 1, 30))
+            .as("text")))
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val m = both
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(expr("filter(split(lower(text), ' '), x -> x != '')"), 1, 8))
+            .cast("binary")).as("key"),
+          st.as("st"))
+        .select(col("doc_id"), col("key"),
+          element_at(col("st"), 1).as("n_tokens"),
+          (when(element_at(col("st"), 1).between(20, 1000), 1).otherwise(0)
+            + when(element_at(col("st"), 2) * 10 >= element_at(col("st"), 1) * 3, 1).otherwise(0)
+            + when(coalesce(element_at(col("st"), 3), lit(0L)) <= 15, 1).otherwise(0))
+            .cast("long").as("quality"))
+      Dedup.dedup(m, "doc_id",
+          Dedup.MatchRule.ExactKey(col("key")),
+          Dedup.MergeRule.KeepBest(struct(col("quality"), col("n_tokens"))))
+        .select(col("doc_id"), col("kept_id"), col("n_members"),
+          (col("doc_id") === col("kept_id")).as("survivor"))
+        .orderBy("doc_id")
+    },
+
     // ---- n-gram Jaccard near-dup, brute force (capped baseline; the
     // LSH path below is the uncapped scale path). Blocked-kernel
     // formulation ([[graft.plans.PairJaccard]], same block-pair shape
