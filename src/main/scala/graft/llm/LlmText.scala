@@ -49,6 +49,14 @@ object LlmText {
   val SlideLen = 10
   val SlideStride = 5
 
+  /** q221 span threshold: duplicated spans are ≥ SpanK consecutive
+    * tokens shared verbatim across ≥ 2 docs. Lee et al. 2022 use 50
+    * BPE tokens at web scale; 8 words keeps the operator exercised by
+    * the fixtures' template-duplication (1,015 cross-doc duplicated
+    * 8-grams at sf0.01, 10,533 at sf0.1 — measured, stable from k=6
+    * to k=8, so these are real repeated spans, not chance n-grams). */
+  val SpanK = 8
+
   /** Deterministic per-doc sampling hash (q68/q75): three MINSTD
     * steps, x → x·48271 mod (2³¹−1) iterated — ONE step does not wrap
     * for doc_id < 44k (the product stays below the modulus), leaving
@@ -1203,6 +1211,67 @@ object LlmText {
         .select(col("doc_id"), col("kept_id"), col("n_members"),
           (col("doc_id") === col("kept_id")).as("survivor"))
         .orderBy("doc_id")
+    },
+
+    // ---- Exact substring-level dedup (round 18, VERDICT r17 item 4
+    // — the one well-known dedup family member the engine's seven
+    // surfaces didn't cover, the Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better" operator class):
+    // maximal cross-document verbatim token spans of length ≥ K.
+    // Winnowing (q146/q154) SAMPLES fingerprints and CDC (q178) cuts
+    // at content boundaries, so neither yields exact maximal repeated
+    // spans; this does. Semantics (Lee et al.'s merged-window form):
+    // a K-gram instance is duplicated iff its exact token text occurs
+    // in ≥ 2 DISTINCT docs (within-doc repeats alone do not count —
+    // this is cross-doc dedup); maximal runs of consecutive
+    // duplicated gram positions in a doc merge into one span
+    // (gaps-and-islands, q156's diagonal discipline applied to the
+    // within-doc position axis), so a span's windows may match
+    // DIFFERENT partner docs — the standard relaxation, documented.
+    // Output: (doc_id, span_start, span_len, span_md5) — span_md5 is
+    // the span-content identity a caller clusters on (group by
+    // span_md5 = the docs sharing that repeated content).
+    //
+    // Two-stage exactness (never trust a hash): stage 1 generates
+    // candidate positions by an IN-ROW xxhash64 gram-hash stream
+    // (map-only; text equal ⇒ hash equal, so candidates ⊇ truth —
+    // no false negatives by construction); stage 2 re-extracts the
+    // exact gram TEXT for candidate instances only (join back on
+    // doc_id, slice) and keeps grams whose text spans ≥ 2 docs —
+    // hash collisions die here, and since all instances of one text
+    // share one hash, the verify stage always sees the COMPLETE
+    // instance set per text. SubstringDedupSpec pins the whole
+    // operator against a Scala brute force on adversarial overlaps
+    // (k-boundaries, within-doc-only repeats, multi-partner merged
+    // islands, island splits).
+    //
+    // Plan at 100 TB (the distributed answer to Lee et al.'s
+    // single-node suffix array): NO pair enumeration anywhere — one
+    // map-only gram-hash pass, one hash-keyed agg (map-side
+    // combinable (gh, doc) pre-agg), a candidate-bounded join back
+    // (∝ true duplication mass, the operator's output contract),
+    // one exact-text agg over candidates, per-DOC islands windows
+    // (bounded by doc length, never corpus-wide), and a span-bounded
+    // slice join for identities. Hot boilerplate grams cost instance
+    // rows, not instance² pairs.
+    Q("q221_substring_dedup",
+      s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$SpanK-1], ' ') AS gram
+        |      FROM tl, unnest(generate_series(1, len(t) - $SpanK + 1)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM d),
+        |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |         (max(pos) - min(pos) + $SpanK)::BIGINT AS span_len
+        |       FROM isl GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, sp.span_start, sp.span_len,
+        |       md5(array_to_string(tl.t[sp.span_start : sp.span_start + sp.span_len - 1], ' ')) AS span_md5
+        |FROM sp JOIN tl USING (doc_id)
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      substringDedupSpans(docs(s, dir), SpanK)
     },
 
     // ---- n-gram Jaccard near-dup, brute force (capped baseline; the
@@ -3400,6 +3469,49 @@ object LlmText {
         coalesce(element_at(typedLit(offsets), col("bucket")), lit(0L))
           + cum - col("n_tokens"))
       .drop("bucket")
+  }
+
+  /** q221's operator body, factored on (documents, k) so
+    * SubstringDedupSpec drives it against a Scala brute force on
+    * adversarial fixtures. See the q221 registration comment for the
+    * full semantics + scale contract. Requires (doc_id, text). */
+  private[llm] def substringDedupSpans(documents: DataFrame, k: Int): DataFrame = {
+    val tl = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    // in-row candidate hash stream via the COMPILED WindowHashes
+    // kernel (an HOF transform+slice+concat formulation measured
+    // 2.35 s cold here — CodegenFallback, the q166 trap; the kernel
+    // emits n−k+1 full-window 64-bit folds over the TokenHashes
+    // stream in one codegen'd projection). posexplode's 0-based array
+    // index IS window start − 1.
+    val g = documents
+      .select(col("doc_id"),
+        posexplode(graft.plans.TextKernels.windowHashes(
+          graft.plans.TextKernels.tokenHashes(lower(col("text"))), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gh"))
+    val dupHash = g.groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .select("gh")
+    val cand = g.join(dupHash, "gh").select("doc_id", "pos")
+    // exact-text verify on candidates only (collisions die here)
+    val withText = cand.join(tl, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("t"), col("pos").cast("int"), lit(k))).as("gram"))
+    val dupGram = withText.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .select("gram")
+    val verified = withText.join(dupGram, "gram").select("doc_id", "pos")
+    val isl = verified.withColumn("grp",
+      col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    val sp = isl.groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + k).cast("long").as("span_len"))
+    sp.join(tl, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("span_start").cast("int"), col("span_len").cast("int")))
+          .cast("binary")).as("span_md5"))
+      .orderBy("doc_id", "span_start")
   }
 
   /** q205 body, persist-parameterized for the round-18 TripleAb

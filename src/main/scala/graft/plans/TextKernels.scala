@@ -84,6 +84,19 @@ object TextKernels {
   def slidingChunkHashes(hs: Column, len: Int, stride: Int): Column =
     column(ChunkHashes(expression(hs), len, stride))
 
+  /** Full 64-bit FNV-1a window hashes of a token-hash array: one hash
+    * per FULL k-window (n−k+1 entries; no trailing partials — q221's
+    * gram positions are exactly the array indices + 1). 64-bit where
+    * [[ChunkHashes]] is mod-M: the substring-dedup CANDIDATE stage
+    * feeds a distinct-gram aggregate whose population at 100 TB is
+    * ~10¹² instances — a 31-bit seed space would alias essentially
+    * every bucket and the exact-text verify stage would degenerate to
+    * a full recompute; 64 bits keeps candidate inflation negligible
+    * (collisions still die in the verify stage — seeds are never
+    * trusted). */
+  def windowHashes(hs: Column, k: Int): Column =
+    column(WindowHashes(expression(hs), k))
+
   /** Per-profile stopword-occurrence counts of a (pre-lowercased)
     * text: array<long>, one count per profile, in profile order. */
   def langScores(text: Column, profiles: Seq[Seq[String]]): Column =
@@ -380,6 +393,52 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   * passage-level (CCNet line-level) dedup granularity. Null ELEMENTS
   * hash as 0 (unreachable from the pipeline — [[TokenHashes]] emits
   * containsNull=false). */
+/** array<long> token hashes → array<long> of 64-bit FNV-1a folds over
+  * each full k-window (window i covers indices [i, i+k); n−k+1
+  * windows, none for n < k). Equal token text ⇒ equal token hashes ⇒
+  * equal window hash, so the candidate set it generates is a superset
+  * of the exact-text truth by construction — q221's no-false-negatives
+  * seed property. Null elements fold as 0 (unreachable from
+  * [[TokenHashes]], containsNull=false). */
+case class WindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k=$k must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  def windows(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + k) {
+        val e = if (in.isNullAt(j)) 0L else in.getLong(j)
+        h = (h ^ e) * 0x100000001b3L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    windows(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("windowHashes", this, classOf[WindowHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.windows(($c));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
 case class ChunkHashes(child: Expression, chunkLen: Int = ChunkHashes.DefaultLen,
     stride: Int = ChunkHashes.DefaultLen)
     extends UnaryExpression {
