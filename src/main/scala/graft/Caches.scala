@@ -70,7 +70,16 @@ object Caches {
       "q198_oov_matrix", "q199_zipf_curve", "q200_burstiness",
       "q202_step_novelty", "q207_padding_waste", "q218_bpe_merges",
       "q219_bpe_fertility"),
-      llm.TextMining.release, llm.TextMining.prebuild))
+      llm.TextMining.release, llm.TextMining.prebuild),
+    // the streaming "family" owns no memoized frames (nothing to
+    // prebuild) — its release drops the UUID-named memory-sink temp
+    // views each run registers (round 18, VERDICT r17 item 6: the
+    // in-memory face of the q204 store-leak class; every view holds a
+    // full result copy in the driver for the session's life otherwise)
+    ("streaming", Set("q55_stream_window", "q72_stream_static_join",
+      "q86_stream_stream_join", "q149_stream_interval_outer",
+      "q106_stream_topk", "q131_stream_sample", "q163_stream_mix_monitor"),
+      streaming.Streams.release, (_, _) => ()))
 
   /** query-name → release actions to fire AFTER that query, for a
     * sweep running `order`: each family releases right after its last

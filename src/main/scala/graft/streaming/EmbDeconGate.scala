@@ -82,8 +82,22 @@ object EmbDeconGate {
 
   /** Exact per-vector decisions for ONE batch of (vec_id, embedding,
     * label) rows: (vec_id, label, cand, flagged, hit_true). Stateless;
-    * factored so the spec drives arbitrary chunkings directly. */
-  private[streaming] def decide(b: DataFrame, benchDf: DataFrame, dim: Int): DataFrame = {
+    * factored so the spec drives arbitrary chunkings directly.
+    *
+    * `auditEvery` (round 18, VERDICT r17 item 5) is the SAMPLED
+    * recall-audit mode the scaladoc above promises a deployment: the
+    * GATE itself (cand/flagged — exact dot on sketch candidates) is
+    * identical in both modes; only the n_missed audit's exact pass
+    * over NON-candidate pairs is restricted to the deterministic
+    * 1-in-m vec_id sample (q131's no-rand Knuth hash — replay-stable,
+    * engine-independent, never `rand()`). The sampled census's
+    * n_missed is therefore EXACTLY the full audit's missed set
+    * intersected with the sample — a subset bound, not an estimate
+    * with error bars — and EmbDeconGateSpec pins that equality on an
+    * adversarial fixture with a real sketch miss. None (the q215
+    * oracle-gated default) audits every pair. */
+  private[streaming] def decide(b: DataFrame, benchDf: DataFrame, dim: Int,
+      auditEvery: Option[Long] = None): DataFrame = {
     val sig = graft.llm.LlmVector.srpSignatures(b, dim)
     val exact = col("dq") > 0 && expr(
       s"cast(1000000 as decimal(38,0)) * dq * dq >= " +
@@ -91,8 +105,17 @@ object EmbDeconGate {
     // |bench| is an eval suite — broadcast-bounded by construction;
     // the cross product is the gate's defined |batch|·|bench| sketch
     // stage, map-side under BroadcastNestedLoopJoin
-    val pairs = sig.crossJoin(broadcast(benchDf))
+    val crossed = sig.crossJoin(broadcast(benchDf))
       .withColumn("ham", expr("cast(bit_count(sg ^ b_sg) as bigint)"))
+    // sampled mode drops non-candidate pairs OUTSIDE the audit sample
+    // BEFORE the exact dot — the pruning is the point: the kernel pass
+    // a deployment pays is |candidates| + |bench|·|batch|/m
+    val audited = auditEvery match {
+      case Some(m) => crossed.filter(col("ham") <= HamCut ||
+        expr(s"((vec_id % 1000000007) * 2654435761) % 1000000007 % $m = 0"))
+      case None => crossed
+    }
+    val pairs = audited
       .withColumn("dq", graft.plans.VectorKernels.dotq(col("qv"), col("b_qv")))
       .withColumn("hit", exact)
     val per = pairs.groupBy("vec_id").agg(

@@ -9,7 +9,9 @@ class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
     val order = SparkEntry.all.map(_.name)
     val hooks = Caches.releaseHooks(order)
     // every family with a consumer present resolves to exactly one hook
-    assert(hooks.values.map(_.size).sum == 5)
+    // (registry/text/vector/graph/mining + the streaming memory-sink
+    // view family, round 18)
+    assert(hooks.values.map(_.size).sum == 6)
     // the hook for the text-dedup family sits at the LAST of its
     // consumers; no earlier consumer carries a hook
     val textConsumers = Seq("q39_dedup_ngram_jaccard", "q40_dedup_minhash_sig",

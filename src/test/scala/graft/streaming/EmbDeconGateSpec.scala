@@ -152,6 +152,59 @@ class EmbDeconGateSpec extends SparkSpec {
     assert(whole.toSeq == chunked.toSeq)
   }
 
+  test("sampled audit mode: gate identical; n_missed is EXACTLY full-missed ∩ sample") {
+    // Adversarial pair found by seeded search over the REAL md5-parity
+    // sign matrix: cos 0.58 (exact hit, well above θ = 0.45) but SRP
+    // hamming 11 > HamCut — a genuine sketch miss, so the audit has
+    // something to catch. Six clones of the missed arrival give the
+    // deterministic 1-in-2 Knuth-hash sample both members and
+    // non-members ({3,4,5} of 1..6 — StreamSample.hashOf parity).
+    val missA = Seq(0.106f, -0.746f, -0.072f, 0.509f, 0.31f, -1.426f, 1.115f, 1.206f)
+    val benchB = Seq(-0.053f, 0.418f, 1.431f, 0.717f, 0.081f, -1.033f, 1.875f, 0.174f)
+    val nearB = benchB.map(x => x * 0.99f) // cand + hit -> flagged in any mode
+    val clean = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f) // dq < 0 vs bench -> clean
+    val rows: Seq[(Long, Seq[Float], Int)] =
+      Seq((0L, benchB, 0)) ++ (1L to 6L).map(i => (i, missA, 0)) ++
+        Seq((7L, nearB, 0), (8L, clean, 0))
+    val dir = writeEmb(rows)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 20 =!= 0)
+    val dim = 8
+    val bench = EmbDeconGate.bench(spark, dir, dim)
+    def dec(auditEvery: Option[Long]) =
+      EmbDeconGate.decide(emb, bench, dim, auditEvery).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val m = 2L
+    val full = dec(None)
+    val samp = dec(Some(m))
+    // the adversary really is a sketch miss in the full audit
+    assert(full.filter(t => t._4 == 1L && t._2 == 0L).map(_._1) == (1L to 6L),
+      s"full audit must miss exactly the six clones: $full")
+    assert(full.find(_._1 == 7L).get._3 == 1L, "near-copy must still flag")
+    // THE GATE IS IDENTICAL: cand and flagged agree row-for-row
+    assert(full.map(t => (t._1, t._2, t._3)) == samp.map(t => (t._1, t._2, t._3)),
+      s"sampled mode changed a gate decision:\n$full\n$samp")
+    // the audit column: sampled-or-candidate rows agree with the full
+    // audit; unsampled non-candidates are not audited at all
+    val sampled = (1L to 8L).filter(i => StreamSample.hashOf(i) % m == 0).toSet
+    assert(sampled.intersect((1L to 6L).toSet).nonEmpty &&
+      !(1L to 6L).forall(sampled), s"degenerate sample $sampled")
+    samp.foreach { case (id, cand, _, hit) =>
+      val fullHit = full.find(_._1 == id).get._4
+      if (sampled(id) || cand == 1L) assert(hit == fullHit, s"id $id audit drifted")
+      else assert(hit == 0L, s"unsampled non-candidate $id must not audit")
+    }
+    // census law: sampled n_missed == |full missed ∩ sample| — an
+    // exact subset bound, not an estimate
+    val fullMissed = full.filter(t => t._4 == 1L && t._2 == 0L).map(_._1).toSet
+    val sampMissed = EmbDeconGate.census(
+        EmbDeconGate.decide(emb, bench, dim, Some(m)))
+      .agg(sum("n_missed")).head.getLong(0)
+    assert(sampMissed == fullMissed.count(sampled).toLong,
+      s"sampled n_missed $sampMissed != ${fullMissed.count(sampled)}")
+  }
+
   test("driver fixture census obeys the counting laws") {
     val rows = q215.run(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
