@@ -51,7 +51,9 @@ object Caches {
       "q183_cluster_cohesion", "q185_lsh_band_census",
       "q174_langid_agreement", "q191_langid_kappa", "q192_langid_prf",
       "q194_split_gram_leak", "q203_edit_verify",
-      "q204_stream_decon_gate", "q206_contamination_attribution"),
+      "q204_stream_decon_gate", "q206_contamination_attribution",
+      "q221_substring_dedup", "q222_dedup_facade_graph",
+      "q223_substring_cut_census"),
       llm.LlmText.release, llm.LlmText.prebuild),
     ("vector", Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",

@@ -835,7 +835,7 @@ object LlmText {
     * the storage tier. */
   def release(s: SparkSession): Unit =
     Seq(hashCache, shingleCache, pairCache, bruteJacCache, compCache,
-      bm25Cache, langCmCache, splitGramCache, simPairCache)
+      bm25Cache, langCmCache, splitGramCache, simPairCache, spanCache)
       .foreach(graft.Caches.dropSession(_, s)(_.unpersist()))
 
   /** q101's fixed (q_id, term) query table — factored to a constant so
@@ -862,6 +862,7 @@ object LlmText {
     langConfusion(s, dir).count()
     bm25Pre(s, dir, Bm25QueryTerms.map(_._2).distinct).count()
     simhashHamPairs(s, dir).count()
+    spansFrame(s, dir).count()
     ()
   }
 
@@ -1271,7 +1272,108 @@ object LlmText {
         |       md5(array_to_string(tl.t[sp.span_start : sp.span_start + sp.span_len - 1], ' ')) AS span_md5
         |FROM sp JOIN tl USING (doc_id)
         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
-      substringDedupSpans(docs(s, dir), SpanK)
+      spansFrame(s, dir).orderBy("doc_id", "span_start")
+    },
+
+    // ---- The dedup facade's SECOND dispatch arm oracle-pinned (round
+    // 18, q220's companion): q57's near-dup clustering routed through
+    // `Dedup.dedup(docs, "doc_id", PairGraph(lshPairs), KeepFirst)` —
+    // the components + survivor-election composition itself
+    // hash-pinned against DuckDB's recursive transitive closure, with
+    // the full corpus as input so the NULL-component arm (docs in no
+    // pair — the vast majority) is exercised as singletons
+    // (kept_id = own id, n_members = 1), not dropped. KeepFirst's
+    // min-id election must agree with the closure's
+    // least(a, min(b)) representative on every cluster. Plan shapes
+    // are q57's: the memoized LSH pair family + the diameter-bounded
+    // components loop + one rep-keyed aggregate + the join back.
+    Q("q222_dedup_facade_graph",
+      clustersCore + """,
+        |mm AS (SELECT d.doc_id, coalesce(comp.cluster_rep, d.doc_id) AS k
+        |       FROM documents d LEFT JOIN comp USING (doc_id)),
+        |agg AS (SELECT k, min(doc_id) AS kept_id, count(*)::BIGINT AS n_members
+        |        FROM mm GROUP BY k)
+        |SELECT mm.doc_id, agg.kept_id, agg.n_members,
+        |       (mm.doc_id = agg.kept_id) AS survivor
+        |FROM mm JOIN agg USING (k)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dedup(docs(s, dir).select(col("doc_id")), "doc_id",
+          Dedup.nearDupLsh(s, dir), Dedup.MergeRule.KeepFirst)
+        .select(col("doc_id"), col("kept_id"), col("n_members"),
+          (col("doc_id") === col("kept_id")).as("survivor"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Substring-dedup CUT census (round 18 — q221's actionable
+    // output, the number a curation run budgets with: how many tokens
+    // would substring dedup REMOVE, per source). Two masses, honestly
+    // distinct: n_spans counts q221's spans, and because two islands
+    // separated by a gram gap < K overlap in TOKEN space, covered
+    // tokens are the INTERVAL-UNION length per doc (gaps-and-islands
+    // over [span_start, span_end]: break when start > running-max
+    // end + 1), never Σ span_len — SubstringDedupSpec pins the union
+    // on overlapping-span fixtures. dup_milli = 1000·dup_tokens div
+    // n_tokens per source. Plan at 100 TB: spans are the memoized
+    // bounded frame (built once, shared with q221); token totals are
+    // one qualityStats kernel pass; the merge windows partition per
+    // DOC over span counts (bounded), and the census agg is
+    // |sources| rows.
+    Q("q223_substring_cut_census",
+      s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$SpanK-1], ' ') AS gram
+        |      FROM tl, unnest(generate_series(1, len(t) - $SpanK + 1)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM d),
+        |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |         (max(pos) - min(pos) + $SpanK)::BIGINT AS span_len
+        |       FROM isl GROUP BY doc_id, grp),
+        |iv AS (SELECT doc_id, span_start, span_start + span_len - 1 AS span_end,
+        |         CASE WHEN span_start > coalesce(max(span_start + span_len - 1) OVER (
+        |                PARTITION BY doc_id ORDER BY span_start
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |              THEN 1 ELSE 0 END AS brk
+        |       FROM sp),
+        |ivg AS (SELECT doc_id, span_start, span_end,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY span_start
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |        FROM iv),
+        |cov AS (SELECT doc_id, (max(span_end) - min(span_start) + 1)::BIGINT AS ctoks
+        |        FROM ivg GROUP BY doc_id, gid),
+        |dd AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM sp GROUP BY doc_id),
+        |cv AS (SELECT doc_id, sum(ctoks)::BIGINT AS dup_toks FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, source,
+        |          len(list_filter(string_split(lower(text), ' '), x -> x != ''))::BIGINT AS nt
+        |        FROM documents)
+        |SELECT tok.source, count(*)::BIGINT AS n_docs, sum(tok.nt)::BIGINT AS n_tokens,
+        |       count(dd.doc_id)::BIGINT AS n_dup_docs,
+        |       coalesce(sum(dd.n_spans), 0)::BIGINT AS n_spans,
+        |       coalesce(sum(cv.dup_toks), 0)::BIGINT AS dup_tokens,
+        |       (1000 * coalesce(sum(cv.dup_toks), 0) // NULLIF(sum(tok.nt), 0))::BIGINT AS dup_milli
+        |FROM tok LEFT JOIN dd USING (doc_id) LEFT JOIN cv USING (doc_id)
+        |GROUP BY tok.source ORDER BY tok.source""".stripMargin) { (s, dir) =>
+      val spans = spansFrame(s, dir)
+      val cov = spanCoverage(spans)
+      val dd = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          element_at(st, 1).cast("long").as("nt"))
+      tok
+        .join(dd, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          count(col("n_spans")).as("n_dup_docs"),
+          coalesce(sum("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(sum("dup_toks"), lit(0L)).as("dup_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_dup_docs"), col("n_spans"), col("dup_tokens"),
+          expr("(1000 * dup_tokens) div nullif(n_tokens, 0)").as("dup_milli"))
+        .orderBy("source")
     },
 
     // ---- n-gram Jaccard near-dup, brute force (capped baseline; the
@@ -3469,6 +3571,40 @@ object LlmText {
         coalesce(element_at(typedLit(offsets), col("bucket")), lit(0L))
           + cum - col("n_tokens"))
       .drop("bucket")
+  }
+
+  /** q221's span frame, memoized + persisted per (session, dir) like
+    * the other text-family frames: q221 reads it ordered, q223's cut
+    * census folds coverage and counts over it — without the memo the
+    * census re-runs the whole candidate→verify chain (the
+    * simhashHamPairs lesson). Spans are bounded by duplication mass,
+    * far below corpus rows. Released via [[release]]; built untimed
+    * in [[prebuild]]. */
+  private val spanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def spansFrame(s: SparkSession, dir: String): DataFrame =
+    spanCache.computeIfAbsent((s, dir), _ =>
+      substringDedupSpans(docs(s, dir), SpanK).persist())
+
+  /** Interval-union token coverage per doc over a span frame (q223):
+    * spans whose gram islands sit closer than K overlap in token
+    * space, so covered tokens are the union of [span_start,
+    * span_start+span_len−1] intervals — the running-max-end
+    * gaps-and-islands merge, windows per DOC (span counts bounded). */
+  private[llm] def spanCoverage(spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val prevEnd = max(col("span_start") + col("span_len") - 1)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("span_end", col("span_start") + col("span_len") - 1)
+      .withColumn("brk",
+        when(col("span_start") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("gid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "gid")
+      .agg((max("span_end") - min("span_start") + 1).as("ctoks"))
+      .groupBy("doc_id")
+      .agg(sum("ctoks").as("dup_toks"))
   }
 
   /** q221's operator body, factored on (documents, k) so

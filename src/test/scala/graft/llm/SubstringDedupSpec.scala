@@ -77,6 +77,21 @@ class SubstringDedupSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("spanCoverage is the interval UNION, never the span-mass sum") {
+    import spark.implicits._
+    // two islands one gram apart (k=4): spans [1,5] (len 5) and
+    // [3,7] (len 5) OVERLAP in token space -> union = 7, mass = 10;
+    // plus a disjoint doc with touching-but-not-overlapping spans
+    // [1,4] and [5,8] -> union 8 (adjacent intervals merge: gap 0)
+    val spans = Seq(
+      (1L, 1L, 5L), (1L, 3L, 5L),
+      (2L, 1L, 4L), (2L, 5L, 4L),
+      (3L, 2L, 4L), (3L, 10L, 4L)).toDF("doc_id", "span_start", "span_len")
+    val cov = LlmText.spanCoverage(spans).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cov == Seq((1L, 7L), (2L, 8L), (3L, 8L)), cov.toString)
+  }
+
   test("span laws on the engineered corpus: len >= k, within doc bounds, md5 keys cluster clones") {
     val rows = Seq(
       1L -> "a b c d e f g h i j",
