@@ -1376,6 +1376,56 @@ object LlmText {
         .orderBy("source")
     },
 
+    // ---- Span-cluster offender census (round 18 — the third member
+    // of the substring family: q221 finds the spans, q223 prices the
+    // cut, q224 names WHICH content repeats and how widely — the
+    // table a curation owner reads to decide lexicon-fix vs
+    // source-recrawl, the q206 attribution question at span
+    // granularity). Per span content (span_md5), across the corpus:
+    // occurrences, distinct docs, extent range (mirror spans can
+    // extend ASYMMETRICALLY when one host's island runs longer — the
+    // min/max extents expose it), total token mass, first hosting
+    // doc; top-20 by token mass (deterministic tiebreak on md5).
+    // Only content shared as a FULL span by ≥ 2 docs ranks —
+    // single-doc span contents are extent asymmetries, not offenders.
+    // Plan at 100 TB: one |spans|-bounded aggregate over the memoized
+    // span frame (shared with q221/q223, built once untimed) and a
+    // TakeOrderedAndProject top-k — nothing corpus-scale moves.
+    Q("q224_span_clusters",
+      s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$SpanK-1], ' ') AS gram
+        |      FROM tl, unnest(generate_series(1, len(t) - $SpanK + 1)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM d),
+        |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |         (max(pos) - min(pos) + $SpanK)::BIGINT AS span_len
+        |       FROM isl GROUP BY doc_id, grp),
+        |sm AS (SELECT sp.doc_id, sp.span_start, sp.span_len,
+        |         md5(array_to_string(tl.t[sp.span_start : sp.span_start + sp.span_len - 1], ' ')) AS span_md5
+        |       FROM sp JOIN tl USING (doc_id)),
+        |cl AS (SELECT span_md5, count(*)::BIGINT AS n_occ,
+        |         count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |         min(span_len)::BIGINT AS min_len, max(span_len)::BIGINT AS max_len,
+        |         sum(span_len)::BIGINT AS token_mass, min(doc_id)::BIGINT AS first_doc
+        |       FROM sm GROUP BY span_md5)
+        |SELECT span_md5, n_occ, n_docs, min_len, max_len, token_mass, first_doc
+        |FROM cl WHERE n_docs >= 2
+        |ORDER BY token_mass DESC, span_md5 LIMIT 20""".stripMargin) { (s, dir) =>
+      spansFrame(s, dir)
+        .groupBy("span_md5")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"),
+          min("span_len").as("min_len"), max("span_len").as("max_len"),
+          sum("span_len").as("token_mass"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("token_mass").desc, col("span_md5"))
+        .limit(20)
+    },
+
     // ---- n-gram Jaccard near-dup, brute force (capped baseline; the
     // LSH path below is the uncapped scale path). Blocked-kernel
     // formulation ([[graft.plans.PairJaccard]], same block-pair shape

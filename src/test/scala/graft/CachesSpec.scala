@@ -30,7 +30,7 @@ class CachesSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q192_langid_prf", "q194_split_gram_leak", "q203_edit_verify",
       "q204_stream_decon_gate", "q206_contamination_attribution",
       "q221_substring_dedup", "q222_dedup_facade_graph",
-      "q223_substring_cut_census").filter(order.contains)
+      "q223_substring_cut_census", "q224_span_clusters").filter(order.contains)
     val last = textConsumers.maxBy(order.indexOf)
     assert(hooks.contains(last))
     textConsumers.filter(_ != last).foreach(q => assert(!hooks.contains(q)))
