@@ -205,6 +205,27 @@ object Bench {
       }
     }
 
+  /** Counted-sweep calib guard DETECTION (round 18, review-fixed the
+    * same round it landed: the first form compared per-sweep MEDIANS
+    * to the session median, and the motivating BENCH_r17 sweep-2
+    * episode — hash samples 0.286/0.285/0.296/0.443/0.411/0.388/
+    * 0.288/0.284, three of eight positions elevated 35–50% — moves
+    * that median ~1%, so the guard could never fire on the exact
+    * episode it was built for). A machine episode is a MINORITY of
+    * positions going hot, so the statistic is per-SAMPLE: a sweep
+    * flags when ANY of its mid-calib hash samples departs >25% from
+    * the session median (the fixed-work loop is stable within ~±17%
+    * across every committed clean board — 0.25 clears noise, 0.443 vs
+    * a 0.29 norm does not). BenchSpec drives this with the literal
+    * r17 sweep-2 numbers. */
+  def flaggedSweeps(mid: Seq[CalibSample]): Set[Int] = {
+    val norm = median(mid.map(_.hash))
+    if (mid.isEmpty || norm <= 0) Set.empty
+    else mid.groupBy(_.sweep).collect {
+      case (sw, ss) if ss.exists(s => math.abs(s.hash - norm) > 0.25 * norm) => sw
+    }.toSet
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -551,21 +572,17 @@ object Bench {
     // counted-sweep guard (round 18, VERDICT r17 item 2's second
     // half): BENCH_r17's sweep-2 mid-calib read 0.443/0.411/0.388
     // against a 0.285–0.30 session norm — a measurable machine
-    // episode inside the artifact that nothing FLAGGED. A sweep
-    // whose mid-calib hash median departs >25% from the session's
-    // mid-calib median now carries `calib_flag` in both JSON forms
-    // (the warm-sweep-error-discard analogue: the protocol step is
-    // marking, medians stay — the flag is the adjudication pointer).
-    val sessionNorm = median(midSamples.map(_.hash).toSeq)
-    val flaggedSweeps: Set[Int] =
-      if (midSamples.isEmpty || sessionNorm <= 0) Set.empty
-      else midSamples.groupBy(_.sweep).collect {
-        case (sw, ss) if math.abs(median(ss.map(_.hash).toSeq) - sessionNorm) >
-            0.25 * sessionNorm => sw
-      }.toSet
+    // episode inside the artifact that nothing FLAGGED. A sweep with
+    // any mid-calib hash sample >25% off the session median now
+    // carries `calib_flag` in both JSON forms (the warm-sweep-error-
+    // discard analogue: the protocol step is marking, medians stay —
+    // the flag is the adjudication pointer). Detection is
+    // [[flaggedSweeps]], per-SAMPLE by review: a contention episode
+    // is a minority of positions, invisible to a per-sweep median.
+    val flagged = flaggedSweeps(midSamples.toSeq)
     val sweepStatsFlagged = sweepStats.toSeq.zipWithIndex.map { case (st, i) =>
       val sweepNo = if (warmSweep) i else i + 1
-      if (flaggedSweeps(sweepNo)) st.copy(calibFlag = true) else st
+      if (flagged(sweepNo)) st.copy(calibFlag = true) else st
     }
     val anchors = loadAnchors()
     // full record into the repo (the round commit carries it); path

@@ -260,6 +260,71 @@ object LlmText {
       |       (cluster_size * count(*))::BIGINT AS n_docs
       |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  /** Shared core of the keep-best pair q196/q220 (review r18 — q220's
+    * contract is "q196's semantics through the facade", so the
+    * semantics-defining input must have ONE definition): the q38
+    * union adversary with 30-token truncated copies, the 8-token
+    * prefix md5 class key, and the 3-term quality score — as the
+    * DuckDB `m` CTE and the identical Spark frame
+    * (doc_id, key, n_tokens, quality). */
+  private def keepBestCoreSql: String =
+    """WITH unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |         array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:30], ' ')
+        |  FROM documents),
+        |tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |       FROM unioned),
+        |m AS (SELECT doc_id,
+        |        md5(array_to_string(t[1:8], ' ')) AS key,
+        |        len(t) AS n_tokens,
+        |        (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        |         + CASE WHEN 10 * len(list_distinct(t)) >= 3 * len(t) THEN 1 ELSE 0 END
+        |         + CASE WHEN coalesce(list_max(list_transform(t, w -> length(w))), 0) <= 15 THEN 1 ELSE 0 END) AS quality
+        |      FROM tl)""".stripMargin
+
+  private def keepBestInput(s: SparkSession, dir: String): DataFrame = {
+      val d = T.df(s, dir, "documents")
+      val both = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select(col("doc_id") + 10000,
+          concat_ws(" ", slice(expr("filter(split(text, ' '), x -> x != '')"), 1, 30))
+            .as("text")))
+      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+      both
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(expr("filter(split(lower(text), ' '), x -> x != '')"), 1, 8))
+            .cast("binary")).as("key"),
+          st.as("st"))
+        .select(col("doc_id"), col("key"),
+          element_at(col("st"), 1).as("n_tokens"),
+          (when(element_at(col("st"), 1).between(20, 1000), 1).otherwise(0)
+            + when(element_at(col("st"), 2) * 10 >= element_at(col("st"), 1) * 3, 1).otherwise(0)
+            + when(coalesce(element_at(col("st"), 3), lit(0L)) <= 15, 1).otherwise(0))
+            .cast("long").as("quality"))
+  }
+
+  /** Shared DuckDB CTE prefix of the substring-span family
+    * (q221/q223/q224 — the clustersCore pattern, review r18): the
+    * tl → grams → duplicated → verified positions → islands → spans
+    * pipeline every member's oracle starts from. One definition, so
+    * a semantics change cannot silently diverge one oracle from the
+    * Spark operator all three share via [[spansFrame]]. */
+  private def spanSqlCore: String =
+    s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$SpanK-1], ' ') AS gram
+        |      FROM tl, unnest(generate_series(1, len(t) - $SpanK + 1)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM d),
+        |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |         (max(pos) - min(pos) + $SpanK)::BIGINT AS span_len
+        |       FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   /** Spark plan shared by q39 (all candidate pairs from a shingle join)
     * and q41 (candidates from LSH buckets): verify candidates with
     * exact Jaccard via array_intersect on the distinct-shingle arrays. */
@@ -1088,21 +1153,7 @@ object LlmText {
     // mega-duplication, and its window is still one class, never the
     // corpus), then a class-count filter. No self-join.
     Q("q196_dedup_keep_best",
-      """WITH unioned AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000,
-        |         array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:30], ' ')
-        |  FROM documents),
-        |tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
-        |       FROM unioned),
-        |m AS (SELECT doc_id,
-        |        md5(array_to_string(t[1:8], ' ')) AS key,
-        |        len(t) AS n_tokens,
-        |        (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
-        |         + CASE WHEN 10 * len(list_distinct(t)) >= 3 * len(t) THEN 1 ELSE 0 END
-        |         + CASE WHEN coalesce(list_max(list_transform(t, w -> length(w))), 0) <= 15 THEN 1 ELSE 0 END) AS quality
-        |      FROM tl),
+      keepBestCoreSql + """,
         |rk AS (SELECT key, doc_id, n_tokens, quality,
         |         row_number() OVER (PARTITION BY key
         |           ORDER BY quality DESC, n_tokens DESC, doc_id) AS rk,
@@ -1114,24 +1165,7 @@ object LlmText {
         |       (doc_id <> first_id) AS upgraded
         |FROM rk WHERE rk = 1 AND n_members >= 2
         |ORDER BY kept_doc_id""".stripMargin) { (s, dir) =>
-      val d = T.df(s, dir, "documents")
-      val both = d.select(col("doc_id"), col("text"))
-        .unionAll(d.select(col("doc_id") + 10000,
-          concat_ws(" ", slice(expr("filter(split(text, ' '), x -> x != '')"), 1, 30))
-            .as("text")))
-      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
-      val m = both
-        .select(col("doc_id"),
-          md5(concat_ws(" ",
-            slice(expr("filter(split(lower(text), ' '), x -> x != '')"), 1, 8))
-            .cast("binary")).as("key"),
-          st.as("st"))
-        .select(col("doc_id"), col("key"),
-          element_at(col("st"), 1).as("n_tokens"),
-          (when(element_at(col("st"), 1).between(20, 1000), 1).otherwise(0)
-            + when(element_at(col("st"), 2) * 10 >= element_at(col("st"), 1) * 3, 1).otherwise(0)
-            + when(coalesce(element_at(col("st"), 3), lit(0L)) <= 15, 1).otherwise(0))
-            .cast("long").as("quality"))
+      val m = keepBestInput(s, dir)
       val w = Window.partitionBy("key")
       m.withColumn("rk", row_number().over(
           w.orderBy(col("quality").desc, col("n_tokens").desc, col("doc_id"))))
@@ -1163,21 +1197,7 @@ object LlmText {
     // aggregate (map-side combinable, no per-class row window), one
     // same-key join back (exchange-reusable).
     Q("q220_dedup_facade",
-      """WITH unioned AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000,
-        |         array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:30], ' ')
-        |  FROM documents),
-        |tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
-        |       FROM unioned),
-        |m AS (SELECT doc_id,
-        |        md5(array_to_string(t[1:8], ' ')) AS key,
-        |        len(t) AS n_tokens,
-        |        (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
-        |         + CASE WHEN 10 * len(list_distinct(t)) >= 3 * len(t) THEN 1 ELSE 0 END
-        |         + CASE WHEN coalesce(list_max(list_transform(t, w -> length(w))), 0) <= 15 THEN 1 ELSE 0 END) AS quality
-        |      FROM tl),
+      keepBestCoreSql + """,
         |rk AS (SELECT key, doc_id,
         |         row_number() OVER (PARTITION BY key
         |           ORDER BY quality DESC, n_tokens DESC, doc_id) AS rk,
@@ -1188,24 +1208,7 @@ object LlmText {
         |       (m.doc_id = k.kept_id) AS survivor
         |FROM m JOIN k USING (key)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val d = T.df(s, dir, "documents")
-      val both = d.select(col("doc_id"), col("text"))
-        .unionAll(d.select(col("doc_id") + 10000,
-          concat_ws(" ", slice(expr("filter(split(text, ' '), x -> x != '')"), 1, 30))
-            .as("text")))
-      val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
-      val m = both
-        .select(col("doc_id"),
-          md5(concat_ws(" ",
-            slice(expr("filter(split(lower(text), ' '), x -> x != '')"), 1, 8))
-            .cast("binary")).as("key"),
-          st.as("st"))
-        .select(col("doc_id"), col("key"),
-          element_at(col("st"), 1).as("n_tokens"),
-          (when(element_at(col("st"), 1).between(20, 1000), 1).otherwise(0)
-            + when(element_at(col("st"), 2) * 10 >= element_at(col("st"), 1) * 3, 1).otherwise(0)
-            + when(coalesce(element_at(col("st"), 3), lit(0L)) <= 15, 1).otherwise(0))
-            .cast("long").as("quality"))
+      val m = keepBestInput(s, dir)
       Dedup.dedup(m, "doc_id",
           Dedup.MatchRule.ExactKey(col("key")),
           Dedup.MergeRule.KeepBest(struct(col("quality"), col("n_tokens"))))
@@ -1256,18 +1259,7 @@ object LlmText {
     // slice join for identities. Hot boilerplate grams cost instance
     // rows, not instance² pairs.
     Q("q221_substring_dedup",
-      s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
-        |            FROM documents),
-        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$SpanK-1], ' ') AS gram
-        |      FROM tl, unnest(generate_series(1, len(t) - $SpanK + 1)) AS u(i)),
-        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-        |isl AS (SELECT doc_id, pos,
-        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |        FROM d),
-        |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
-        |         (max(pos) - min(pos) + $SpanK)::BIGINT AS span_len
-        |       FROM isl GROUP BY doc_id, grp)
+      spanSqlCore + s"""
         |SELECT sp.doc_id, sp.span_start, sp.span_len,
         |       md5(array_to_string(tl.t[sp.span_start : sp.span_start + sp.span_len - 1], ' ')) AS span_md5
         |FROM sp JOIN tl USING (doc_id)
@@ -1319,18 +1311,7 @@ object LlmText {
     // DOC over span counts (bounded), and the census agg is
     // |sources| rows.
     Q("q223_substring_cut_census",
-      s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
-        |            FROM documents),
-        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$SpanK-1], ' ') AS gram
-        |      FROM tl, unnest(generate_series(1, len(t) - $SpanK + 1)) AS u(i)),
-        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-        |isl AS (SELECT doc_id, pos,
-        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |        FROM d),
-        |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
-        |         (max(pos) - min(pos) + $SpanK)::BIGINT AS span_len
-        |       FROM isl GROUP BY doc_id, grp),
+      spanSqlCore + s""",
         |iv AS (SELECT doc_id, span_start, span_start + span_len - 1 AS span_end,
         |         CASE WHEN span_start > coalesce(max(span_start + span_len - 1) OVER (
         |                PARTITION BY doc_id ORDER BY span_start
@@ -1392,18 +1373,7 @@ object LlmText {
     // span frame (shared with q221/q223, built once untimed) and a
     // TakeOrderedAndProject top-k — nothing corpus-scale moves.
     Q("q224_span_clusters",
-      s"""WITH tl AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
-        |            FROM documents),
-        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$SpanK-1], ' ') AS gram
-        |      FROM tl, unnest(generate_series(1, len(t) - $SpanK + 1)) AS u(i)),
-        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-        |isl AS (SELECT doc_id, pos,
-        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |        FROM d),
-        |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
-        |         (max(pos) - min(pos) + $SpanK)::BIGINT AS span_len
-        |       FROM isl GROUP BY doc_id, grp),
+      spanSqlCore + s""",
         |sm AS (SELECT sp.doc_id, sp.span_start, sp.span_len,
         |         md5(array_to_string(tl.t[sp.span_start : sp.span_start + sp.span_len - 1], ' ')) AS span_md5
         |       FROM sp JOIN tl USING (doc_id)),
@@ -3692,12 +3662,15 @@ object LlmText {
     val sp = isl.groupBy("doc_id", "grp")
       .agg(min("pos").cast("long").as("span_start"),
         (max("pos") - min("pos") + k).cast("long").as("span_len"))
+    // UNSORTED by design (review r18): this body feeds the memoized
+    // persisted [[spansFrame]], and a baked-in corpus-wide Sort would
+    // be paid by every sweep's untimed family build while q221 (the
+    // only ordered consumer) re-sorts anyway and q223/q224 aggregate.
     sp.join(tl, "doc_id")
       .select(col("doc_id"), col("span_start"), col("span_len"),
         md5(concat_ws(" ",
           slice(col("t"), col("span_start").cast("int"), col("span_len").cast("int")))
           .cast("binary")).as("span_md5"))
-      .orderBy("doc_id", "span_start")
   }
 
   /** q205 body, persist-parameterized for the round-18 TripleAb

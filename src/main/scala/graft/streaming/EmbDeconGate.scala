@@ -112,7 +112,7 @@ object EmbDeconGate {
     // a deployment pays is |candidates| + |bench|·|batch|/m
     val audited = auditEvery match {
       case Some(m) => crossed.filter(col("ham") <= HamCut ||
-        expr(s"((vec_id % 1000000007) * 2654435761) % 1000000007 % $m = 0"))
+        expr(s"${StreamSample.hashOfSql("vec_id")} % $m = 0"))
       case None => crossed
     }
     val pairs = audited

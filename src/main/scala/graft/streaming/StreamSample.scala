@@ -42,6 +42,14 @@ object StreamSample {
     * diverge; same guard as [[graft.llm.TextMining]]'s split hash). */
   def hashOf(id: Long): Long = ((id % 1000000007L) * 2654435761L) % 1000000007L
 
+  /** The same hash as a SQL fragment (the lehmer3/lehmer3Sql pairing
+    * discipline, review r18): [[graft.streaming.EmbDeconGate]]'s
+    * sampled-audit filter and the spec's expected-sample computation
+    * must share ONE definition or a constant tweak silently diverges
+    * the gate's sample from the spec's expectation. */
+  def hashOfSql(idCol: String): String =
+    s"(($idCol % 1000000007) * 2654435761) % 1000000007"
+
   /** One bucket's emission: update-seq picks the LAST emission out of
     * an update-mode sink (the q106 pattern); `ids` are the bucket's
     * current bottom-k record ids by hash. */

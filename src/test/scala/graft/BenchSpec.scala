@@ -204,6 +204,24 @@ class BenchSpec extends SparkSpec {
     assert(a.keys.forall(_.matches("q[0-9]+")), a.keys.take(5).toString)
   }
 
+  test("the calib guard DETECTS the literal BENCH_r17 sweep-2 episode") {
+    // review r18: the first guard compared per-sweep medians and the
+    // motivating episode (3 of 8 positions elevated 35-50%) moved the
+    // median ~1% -- detection must be per-sample. These are the
+    // committed BENCH_r17 numbers verbatim.
+    def sweep(n: Int, hs: Seq[Double]) =
+      hs.zipWithIndex.map { case (h, i) => Bench.CalibSample(n, 25 * (i + 1), h, 0.08) }
+    val clean1 = sweep(1, Seq(0.285, 0.290, 0.288, 0.292, 0.287, 0.286, 0.291, 0.289))
+    val episode = sweep(2, Seq(0.286, 0.285, 0.296, 0.443, 0.411, 0.388, 0.288, 0.284))
+    val clean3 = sweep(3, Seq(0.289, 0.287, 0.293, 0.290, 0.288, 0.285, 0.291, 0.286))
+    assert(Bench.flaggedSweeps(clean1 ++ episode ++ clean3) == Set(2))
+    // the normal-board envelope (max 17% off norm, the committed
+    // clean-board spread) must NOT flag
+    val warmish = sweep(2, Seq(0.283, 0.287, 0.336, 0.290, 0.288, 0.285, 0.291, 0.286))
+    assert(Bench.flaggedSweeps(clean1 ++ warmish ++ clean3).isEmpty)
+    assert(Bench.flaggedSweeps(Nil).isEmpty)
+  }
+
   test("a contended counted sweep renders calib_flag in both JSON forms") {
     import org.json4s._
     val sweeps = Seq(Bench.SweepStat(5.0, 10L, 300L, 2.0, warm = true),

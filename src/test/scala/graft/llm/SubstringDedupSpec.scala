@@ -45,7 +45,8 @@ class SubstringDedupSpec extends SparkSpec with TableDrivenPropertyChecks {
     import spark.implicits._
     val df = rows.toDF("doc_id", "text")
     LlmText.substringDedupSpans(df, k).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2)).toSeq // the frame is unsorted by design
   }
 
   private val k = 4
