@@ -53,7 +53,8 @@ object Caches {
       "q194_split_gram_leak", "q203_edit_verify",
       "q204_stream_decon_gate", "q206_contamination_attribution",
       "q221_substring_dedup", "q222_dedup_facade_graph",
-      "q223_substring_cut_census", "q224_span_clusters"),
+      "q223_substring_cut_census", "q224_span_clusters",
+      "q225_kn_perplexity"),
       llm.LlmText.release, llm.LlmText.prebuild),
     ("vector", Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",

@@ -3412,8 +3412,88 @@ object LlmText {
           expr("(1000 * n_mixed) div n_docs").as("mixed_milli"),
           expr("sp div n_docs").as("mean_purity_milli"))
         .orderBy("source")
+    },
+
+    // ---- interpolated Kneser-Ney bigram perplexity (the KenLM/CCNet
+    // smoothing family, vs q82's add-one): absolute discount D = 3/4
+    // (exactly representable — every count-minus-D is exact in double),
+    // continuation probability from bigram-TYPE counts, not token
+    // counts. Everything derives from ONE distinct-bigram frame c2:
+    // context totals + distinct-continuation fanout (c1 = fold over
+    // c2), continuation counts (bwd = fold over c2), type totals
+    // (1-row aggregates) — so training costs one corpus pass into c2
+    // and scoring is a second pass with the three vocab-bounded count
+    // frames BROADCAST back onto the bigram stream (the q82 plan
+    // shape; a web-scale vocabulary falls back to shuffle hash joins).
+    // Unseen-context docs back off to the smoothed continuation
+    // distribution pc(w2) = (N1+(·,w2) + 1)/(B + VB + 1) — the +1/+VB+1
+    // floor keeps every scored probability positive (the convention the
+    // oracle mirrors exactly; counts are integers in both engines, the
+    // arithmetic is written in the same composition order on both
+    // sides, and the per-doc mean rounds through decimal(12,2) so
+    // ln-ulp noise cannot flip the hash — the q82 discipline).
+    Q("q225_kn_perplexity",
+      s"""$sqlPrelude,
+         |big AS (SELECT a.doc_id, a.h AS w1, b.h AS w2
+         |        FROM wh a JOIN wh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |c2 AS (SELECT w1, w2, count(*) AS n_b FROM big
+         |       WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(n_b) AS n_c, count(*) AS n1f FROM c2 GROUP BY 1),
+         |bwd AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+         |k AS (SELECT (SELECT count(*) FROM c2) AS b_types,
+         |             (SELECT count(*) FROM bwd) AS vb),
+         |t AS (SELECT big.doc_id,
+         |        CASE WHEN c1.n_c IS NOT NULL THEN
+         |          -ln((greatest(coalesce(c2.n_b, 0)::DOUBLE - 0.75, 0.0)
+         |               + (0.75 * c1.n1f)
+         |                 * ((coalesce(bwd.n1b, 0) + 1)::DOUBLE / (k.b_types + k.vb + 1)))
+         |              / c1.n_c)
+         |        ELSE -ln((coalesce(bwd.n1b, 0) + 1)::DOUBLE / (k.b_types + k.vb + 1))
+         |        END AS t
+         |      FROM big LEFT JOIN c1 USING (w1) LEFT JOIN c2 USING (w1, w2)
+         |               LEFT JOIN bwd USING (w2) CROSS JOIN k)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |       (sum(t) / count(*))::DECIMAL(12,2)::DOUBLE AS avg_nll
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      knScore(tokenHashArr(s, dir))
     }
   )
+
+  /** q225's interpolated Kneser-Ney scorer over any (doc_id, hs)
+    * token-hash frame (factored like [[lmScore]] so LmBloomSpec can
+    * drive it on a hand-computable fixture). Train split = doc_id % 5
+    * <> 0; D = 0.75; p(w2|w1) = (max(c(w1,w2)−D, 0) + D·N1+(w1,·)·
+    * pc(w2)) / c(w1·), backing off to pc(w2) = (N1+(·,w2)+1)/(B+VB+1)
+    * when the context is unseen. */
+  private[llm] def knScore(tha: DataFrame): DataFrame = {
+    val big = tha
+      .select(col("doc_id"), col("hs"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .filter(col("pos") < size(col("hs")) - 1)
+      .select(col("doc_id"), col("h").as("w1"),
+        element_at(col("hs"), col("pos") + 2).as("w2"))
+    val c2 = big.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_b"))
+    val c1 = c2.groupBy("w1")
+      .agg(sum(col("n_b")).as("n_c"), count(lit(1)).as("n1f"))
+    val bwd = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val k = c2.agg(count(lit(1)).as("b_types"))
+      .crossJoin(bwd.agg(count(lit(1)).as("vb")))
+    val pc = (coalesce(col("n1b"), lit(0L)) + 1).cast("double") /
+      (col("b_types") + col("vb") + 1)
+    val seen = -log(
+      (greatest(coalesce(col("n_b"), lit(0L)).cast("double") - 0.75, lit(0.0))
+        + (lit(0.75) * col("n1f")) * pc) / col("n_c"))
+    big
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(bwd), Seq("w2"), "left")
+      .crossJoin(broadcast(k))
+      .withColumn("t", when(col("n_c").isNotNull, seen).otherwise(-log(pc)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        T.dbl(T.dec(sum(col("t")) / count(lit(1)))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
 
   /** q82's LM scoring over any (doc_id, hs: array<long>) token-hash
     * frame — factored out so LmBloomSpec can drive it with a

@@ -35,6 +35,23 @@ object TextMining {
     * PageRank iteration shape (never data-dependent). */
   private[llm] val BpeSteps = 8
 
+  /** q226's pattern set: single words, multi-word phrases, a nested
+    * pair ("table" inside "window table" — exercises the automaton's
+    * fail-closure outputs) and absent terms (zero rows must still
+    * census). Every pattern is BORDER-FREE (no proper prefix equals a
+    * suffix), which the oracle's replace-length count requires —
+    * border-free patterns cannot self-overlap, so all-occurrence and
+    * non-overlapping counts coincide (AhoCorasickSpec pins the
+    * property; general overlap semantics are spec-gated separately). */
+  private[llm] val Blocklist: Seq[String] = Seq(
+    "slow", "table", "window table", "hash join", "merge batch",
+    "agg", "scan slow", "forbidden", "leak", "spark")
+
+  /** q227's query phrase — rare enough to exercise the rarest-first
+    * pruning (both fixtures match a handful of documents), present at
+    * both SFs. */
+  private[llm] val Phrase: Seq[String] = Seq("key", "agg", "row")
+
   /** Trained BPE state, memoized per (session, dir) like [[vocab]]:
     * the merge table AND the final per-word token state (w, n, tok) —
     * q218 reads the merges, q219 applies the trained tokenizer, and
@@ -2379,8 +2396,95 @@ object TextMining {
         |        // NULLIF(n.n::HUGEINT * (n.n - 1), 0))::BIGINT AS tau_milli
         |FROM n JOIN cd USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
       signalConcordance(s, dir, usePersist = false)
+    },
+
+    // ---- blocklist census (round 18): the dirty-lexicon scan every
+    // curation pipeline runs — per (source, pattern): documents
+    // flagged and total occurrences, over a multi-word/nested pattern
+    // set. ONE [[graft.plans.AhoCorasick]] automaton pass per document
+    // (O(n + matches) regardless of pattern count — k regexp passes
+    // would cost O(k·n)), map-only over the corpus scan; the exploded
+    // (source, pattern) stream pre-combines map-side into a
+    // |sources|·|patterns| census, so the single exchange carries
+    // census rows. Contract: ALL occurrences count (overlaps and
+    // nested patterns — "table" inside a "window table" match counts
+    // both). The oracle's replace-length trick counts non-overlapping
+    // occurrences, equal here because every [[Blocklist]] pattern is
+    // border-free (no proper prefix = suffix ⇒ no self-overlap;
+    // AhoCorasickSpec pins the property and the general overlap
+    // semantics brute-force).
+    Q("q226_blocklist_census",
+      s"""WITH d AS (SELECT source, lower(text) AS t FROM documents),
+         |per AS (SELECT source, term,
+         |          CASE WHEN length(t) - length(replace(t, term, '')) > 0
+         |               THEN 1 ELSE 0 END AS hit,
+         |          (length(t) - length(replace(t, term, ''))) // length(term) AS n
+         |        FROM d CROSS JOIN (VALUES ${Blocklist.map(t => s"('$t')").mkString(", ")}) v(term))
+         |SELECT source, term, sum(hit)::BIGINT AS n_docs, sum(n)::BIGINT AS n_hits
+         |FROM per GROUP BY 1, 2 ORDER BY source, term""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          graft.plans.AhoCorasick.counts(lower(col("text")), Blocklist).as("cnts"))
+        .select(col("source"), posexplode(col("cnts")).as(Seq("pi", "n")))
+        .groupBy(col("source"),
+          element_at(typedLit(Blocklist), col("pi") + 1).as("term"))
+        .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("n")).as("n_hits"))
+        .orderBy("source", "term")
+    },
+
+    // ---- exact phrase search (round 18): token-adjacent phrase
+    // occurrences via positional inverted postings — the retrieval
+    // primitive q101's bag-of-words BM25 cannot express. The corpus is
+    // scanned ONCE into the phrase-term posting frame (doc_id, pos, w
+    // ∈ phrase — the filter prunes inside the single generate pass),
+    // persisted because it drives four consumers: the per-term
+    // occurrence counts (a |phrase|-row bounded collect — the
+    // rarest-first join order is a MEASURED decision, the classic
+    // phrase-query optimization) and one offset-shifted frame per
+    // term. Adjacency = equi-join on (doc_id, pos − term_offset):
+    // rarest term first, so every later join probes at most the
+    // rarest list's cardinality; AQE broadcasts the tiny sides at
+    // fixture scale, and at 100 TB a deployment serves this from a
+    // PRE-BUILT posting index bucketed by term (the q101 analogue) —
+    // the query-time joins then shuffle posting rows only, never the
+    // corpus. first_pos is 1-based (oracle's generate_subscripts).
+    Q("q227_phrase_search",
+      s"""${LlmText.sqlPreludeWhere("").stripSuffix(",")}
+         |, p AS (SELECT a.doc_id, a.pos FROM toks a
+         |      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |      WHERE a.w = '${Phrase(0)}' AND b.w = '${Phrase(1)}' AND c.w = '${Phrase(2)}')
+         |SELECT doc_id, count(*)::BIGINT AS n_occ, min(pos)::BIGINT AS first_pos
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      phraseSearch(
+        docs(s, dir)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w"))),
+        Phrase)
     }
   )
+
+  /** q227's positional phrase match over any (doc_id, pos, w) token
+    * frame (0-based pos; output first_pos is 1-based). Factored so
+    * PhraseSearchSpec can drive it on adversarial fixtures —
+    * overlapping phrase instances and duplicate-term phrases both
+    * count every instance. */
+  private[llm] def phraseSearch(toksDf: DataFrame, phrase: Seq[String]): DataFrame = {
+    val post = toksDf.filter(col("w").isin(phrase.distinct: _*)).persist()
+    graft.Caches.registerPersisted(post)
+    val counts = post.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frames = phrase.zipWithIndex
+      .sortBy { case (w, _) => counts.getOrElse(w, 0L) }
+      .map { case (w, off) =>
+        post.filter(col("w") === w)
+          .select(col("doc_id"), (col("pos") - off).as("anchor")) }
+    frames.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        (min(col("anchor")) + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
 
   /** q210 body, persist-parameterized for the round-18 TripleAb
     * adjudication (VERDICT r17 #1): the ADVICE-r16 persist landed
