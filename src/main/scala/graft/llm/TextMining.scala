@@ -142,6 +142,175 @@ object TextMining {
         s"SELECT ${i + 1}::INT AS step, a AS lhs, b AS rhs, cnt AS pair_n FROM b$i")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
 
+  // ---- q228: unigram-LM (SentencePiece-style) tokenizer training ----
+
+  /** q228 training constants: token-length cap (bounds the per-word DP
+    * fan-in AND the seed-substring blowup at ≤ L·K rows per distinct
+    * word), word-length cap (bounds the unrolled oracle DP), seed
+    * min-count, vocabulary cap (makes the per-step driver collect
+    * bounded BY CONSTRUCTION), hard-EM round count (fixed — the
+    * PageRank/q218 iteration shape, never data-dependent), census
+    * size. */
+  private[llm] val UniMaxTok = 6
+  private[llm] val UniMaxWordLen = 16
+  private[llm] val UniMinCount = 2L
+  private[llm] val UniMaxVocab = 256
+  private[llm] val UniEmSteps = 2
+  private[llm] val UniTopK = 30
+
+  /** Trained unigram-LM vocabulary (tok, cnt after the last hard-EM
+    * recount), memoized + persisted per (session, dir) like
+    * [[bpeTrain]] — built once per session, prebuilt untimed.
+    *
+    * Algorithm (the deterministic hard-EM variant of Kudo 2018, both
+    * engines term-for-term): seed vocabulary = all word substrings of
+    * length ≤ [[UniMaxTok]] weighted by corpus word frequency, kept if
+    * count ≥ [[UniMinCount]] or single-char, capped to the top
+    * [[UniMaxVocab]] by (count DESC, token ASC) with single chars
+    * always retained (so every word stays segmentable); then
+    * [[UniEmSteps]] rounds of: integer micro-nat costs from current
+    * counts → per-word Viterbi segmentation
+    * ([[graft.plans.UnigramViterbi]], min cost, smallest-backpointer
+    * tie-break) → recount tokens by word frequency, flooring char
+    * tokens at 1 so coverage never dies. Plan at 100 TB: the corpus
+    * is scanned ONCE into the Heaps-bounded word frame (the memoized
+    * [[vocab]]); every EM step is one bounded aggregate over that
+    * frame plus a vocab-bounded driver collect (≤ UniMaxVocab + chars
+    * rows) to build the broadcast cost table — segmentation work is
+    * per DISTINCT word, never per occurrence. */
+  private val uniCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def unigramTrain(s: SparkSession, dir: String): DataFrame =
+    uniCache.computeIfAbsent((s, dir), _ => {
+      val words = vocab(s, dir)
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")).between(1, UniMaxWordLen))
+        .select(col("w"), col("n_w").as("n"))
+        .persist()
+      val out = unigramTrainWords(words)
+      words.unpersist(blocking = false)
+      out
+    })
+
+  /** The training core over any (w, n) word-frequency frame —
+    * factored so UnigramLmSpec can drive it on a hand-computable
+    * fixture. Returns the persisted final (tok, cnt) vocabulary. */
+  private[llm] def unigramTrainWords(words: DataFrame): DataFrame = {
+      val seeds = words.select(col("n"), explode(expr(
+          s"""flatten(transform(sequence(0, length(w) - 1), j ->
+             |  transform(sequence(1, least($UniMaxTok, length(w) - j)), l ->
+             |    substring(w, j + 1, l))))""".stripMargin)).as("tok"))
+        .groupBy("tok").agg(sum("n").as("cnt"))
+        .persist()
+      val chars = seeds.filter(length(col("tok")) === 1).select("tok")
+      // global window: the seed frame is vocab-bounded (≤ L·K rows per
+      // distinct word), the repo's value-bounded-frame discipline
+      var counts = seeds
+        .filter(col("cnt") >= UniMinCount || length(col("tok")) === 1)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("r") <= UniMaxVocab || length(col("tok")) === 1)
+        .select("tok", "cnt")
+      for (_ <- 1 to UniEmSteps) {
+        val vrows = counts.collect() // bounded: ≤ UniMaxVocab + |chars|
+        val total = vrows.map(_.getLong(1)).sum
+        val costs = vrows.map(r => r.getString(0) ->
+          math.round(1e6 * math.log(total.toDouble / r.getLong(1)))).toMap
+        val rc = words.select(col("n"),
+            explode(graft.plans.UnigramViterbi.segment(col("w"), costs, UniMaxTok))
+              .as("tok"))
+          .groupBy("tok").agg(sum("n").as("cnt"))
+        counts = rc.join(chars, Seq("tok"), "full")
+          .select(col("tok"),
+            when(length(col("tok")) === 1,
+              greatest(coalesce(col("cnt"), lit(0L)), lit(1L)))
+              .otherwise(col("cnt")).as("cnt"))
+      }
+      val out = counts.persist()
+      out.count()
+      seeds.unpersist(blocking = false)
+      out
+  }
+
+  /** q228's oracle: the same training UNROLLED as generated SQL — the
+    * q218 device, extended to the Viterbi DP by unrolling POSITIONS
+    * too (word length ≤ [[UniMaxWordLen]], so the DP is a fixed chain
+    * of list-append CTEs; no recursive CTE, whose working-table
+    * semantics can't see all previous dp entries). Per EM step: cost
+    * table → per-word candidate list (j, end, cost) → 16 dp/backpointer
+    * extensions (list_min over the filtered candidate list, equal-cost
+    * ties to the smallest j — the kernel's exact tie-break) → 16
+    * backtrack steps → recount with the char floor. */
+  private[llm] def unigramOracleSql(g: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+      |  FROM documents) t
+      |WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY 1),
+      |seeds AS (SELECT tok, sum(n)::BIGINT AS cnt FROM (
+      |  SELECT n, unnest(flatten(list_transform(generate_series(0, length(w) - 1), j ->
+      |    list_transform(generate_series(1, least($UniMaxTok, length(w) - j)), l ->
+      |      substring(w, j + 1, l))))) AS tok
+      |  FROM wf) t GROUP BY 1),
+      |chars AS (SELECT tok FROM seeds WHERE length(tok) = 1),
+      |c0 AS (SELECT tok, cnt FROM (
+      |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+      |    FROM seeds WHERE cnt >= $UniMinCount OR length(tok) = 1) t
+      |  WHERE r <= $UniMaxVocab OR length(tok) = 1)""".stripMargin
+    for (s <- 1 to g) {
+      val p = s - 1
+      sb ++= s""",
+        |tot$s AS (SELECT sum(cnt)::BIGINT AS tot FROM c$p),
+        |cost$s AS (SELECT tok, CAST(round(1000000 * ln(tot::DOUBLE / cnt)) AS BIGINT) AS c
+        |           FROM c$p, tot$s),
+        |cand$s AS (SELECT t.w, t.x.j AS j, t.x.j + t.x.l AS i, k.c AS c FROM (
+        |    SELECT w, unnest(flatten(list_transform(generate_series(0, length(w) - 1), j ->
+        |      list_transform(generate_series(1, least($UniMaxTok, length(w) - j)), l ->
+        |        struct_pack(j := j, l := l))))) AS x
+        |    FROM wf) t
+        |  JOIN cost$s k ON substring(t.w, t.x.j + 1, t.x.l) = k.tok),
+        |cl$s AS (SELECT w, list(struct_pack(j := j, i := i, c := c) ORDER BY i, j) AS cl
+        |         FROM cand$s GROUP BY w),
+        |v${s}_0 AS (SELECT wf.w, wf.n, length(wf.w) AS len, cl, [0::BIGINT] AS dp, [0]::INT[] AS bp
+        |          FROM wf JOIN cl$s USING (w))""".stripMargin
+      for (pos <- 1 to UniMaxWordLen) {
+        sb ++= s""",
+          |m${s}_$pos AS (SELECT *, list_min(list_transform(list_filter(cl, x -> x.i = $pos),
+          |             x -> dp[x.j + 1] + x.c)) AS m FROM v${s}_${pos - 1}),
+          |v${s}_$pos AS (SELECT w, n, len, cl, list_append(dp, m) AS dp,
+          |    list_append(bp, CASE WHEN m IS NULL THEN 0 ELSE
+          |      list_min(list_transform(list_filter(cl, x -> x.i = $pos AND dp[x.j + 1] + x.c = m),
+          |        x -> x.j)) END) AS bp
+          |  FROM m${s}_$pos)""".stripMargin
+      }
+      sb ++= s""",
+        |b${s}_0 AS (SELECT w, n, len AS pos, bp, CAST([] AS VARCHAR[]) AS toks FROM v${s}_$UniMaxWordLen)""".stripMargin
+      for (k <- 1 to UniMaxWordLen) {
+        sb ++= s""",
+          |b${s}_$k AS (SELECT w, n,
+          |    CASE WHEN pos > 0 THEN bp[pos + 1] ELSE pos END AS pos, bp,
+          |    CASE WHEN pos > 0 THEN list_append(toks, substring(w, bp[pos + 1] + 1, pos - bp[pos + 1]))
+          |         ELSE toks END AS toks
+          |  FROM b${s}_${k - 1})""".stripMargin
+      }
+      sb ++= s""",
+        |rc$s AS (SELECT tok, sum(n)::BIGINT AS cnt FROM (
+        |    SELECT n, unnest(toks) AS tok FROM b${s}_$UniMaxWordLen) t GROUP BY 1),
+        |c$s AS (SELECT coalesce(r.tok, ch.tok) AS tok,
+        |          CASE WHEN length(coalesce(r.tok, ch.tok)) = 1
+        |               THEN greatest(coalesce(r.cnt, 0), 1) ELSE r.cnt END AS cnt
+        |        FROM rc$s r FULL JOIN chars ch ON r.tok = ch.tok)""".stripMargin
+    }
+    sb ++= s""",
+      |tot AS (SELECT sum(cnt)::BIGINT AS tot FROM c$g)
+      |SELECT rank, tok, n_occ, prob_micro FROM (
+      |  SELECT row_number() OVER (ORDER BY cnt DESC, tok)::BIGINT AS rank, tok,
+      |         cnt AS n_occ, (1000000 * cnt) // tot AS prob_micro
+      |  FROM c$g, tot) t
+      |WHERE rank <= $UniTopK ORDER BY rank""".stripMargin
+    sb.toString
+  }
+
   /** q219's oracle: the same unrolled training, then the trained
     * state's per-word token counts joined against per-source word
     * counts — the fertility census. */
@@ -316,6 +485,7 @@ object TextMining {
 
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(bpeCache, s)(_._2.unpersist())
+    graft.Caches.dropSession(uniCache, s)(_.unpersist())
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
     graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
     graft.Caches.dropSession(sourceGramCache, s)(_.unpersist())
@@ -331,6 +501,7 @@ object TextMining {
   private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
     vocab(s, dir).count()
     bpeTrain(s, dir)._2.count()
+    unigramTrain(s, dir).count()
     splitCounts(s, dir).count()
     sourceGrams(s, dir).count()
     splitLenCounts(s, dir).count()
@@ -1366,6 +1537,29 @@ object TextMining {
     // key, never per occurrence. Same vocabulary window as the
     // trainer, so train and apply see the same words. Exact integers
     // (NULLIF-guarded divisions).
+    // ---- unigram-LM (SentencePiece-style) tokenizer training: the
+    // OTHER tokenizer-training family next to q218's BPE (Kudo 2018 vs
+    // Sennrich 2016 — subword regularization's model class). Hard-EM:
+    // substring-seeded vocabulary, per-word integer-cost Viterbi
+    // segmentation, recount, repeat ([[unigramTrain]]); output = the
+    // top-[[UniTopK]] trained vocabulary census (rank, token, count,
+    // integer micro-prob). The oracle unrolls BOTH loops — EM steps
+    // (the q218 device) AND the Viterbi positions (list-append CTE
+    // chain, no recursive CTE) — and replicates the exact integer
+    // micro-nat costs and smallest-backpointer tie-break, so the
+    // trained vocabulary is hash-pinned against DuckDB end-to-end.
+    Q("q228_unigram_lm", unigramOracleSql(UniEmSteps)) { (s, dir) =>
+      val counts = unigramTrain(s, dir)
+      counts
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= UniTopK)
+        .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
+        .select(col("rank"), col("tok"), col("cnt").as("n_occ"),
+          expr("(1000000 * cnt) div tot").as("prob_micro"))
+        .orderBy("rank")
+    },
+
     Q("q219_bpe_fertility", bpeFertilityOracleSql(BpeSteps)) { (s, dir) =>
       val state = bpeTrain(s, dir)._2
       val ntok = state.select(col("w"),
