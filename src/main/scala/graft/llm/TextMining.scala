@@ -241,7 +241,43 @@ object TextMining {
     * extensions (list_min over the filtered candidate list, equal-cost
     * ties to the smallest j — the kernel's exact tie-break) → 16
     * backtrack steps → recount with the char floor. */
-  private[llm] def unigramOracleSql(g: Int): String = {
+  private[llm] def unigramOracleSql(g: Int): String =
+    unigramOracleBase(g) + s""",
+      |tot AS (SELECT sum(cnt)::BIGINT AS tot FROM c$g)
+      |SELECT rank, tok, n_occ, prob_micro FROM (
+      |  SELECT row_number() OVER (ORDER BY cnt DESC, tok)::BIGINT AS rank, tok,
+      |         cnt AS n_occ, (1000000 * cnt) // tot AS prob_micro
+      |  FROM c$g, tot) t
+      |WHERE rank <= $UniTopK ORDER BY rank""".stripMargin
+
+  /** q229's oracle: the unrolled training plus ONE MORE unrolled
+    * Viterbi pass (the APPLY decode under the final counts — step
+    * g+1's cost/cand/dp/backtrack blocks, recount replaced by the
+    * per-word token count), then q219's census tail over per-source
+    * word counts under THIS family's vocabulary window. */
+  private[llm] def unigramFertilityOracleSql(g: Int): String = {
+    val a = g + 1 // the apply pass reuses the step-block generator
+    unigramOracleBase(g, dpSteps = a) + s""",
+      |nt AS (SELECT w, len(toks)::BIGINT AS nt FROM b${a}_$UniMaxWordLen),
+      |psw AS (SELECT source, w, count(*)::BIGINT AS c FROM (
+      |    SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+      |    FROM documents) t
+      |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) BETWEEN 1 AND $UniMaxWordLen
+      |  GROUP BY 1, 2)
+      |SELECT source, sum(c)::BIGINT AS n_words,
+      |       sum(c * nt)::BIGINT AS n_tokens,
+      |       sum(c * length(w))::BIGINT AS n_chars,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c), 0))::BIGINT AS tpw_milli,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c * length(w)), 0))::BIGINT AS tpc_milli
+      |FROM psw JOIN nt USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Shared unrolled-SQL body for q228/q229: seed vocabulary + `g`
+    * hard-EM recount rounds; with `dpSteps > g`, extra Viterbi passes
+    * (cost/cand/dp/backtrack, no recount) are emitted after the last
+    * recount — the apply decode. */
+  private def unigramOracleBase(g: Int, dpSteps: Int = 0): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
       |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
@@ -257,8 +293,8 @@ object TextMining {
       |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
       |    FROM seeds WHERE cnt >= $UniMinCount OR length(tok) = 1) t
       |  WHERE r <= $UniMaxVocab OR length(tok) = 1)""".stripMargin
-    for (s <- 1 to g) {
-      val p = s - 1
+    for (s <- 1 to math.max(g, dpSteps)) {
+      val p = math.min(s - 1, g) // apply passes read the final counts
       sb ++= s""",
         |tot$s AS (SELECT sum(cnt)::BIGINT AS tot FROM c$p),
         |cost$s AS (SELECT tok, CAST(round(1000000 * ln(tot::DOUBLE / cnt)) AS BIGINT) AS c
@@ -293,7 +329,7 @@ object TextMining {
           |         ELSE toks END AS toks
           |  FROM b${s}_${k - 1})""".stripMargin
       }
-      sb ++= s""",
+      if (s <= g) sb ++= s""",
         |rc$s AS (SELECT tok, sum(n)::BIGINT AS cnt FROM (
         |    SELECT n, unnest(toks) AS tok FROM b${s}_$UniMaxWordLen) t GROUP BY 1),
         |c$s AS (SELECT coalesce(r.tok, ch.tok) AS tok,
@@ -301,13 +337,6 @@ object TextMining {
         |               THEN greatest(coalesce(r.cnt, 0), 1) ELSE r.cnt END AS cnt
         |        FROM rc$s r FULL JOIN chars ch ON r.tok = ch.tok)""".stripMargin
     }
-    sb ++= s""",
-      |tot AS (SELECT sum(cnt)::BIGINT AS tot FROM c$g)
-      |SELECT rank, tok, n_occ, prob_micro FROM (
-      |  SELECT row_number() OVER (ORDER BY cnt DESC, tok)::BIGINT AS rank, tok,
-      |         cnt AS n_occ, (1000000 * cnt) // tot AS prob_micro
-      |  FROM c$g, tot) t
-      |WHERE rank <= $UniTopK ORDER BY rank""".stripMargin
     sb.toString
   }
 
@@ -1560,6 +1589,42 @@ object TextMining {
         .orderBy("rank")
     },
 
+    // ---- unigram-LM tokenizer APPLICATION: per-source fertility
+    // census — q219's question under the OTHER trained tokenizer, so
+    // both model classes ship train+apply. One extra Viterbi decode of
+    // the distinct-word frame under costs from the FINAL trained
+    // counts (the oracle emits it as an unrolled apply pass reading
+    // c_G); the per-source side is one corpus scan into (source, word,
+    // count) joined on the Heaps-bounded distinct-word key. Counting
+    // laws (spec-pinned): every word segments into ≥ 1 and ≤ length(w)
+    // tokens, so n_words ≤ n_tokens ≤ n_chars.
+    Q("q229_unigram_fertility", unigramFertilityOracleSql(UniEmSteps)) { (s, dir) =>
+      val vrows = unigramTrain(s, dir).collect() // vocab-capped by construction
+      val total = vrows.map(_.getLong(1)).sum
+      val costs = vrows.map(r => r.getString(0) ->
+        math.round(1e6 * math.log(total.toDouble / r.getLong(1)))).toMap
+      val nt = vocab(s, dir)
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")).between(1, UniMaxWordLen))
+        .select(col("w"),
+          size(graft.plans.UnigramViterbi.segment(col("w"), costs, UniMaxTok))
+            .cast("long").as("nt"))
+      val psw = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")).between(1, UniMaxWordLen))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      psw.join(nt, "w")
+        .groupBy("source")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("nt")).as("n_tokens"),
+          sum(col("c") * length(col("w"))).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+          expr("(1000 * n_tokens) div nullif(n_words, 0)").as("tpw_milli"),
+          expr("(1000 * n_tokens) div nullif(n_chars, 0)").as("tpc_milli"))
+        .orderBy("source")
+    },
+
     Q("q219_bpe_fertility", bpeFertilityOracleSql(BpeSteps)) { (s, dir) =>
       val state = bpeTrain(s, dir)._2
       val ntok = state.select(col("w"),
@@ -2616,14 +2681,25 @@ object TextMining {
          |        FROM d CROSS JOIN (VALUES ${Blocklist.map(t => s"('$t')").mkString(", ")}) v(term))
          |SELECT source, term, sum(hit)::BIGINT AS n_docs, sum(n)::BIGINT AS n_hits
          |FROM per GROUP BY 1, 2 ORDER BY source, term""".stripMargin) { (s, dir) =>
+      // aggregate the count ARRAY positionally (2 sums per pattern over
+      // the one cnts column — a single kernel eval per row), then
+      // unpivot the |sources|-bounded result: exploding per corpus row
+      // would multiply the stream ×|patterns| AND trip Catalyst's
+      // InferFiltersFromGenerate into re-evaluating the kernel in an
+      // inferred pre-filter (seen in the executed plan).
+      val aggs = Blocklist.indices.flatMap { i =>
+        Seq(sum((element_at(col("cnts"), i + 1) > 0).cast("long")).as(s"d$i"),
+          sum(element_at(col("cnts"), i + 1)).as(s"h$i")) }
       docs(s, dir)
         .select(col("source"),
           graft.plans.AhoCorasick.counts(lower(col("text")), Blocklist).as("cnts"))
-        .select(col("source"), posexplode(col("cnts")).as(Seq("pi", "n")))
-        .groupBy(col("source"),
-          element_at(typedLit(Blocklist), col("pi") + 1).as("term"))
-        .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs"),
-          sum(col("n")).as("n_hits"))
+        .groupBy("source").agg(aggs.head, aggs.tail: _*)
+        .select(col("source"), explode(array(
+          Blocklist.zipWithIndex.map { case (t, i) =>
+            struct(lit(t).as("term"), col(s"d$i").as("n_docs"),
+              col(s"h$i").as("n_hits")) }: _*)).as("r"))
+        .select(col("source"), col("r.term").as("term"),
+          col("r.n_docs").as("n_docs"), col("r.n_hits").as("n_hits"))
         .orderBy("source", "term")
     },
 

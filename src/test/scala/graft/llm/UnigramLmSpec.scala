@@ -67,4 +67,14 @@ class UnigramLmSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 8L, "ab" -> 2L, "b" -> 1L))
   }
+
+  test("q229 counting laws: n_words <= n_tokens <= n_chars per source") {
+    val rows = graft.SparkEntry.queries("q229_unigram_fertility")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, t, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= t && t <= c, s"laws violated: $r")
+    }
+  }
 }
