@@ -3456,8 +3456,81 @@ object LlmText {
          |       (sum(t) / count(*))::DECIMAL(12,2)::DOUBLE AS avg_nll
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       knScore(tokenHashArr(s, dir))
+    },
+
+    // ---- model-based quality scoring: a multinomial Naive-Bayes
+    // classifier (the exact-count member of the fastText/DCLM linear
+    // bag-of-words family every model-based quality filter uses)
+    // trained on a WEAK label — 2·|distinct| ≥ |tokens|, the TTR rule,
+    // crisp integers both engines share — over the 80% split, scoring
+    // EVERY doc with the add-one-smoothed log-likelihood ratio plus
+    // the class prior. The label is computed INLINE from the token
+    // array in the stream projection (a per-row function of hs), so
+    // the token stream never joins a corpus-sized per-doc frame; the
+    // per-token class counts are vocab-bounded and BROADCAST back
+    // (the q82/q225 plan family: one training pass into tc, one
+    // scoring pass, constants via 1-row cross joins; per-doc means
+    // pre-combine before their exchange). Two-ln term composition
+    // (not a combined ratio ln) keeps every intermediate in double
+    // range at any corpus size; the per-doc sum rounds through
+    // decimal(12,2) — the q82 discipline.
+    Q("q230_nb_quality_score",
+      s"""$sqlPrelude,
+         |dl AS (SELECT doc_id, count(*) AS nt, count(DISTINCT h) AS nd FROM wh GROUP BY 1),
+         |lab AS (SELECT doc_id, CASE WHEN 2 * nd >= nt THEN 1 ELSE 0 END AS label FROM dl),
+         |tr AS (SELECT wh.doc_id, h, label FROM wh JOIN lab USING (doc_id)
+         |       WHERE doc_id % 5 <> 0),
+         |tc AS (SELECT h, sum(label)::BIGINT AS c1, sum(1 - label)::BIGINT AS c0
+         |       FROM tr GROUP BY 1),
+         |k AS (SELECT (SELECT sum(c1) FROM tc) AS n1, (SELECT sum(c0) FROM tc) AS n0,
+         |             (SELECT count(*) FROM tc) AS v,
+         |             (SELECT count(*) FROM lab WHERE label = 1 AND doc_id % 5 <> 0) AS d1,
+         |             (SELECT count(*) FROM lab WHERE label = 0 AND doc_id % 5 <> 0) AS d0),
+         |t AS (SELECT wh.doc_id,
+         |        ln((coalesce(tc.c1, 0) + 1)::DOUBLE / (k.n1 + k.v))
+         |        - ln((coalesce(tc.c0, 0) + 1)::DOUBLE / (k.n0 + k.v)) AS t
+         |      FROM wh LEFT JOIN tc USING (h) CROSS JOIN k),
+         |p AS (SELECT doc_id, sum(t) AS sc, count(*) AS n_toks FROM t GROUP BY 1)
+         |SELECT p.doc_id, lab.label::BIGINT AS label, n_toks::BIGINT AS n_toks,
+         |       (ln(k.d1::DOUBLE / k.d0) + sc)::DECIMAL(12,2)::DOUBLE AS llr
+         |FROM p JOIN lab USING (doc_id) CROSS JOIN k ORDER BY doc_id""".stripMargin) {
+      (s, dir) => nbScore(tokenHashArr(s, dir))
     }
   )
+
+  /** q230's Naive-Bayes scorer over any (doc_id, hs) token-hash frame
+    * (factored like [[lmScore]]/[[knScore]] for a hand-computable
+    * spec fixture). Weak label 2·|distinct(hs)| ≥ |hs|; train split
+    * doc_id % 5 <> 0; add-one smoothing; llr = ln(d1/d0) +
+    * Σ [ln((c1+1)/(N1+V)) − ln((c0+1)/(N0+V))]. */
+  private[llm] def nbScore(tha: DataFrame): DataFrame = {
+    val labelCol = when(
+      size(array_distinct(col("hs"))) * 2 >= size(col("hs")), 1L).otherwise(0L)
+    val st = tha.select(col("doc_id"), labelCol.as("label"),
+      explode(col("hs")).as("h"))
+    val tc = st.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("h")
+      .agg(sum(col("label")).as("c1"), sum(lit(1L) - col("label")).as("c0"))
+    val docsK = tha.filter(col("doc_id") % 5 =!= 0)
+      .select(labelCol.as("label"))
+      .agg(sum(col("label")).as("d1"), sum(lit(1L) - col("label")).as("d0"))
+    val k = tc.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        count(lit(1)).as("v"))
+      .crossJoin(docsK)
+    val term =
+      log((coalesce(col("c1"), lit(0L)) + 1).cast("double") / (col("n1") + col("v"))) -
+        log((coalesce(col("c0"), lit(0L)) + 1).cast("double") / (col("n0") + col("v")))
+    st
+      .join(broadcast(tc), Seq("h"), "left")
+      .crossJoin(broadcast(k))
+      .withColumn("t", term)
+      .groupBy("doc_id", "label")
+      .agg(sum(col("t")).as("sc"), count(lit(1)).as("n_toks"),
+        first(log(col("d1").cast("double") / col("d0"))).as("prior"))
+      .select(col("doc_id"), col("label"), col("n_toks"),
+        T.dbl(T.dec(col("prior") + col("sc"))).as("llr"))
+      .orderBy("doc_id")
+  }
 
   /** q225's interpolated Kneser-Ney scorer over any (doc_id, hs)
     * token-hash frame (factored like [[lmScore]] so LmBloomSpec can
