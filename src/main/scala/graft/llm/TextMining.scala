@@ -212,10 +212,7 @@ object TextMining {
         .filter(col("r") <= UniMaxVocab || length(col("tok")) === 1)
         .select("tok", "cnt")
       for (_ <- 1 to UniEmSteps) {
-        val vrows = counts.collect() // bounded: ≤ UniMaxVocab + |chars|
-        val total = vrows.map(_.getLong(1)).sum
-        val costs = vrows.map(r => r.getString(0) ->
-          math.round(1e6 * math.log(total.toDouble / r.getLong(1)))).toMap
+        val costs = uniCosts(counts.collect()) // bounded: ≤ UniMaxVocab + |chars|
         val rc = words.select(col("n"),
             explode(graft.plans.UnigramViterbi.segment(col("w"), costs, UniMaxTok))
               .as("tok"))
@@ -271,6 +268,37 @@ object TextMining {
       |       ((1000 * sum(c * nt)) // NULLIF(sum(c * length(w)), 0))::BIGINT AS tpc_milli
       |FROM psw JOIN nt USING (w)
       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Integer micro-nat costs from a collected (tok, cnt) vocabulary —
+    * THE cost definition both the trainer loop and the q229 apply
+    * decode share (and the oracle replicates as
+    * round(1000000 * ln(tot/cnt))). */
+  private[llm] def uniCosts(vrows: Array[org.apache.spark.sql.Row]): Map[String, Long] = {
+    val total = vrows.map(_.getLong(1)).sum
+    vrows.map(r => r.getString(0) ->
+      math.round(1e6 * math.log(total.toDouble / r.getLong(1)))).toMap
+  }
+
+  /** q219/q229's shared census tail: per-source word counts over the
+    * [minLen, maxLen] vocabulary window joined against a per-word
+    * token-count frame `nt(w, nt)` → the fertility/compression census
+    * (n_words ≤ n_tokens ≤ n_chars by the tokenizers' construction). */
+  private def fertilityCensus(s: SparkSession, dir: String,
+      minLen: Int, maxLen: Int, nt: DataFrame): DataFrame = {
+    val psw = docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")).between(minLen, maxLen))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    psw.join(nt, "w")
+      .groupBy("source")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("nt")).as("n_tokens"),
+        sum(col("c") * length(col("w"))).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        expr("(1000 * n_tokens) div nullif(n_words, 0)").as("tpw_milli"),
+        expr("(1000 * n_tokens) div nullif(n_chars, 0)").as("tpc_milli"))
+      .orderBy("source")
   }
 
   /** Shared unrolled-SQL body for q228/q229: seed vocabulary + `g`
@@ -1599,50 +1627,21 @@ object TextMining {
     // laws (spec-pinned): every word segments into ≥ 1 and ≤ length(w)
     // tokens, so n_words ≤ n_tokens ≤ n_chars.
     Q("q229_unigram_fertility", unigramFertilityOracleSql(UniEmSteps)) { (s, dir) =>
-      val vrows = unigramTrain(s, dir).collect() // vocab-capped by construction
-      val total = vrows.map(_.getLong(1)).sum
-      val costs = vrows.map(r => r.getString(0) ->
-        math.round(1e6 * math.log(total.toDouble / r.getLong(1)))).toMap
+      val costs = uniCosts(unigramTrain(s, dir).collect()) // vocab-capped
       val nt = vocab(s, dir)
         .filter(col("w").rlike("^[a-z]+$") &&
           length(col("w")).between(1, UniMaxWordLen))
         .select(col("w"),
           size(graft.plans.UnigramViterbi.segment(col("w"), costs, UniMaxTok))
             .cast("long").as("nt"))
-      val psw = docs(s, dir)
-        .select(col("source"), explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]+$") &&
-          length(col("w")).between(1, UniMaxWordLen))
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      psw.join(nt, "w")
-        .groupBy("source")
-        .agg(sum("c").as("n_words"),
-          sum(col("c") * col("nt")).as("n_tokens"),
-          sum(col("c") * length(col("w"))).as("n_chars"))
-        .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
-          expr("(1000 * n_tokens) div nullif(n_words, 0)").as("tpw_milli"),
-          expr("(1000 * n_tokens) div nullif(n_chars, 0)").as("tpc_milli"))
-        .orderBy("source")
+      fertilityCensus(s, dir, 1, UniMaxWordLen, nt)
     },
 
     Q("q219_bpe_fertility", bpeFertilityOracleSql(BpeSteps)) { (s, dir) =>
-      val state = bpeTrain(s, dir)._2
-      val ntok = state.select(col("w"),
+      val nt = bpeTrain(s, dir)._2.select(col("w"),
         size(split(regexp_replace(col("tok"), "^·|·$", ""), "··"))
           .cast("long").as("nt"))
-      val psw = docs(s, dir)
-        .select(col("source"), explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]+$") && length(col("w")).between(2, 32))
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      psw.join(ntok, "w")
-        .groupBy("source")
-        .agg(sum("c").as("n_words"),
-          sum(col("c") * col("nt")).as("n_tokens"),
-          sum(col("c") * length(col("w"))).as("n_chars"))
-        .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
-          expr("(1000 * n_tokens) div nullif(n_words, 0)").as("tpw_milli"),
-          expr("(1000 * n_tokens) div nullif(n_chars, 0)").as("tpc_milli"))
-        .orderBy("source")
+      fertilityCensus(s, dir, 2, 32, nt)
     },
     // ---- Exact eval-budget apportionment (round 15 — the allocation
     // step after the mix decision: distribute a FIXED eval budget of
