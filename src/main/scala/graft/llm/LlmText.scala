@@ -3495,8 +3495,112 @@ object LlmText {
          |       (ln(k.d1::DOUBLE / k.d0) + sc)::DECIMAL(12,2)::DOUBLE AS llr
          |FROM p JOIN lab USING (doc_id) CROSS JOIN k ORDER BY doc_id""".stripMargin) {
       (s, dir) => nbScore(tokenHashArr(s, dir))
+    },
+
+    // ---- end-to-end curation funnel: the RefinedWeb/CCNet pipeline
+    // shape as ONE composed query — quality screen (q46's integer
+    // rules) → exact dedup (q38's trim-lower first-wins key) →
+    // benchmark decontamination (q81's shingle-overlap rule, bench =
+    // doc_id % 20 ≡ 0, bench members dropped as eval material) →
+    // per-source token budget (q87's quality-ranked running total) —
+    // with the census every curation run reports: docs and tokens
+    // surviving each stage. Computed as THREE chain passes, not five
+    // stage re-evaluations: stages 0–1 fold over the single kernel
+    // pass, stages 2–3 are conditional aggregates over one flagged
+    // frame (dedup-kept join + shingle-hit join as boolean columns),
+    // stage 4 over the budget window — at 100 TB the corpus-scale
+    // exchanges are exactly the three the semantics require (the
+    // dedup key shuffle, the per-doc hit join, the per-source
+    // window), each carrying one purpose. The dedup key crosses its
+    // exchange as the raw string (the q38 contract the oracle
+    // shares); a deployment hashes it first. Census rows materialize
+    // via the q226 array-unpivot device (5 bounded rows).
+    Q("q231_curation_funnel",
+      s"""$sqlPrelude,
+         |tl2 AS (SELECT doc_id, source, text,
+         |          list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         |        FROM documents),
+         |q AS (SELECT doc_id, source, text, len(t)::BIGINT AS nt,
+         |        (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         |         + CASE WHEN 10 * len(list_distinct(t)) >= 3 * len(t) THEN 1 ELSE 0 END
+         |         + CASE WHEN list_max(list_transform(t, w -> length(w))) <= 15 THEN 1 ELSE 0 END) AS quality
+         |      FROM tl2),
+         |s1 AS (SELECT * FROM q WHERE quality >= 2),
+         |s2 AS (SELECT * FROM s1 WHERE doc_id IN (
+         |         SELECT min(doc_id) FROM s1 GROUP BY trim(lower(text)))),
+         |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 20 = 0),
+         |hits AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
+         |         FROM dsh d LEFT JOIN bench b USING (sh) GROUP BY 1),
+         |s3 AS (SELECT s2.* FROM s2 JOIN hits USING (doc_id)
+         |       WHERE doc_id % 20 <> 0 AND 2 * n_hit < n_sh),
+         |s4 AS (SELECT * FROM (
+         |         SELECT s3.*, sum(nt) OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |         FROM s3) t WHERE cum <= $CurationBudget)
+         |SELECT * FROM (
+         |  SELECT 0::BIGINT AS stage, 'corpus' AS name,
+         |         count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens FROM q
+         |  UNION ALL SELECT 1, 'quality', count(*)::BIGINT, sum(nt)::BIGINT FROM s1
+         |  UNION ALL SELECT 2, 'exact_dedup', count(*)::BIGINT, sum(nt)::BIGINT FROM s2
+         |  UNION ALL SELECT 3, 'decontaminate', count(*)::BIGINT, sum(nt)::BIGINT FROM s3
+         |  UNION ALL SELECT 4, 'budget', count(*)::BIGINT, sum(nt)::BIGINT FROM s4) z
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      curationFunnel(s, dir)
     }
   )
+
+  /** q231's three-pass funnel (factored for CurationFunnelSpec). */
+  private[llm] def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+    val Seq(nt, nd, ml) = (1 to 3).map(i => element_at(col("st"), i))
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), st.as("st"))
+      .select(col("doc_id"), col("source"),
+        trim(lower(col("text"))).as("key"), nt.as("nt"),
+        (when(nt.between(20, 1000), 1).otherwise(0)
+          + when(nd * 10 >= nt * 3, 1).otherwise(0)
+          + when(ml <= 15, 1).otherwise(0)).as("quality"))
+    val s1 = base.filter(col("quality") >= 2)
+    val keptMin = s1.groupBy("key").agg(min(col("doc_id")).as("kept"))
+    val sh = docShingles(s, dir)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("sh")).as("sh")).distinct()
+    val hits = sh.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .join(broadcast(bench.withColumn("mark", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("mark")).as("n_hit"))
+    val flagged = s1.join(keptMin, "key")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("l2", col("doc_id") === col("kept"))
+      .withColumn("l3", col("l2") && col("doc_id") % 20 =!= 0 &&
+        col("n_hit") * 2 < col("n_sh"))
+    val cum = flagged.filter(col("l3"))
+      .withColumn("cum", sum(col("nt")).over(
+        Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= CurationBudget)
+    def two(df: DataFrame, c0: Column, c1: Column, n0: String, n1: String,
+        st0: Int, st1: Int) =
+      df.agg(sum(when(c0, 1L).otherwise(0L)).as("d0"),
+          coalesce(sum(when(c0, col("nt"))), lit(0L)).as("t0"),
+          sum(when(c1, 1L).otherwise(0L)).as("d1"),
+          coalesce(sum(when(c1, col("nt"))), lit(0L)).as("t1"))
+        .select(explode(array(
+          struct(lit(st0.toLong).as("stage"), lit(n0).as("name"),
+            col("d0").as("n_docs"), col("t0").as("n_tokens")),
+          struct(lit(st1.toLong).as("stage"), lit(n1).as("name"),
+            col("d1").as("n_docs"), col("t1").as("n_tokens")))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.name").as("name"),
+          col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"))
+    val a01 = two(base, lit(true), col("quality") >= 2, "corpus", "quality", 0, 1)
+    val a23 = two(flagged, col("l2"), col("l3"), "exact_dedup", "decontaminate", 2, 3)
+    val a4 = cum.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+      .select(lit(4L).as("stage"), lit("budget").as("name"),
+        col("n_docs"), col("n_tokens"))
+    a01.unionAll(a23).unionAll(a4).orderBy("stage")
+  }
 
   /** q230's Naive-Bayes scorer over any (doc_id, hs) token-hash frame
     * (factored like [[lmScore]]/[[knScore]] for a hand-computable

@@ -1315,4 +1315,47 @@ class PlanSpec extends SparkSpec {
     // not be scanned at all
     assert(!p.contains("text#"), s"document text entered the plan:\n$p")
   }
+
+  test("q226 blocklist: the automaton evaluates EXACTLY once per row") {
+    // round 18: the per-corpus-row explode formulation tripped
+    // InferFiltersFromGenerate into re-evaluating the kernel inside an
+    // inferred pre-filter — the positional-aggregate rewrite must keep
+    // a single kernel site in the executed plan
+    val p = plan("q226_blocklist_census")
+    assert("multi_pattern_counts".r.findAllIn(p).size == 1,
+      s"kernel evaluation count drifted:\n$p")
+    assert(p.contains("partial_sum"), "census lost its map-side combine")
+  }
+
+  test("q225 KN perplexity: count tables broadcast onto the scoring stream") {
+    val p = plan("q225_kn_perplexity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "a count table stopped broadcasting")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), "per-doc partial aggregation lost")
+  }
+
+  test("q230 NB scorer: class counts broadcast; label computed inline (no per-doc join)") {
+    val p = plan("q230_nb_quality_score")
+    assert(p.contains("BroadcastHashJoin"), "tc stopped broadcasting")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized frame entered a shuffle join:\n$p")
+  }
+
+  test("q227 phrase search: posting frame materialized once, no nested-loop") {
+    val p = plan("q227_phrase_search")
+    assert(p.contains("InMemoryTableScan"), "posting frame no longer cached")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q231 funnel: bench side broadcasts; no cartesian; three census passes") {
+    val p = plan("q231_curation_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "bench mark join stopped broadcasting")
+    // the census is a 3-branch union (stages 0-1 / 2-3 / 4), not five
+    // stage re-evaluations of the whole chain
+    assert("Union".r.findAllIn(p).size == 1 && p.contains("Generate explode"),
+      s"census shape drifted:\n$p")
+  }
 }
