@@ -68,6 +68,22 @@ class UnigramLmSpec extends SparkSpec {
     assert(got == Map("a" -> 8L, "ab" -> 2L, "b" -> 1L))
   }
 
+  test("random cost maps: kernel segmentation is minimal and valid (property)") {
+    val rnd = new scala.util.Random(99)
+    def word(n: Int) = (0 until n).map(_ => "ab".charAt(rnd.nextInt(2))).mkString
+    (1 to 40).foreach { _ =>
+      val toks = (Seq("a", "b") ++ (0 until 4).map(_ => word(2 + rnd.nextInt(2)))).distinct
+      val cs = toks.map(_ -> (1L + rnd.nextInt(1000))).toMap
+      val words = (0 until 5).map(_ => word(1 + rnd.nextInt(9)))
+      val got = kernel(words, cs)
+      words.zip(got).foreach { case (w, seg) =>
+        val best = allSegs(w, cs.keySet, 6).map(_.map(cs).sum).min
+        assert(seg.mkString == w && seg.map(cs).sum == best,
+          s"costs $cs word '$w' → $seg")
+      }
+    }
+  }
+
   test("q229 counting laws: n_words <= n_tokens <= n_chars per source") {
     val rows = graft.SparkEntry.queries("q229_unigram_fertility")(
       spark, "/root/testdata/sf0.001").collect()

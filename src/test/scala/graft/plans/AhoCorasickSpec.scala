@@ -69,4 +69,24 @@ class AhoCorasickSpec extends SparkSpec {
     intercept[IllegalArgumentException](new AhoCorasick.Automaton(Seq("café")))
     intercept[IllegalArgumentException](new AhoCorasick.Automaton(Nil))
   }
+
+  test("random pattern SETS equal brute force (automaton build property)") {
+    // the fixed-pattern tests pin one automaton; this drives the BUILD
+    // itself — random sets over a tiny alphabet maximize shared
+    // prefixes, fail-link chains and nested outputs
+    val rnd = new scala.util.Random(1234)
+    def word(n: Int) = (0 until n).map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+    (1 to 60).foreach { _ =>
+      val ps = (0 until 2 + rnd.nextInt(6)).map(_ => word(1 + rnd.nextInt(4))).distinct
+      val auto = new AhoCorasick.Automaton(ps)
+      (1 to 20).foreach { _ =>
+        val t = word(rnd.nextInt(30))
+        val got = auto.count(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)).toLongArray().toSeq
+        ps.zip(got).foreach { case (p, c) =>
+          assert(c == brute(t, p), s"set $ps pattern '$p' on '$t'")
+        }
+      }
+    }
+  }
 }
