@@ -72,7 +72,8 @@ object Caches {
       "q195_step_boundaries", "q197_trimmed_length",
       "q198_oov_matrix", "q199_zipf_curve", "q200_burstiness",
       "q202_step_novelty", "q207_padding_waste", "q218_bpe_merges",
-      "q219_bpe_fertility", "q228_unigram_lm", "q229_unigram_fertility"),
+      "q219_bpe_fertility", "q227_phrase_search",
+      "q228_unigram_lm", "q229_unigram_fertility"),
       llm.TextMining.release, llm.TextMining.prebuild),
     // the streaming "family" owns no memoized frames (nothing to
     // prebuild) — its release drops the UUID-named memory-sink temp

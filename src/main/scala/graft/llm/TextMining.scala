@@ -549,6 +549,7 @@ object TextMining {
     graft.Caches.dropSession(splitLenCache, s)(_.unpersist())
     graft.Caches.dropSession(sourceTermCache, s)(_.unpersist())
     graft.Caches.dropSession(sourceLenCache, s)(_.unpersist())
+    graft.Caches.dropSession(phrasePostCache, s)(_.unpersist())
   }
 
   /** Force-build the corpus-mining family's memoized frames — the
@@ -564,6 +565,7 @@ object TextMining {
     splitLenCounts(s, dir).count()
     sourceTermCounts(s, dir).count()
     sourceLenCounts(s, dir).count()
+    phrasePost(s, dir, Phrase).count()
     ()
   }
 
@@ -2677,7 +2679,7 @@ object TextMining {
          |          CASE WHEN length(t) - length(replace(t, term, '')) > 0
          |               THEN 1 ELSE 0 END AS hit,
          |          (length(t) - length(replace(t, term, ''))) // length(term) AS n
-         |        FROM d CROSS JOIN (VALUES ${Blocklist.map(t => s"('$t')").mkString(", ")}) v(term))
+         |        FROM d CROSS JOIN (VALUES ${Blocklist.map(t => s"('${t.replace("'", "''")}')").mkString(", ")}) v(term))
          |SELECT source, term, sum(hit)::BIGINT AS n_docs, sum(n)::BIGINT AS n_hits
          |FROM per GROUP BY 1, 2 ORDER BY source, term""".stripMargin) { (s, dir) =>
       // aggregate the count ARRAY positionally (2 sums per pattern over
@@ -2726,12 +2728,25 @@ object TextMining {
          |      WHERE a.w = '${Phrase(0)}' AND b.w = '${Phrase(1)}' AND c.w = '${Phrase(2)}')
          |SELECT doc_id, count(*)::BIGINT AS n_occ, min(pos)::BIGINT AS first_pos
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      phraseSearch(
-        docs(s, dir)
-          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w"))),
-        Phrase)
+      phraseSearchOn(phrasePost(s, dir, Phrase), Phrase)
     }
   )
+
+  /** q227's persisted posting frame (doc_id, pos, w ∈ phrase),
+    * memoized per (session, dir·phrase) like [[vocab]]/[[bpeTrain]]
+    * (ADVICE r18: the previous form persisted + ad-hoc-registered a
+    * FRESH frame at every plan construction, so repeated q227
+    * invocations in one sweep accumulated duplicate persisted frames
+    * until releaseAll). Released by [[release]]; built untimed in
+    * [[prebuild]]. */
+  private val phrasePostCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def phrasePost(s: SparkSession, dir: String, phrase: Seq[String]): DataFrame =
+    phrasePostCache.computeIfAbsent((s, dir + "|" + phrase.mkString(" ")), _ =>
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        .filter(col("w").isin(phrase.distinct: _*))
+        .persist())
 
   /** q227's positional phrase match over any (doc_id, pos, w) token
     * frame (0-based pos; output first_pos is 1-based). Factored so
@@ -2741,6 +2756,13 @@ object TextMining {
   private[llm] def phraseSearch(toksDf: DataFrame, phrase: Seq[String]): DataFrame = {
     val post = toksDf.filter(col("w").isin(phrase.distinct: _*)).persist()
     graft.Caches.registerPersisted(post)
+    phraseSearchOn(post, phrase)
+  }
+
+  /** The joins/aggregation half of [[phraseSearch]], over an
+    * already-persisted posting frame (q227 feeds the memoized
+    * [[phrasePost]]; the spec path persists ad hoc). */
+  private[llm] def phraseSearchOn(post: DataFrame, phrase: Seq[String]): DataFrame = {
     val counts = post.groupBy("w").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val frames = phrase.zipWithIndex

@@ -37,6 +37,8 @@ object UnigramViterbi {
 
 case class UnigramViterbiSegment(child: Expression, costs: Map[String, Long], maxTok: Int)
     extends UnaryExpression {
+  require(maxTok >= 1 && costs.nonEmpty,
+    "unigram_viterbi_segment requires maxTok >= 1 and a non-empty cost table")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
