@@ -154,7 +154,8 @@ object Bench {
     * name, and per-query medians measure the queries. */
   final case class SweepStat(sum: Double, gcMs: Long, compiles: Long,
       build: Double = 0.0, warm: Boolean = false,
-      builds: Seq[(String, Double)] = Nil, calibFlag: Boolean = false)
+      builds: Seq[(String, Double)] = Nil, calibFlag: Boolean = false,
+      rerunOf: Option[Int] = None, dropped: Boolean = false)
 
   /** One mid-sweep calibration sample at query index `pos` (0-based,
     * position in the sweep order) of sweep `sweep` (1-based; 0 = the
@@ -226,11 +227,44 @@ object Bench {
     }.toSet
   }
 
+  /** Sweep-SUM spread guard threshold (round 19, VERDICT r18 item 2:
+    * the ~10% agreement criterion lived in README prose while the r18
+    * closing validation board ran at 18% spread with the per-sample
+    * calib guard silent — the two instruments must cover each other's
+    * cases). A board whose counted kept sweeps' sums spread more than
+    * this fraction of their median self-flags in both JSON forms. The
+    * official r18 board itself (138.6/126.5/125.9 = 10.04%) sits just
+    * over the line — exactly the "first counted sweep carries warm
+    * residue" hygiene the criterion exists to surface. */
+  val SpreadFlagPct = 0.10
+
+  /** (max − min) / median over counted, kept sweep sums — the
+    * agreement statistic the protocol previously stated only in
+    * prose. < 2 sums (or a non-positive median) → 0 (never flags). */
+  def sweepSpread(sums: Seq[Double]): Double =
+    if (sums.size < 2) 0.0
+    else { val m = median(sums); if (m <= 0) 0.0 else (sums.max - sums.min) / m }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** The spread guard's JSON fragment, shared by both artifact forms:
+    * spread over the counted KEPT sweeps (warm and dropped rows are
+    * protocol artifacts, not agreement evidence), plus the flag when
+    * it clears [[SpreadFlagPct]]. Empty when fewer than two counted
+    * kept sweeps exist. */
+  private def spreadBlock(sweeps: Seq[SweepStat]): String = {
+    val sums = sweeps.collect { case s if !s.warm && !s.dropped => s.sum }
+    if (sums.size < 2) ""
+    else {
+      val sp = sweepSpread(sums)
+      s""",\"sweep_spread\":${fmt(sp)}""" +
+        (if (sp > SpreadFlagPct) ",\"sweep_spread_flag\":true" else "")
+    }
   }
 
   private def fmt(v: Double): String =
@@ -304,8 +338,10 @@ object Bench {
       else sweeps.map(s =>
         s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}""" +
           (if (s.warm) ",\"warm\":true" else "") +
-          (if (s.calibFlag) ",\"calib_flag\":true" else "") + "}")
-        .mkString(",\"sweeps\":[", ",", "]")
+          (if (s.calibFlag) ",\"calib_flag\":true" else "") +
+          s.rerunOf.map(o => s",\"rerun_of\":$o").getOrElse("") +
+          (if (s.dropped) ",\"dropped\":true" else "") + "}")
+        .mkString(",\"sweeps\":[", ",", "]") + spreadBlock(sweeps)
     val det = detail.map(d => s""",\"detail\":\"$d\"""").getOrElse("")
     // the self-flag block: normally EMPTY (costs ~0 budget); a >2×
     // mover vs its committed anchor — or a suspicious half-of-hot
@@ -375,11 +411,13 @@ object Bench {
           .mkString(",\"builds\":{", ",", "}")
       s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}$fam""" +
         (if (s.warm) ",\"warm\":true" else "") +
-        (if (s.calibFlag) ",\"calib_flag\":true" else "") + "}"
+        (if (s.calibFlag) ",\"calib_flag\":true" else "") +
+        s.rerunOf.map(o => s",\"rerun_of\":$o").getOrElse("") +
+        (if (s.dropped) ",\"dropped\":true" else "") + "}"
     }.mkString("[", ",", "]")
     val total = times.collect { case (n, ts) if !errors.contains(n) && ts.nonEmpty => median(ts) }.sum
     s"""{\"total\":${fmt(total)},\"runs\":$runs,\"cpus\":\"$cpus\",\"sf\":\"$sfDir\",""" +
-      s"""\"calib\":$cal,\"mid_calib\":$midS,\"sweeps\":$sw,\"queries\":$qs}"""
+      s"""\"calib\":$cal,\"mid_calib\":$midS,\"sweeps\":$sw${spreadBlock(sweeps)},\"queries\":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -494,7 +532,6 @@ object Bench {
     val perSweep = sys.env.get("SPARK_GRAFT_PERSWEEP").contains("1")
     val calib = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val midSamples = scala.collection.mutable.ArrayBuffer[CalibSample]()
-    val sweepStats = scala.collection.mutable.ArrayBuffer[SweepStat]()
     val (h0, s0) = calibrate(spark)
     calib += ("pre_hash" -> h0) += ("pre_spark" -> s0)
     // the named untimed cache-build slot (round 17, VERDICT r16 items
@@ -518,8 +555,12 @@ object Bench {
     // sweep's counters still land in `sweeps` so the compile mass
     // stays visible. SPARK_GRAFT_WARMSWEEP=0 disables (the A/B knob).
     val warmSweep = !sys.env.get("SPARK_GRAFT_WARMSWEEP").contains("0")
-    for (sweep <- (if (warmSweep) 0 else 1) to repeat) {
-      val timed = sweep >= 1
+    // ONE sweep's full protocol (family prebuild → timed queries with
+    // mid-calib samples → release), returning its per-query times and
+    // errors for the CALLER to adjudicate — counted, warm and
+    // replacement sweeps share this body and differ only in what the
+    // caller does with the result.
+    def runOneSweep(sweep: Int): (Map[String, Double], Map[String, String], SweepStat) = {
       val familyBuilds =
         if (!famBuild) Nil
         else try Caches.prebuild(spark, sfDir, selectedNames)
@@ -528,6 +569,7 @@ object Bench {
       val buildSec = familyBuilds.map(_._2).sum
       val gc0 = gcMillis; val (cgN0, _) = codegenStats
       val sweepTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val sweepErrs = scala.collection.mutable.LinkedHashMap[String, String]()
       selected.zipWithIndex.foreach { case (q, i) =>
         // mid-sweep calibration sample BEFORE every CalibEvery-th query
         // (not at position 0 — the endpoint pair already covers the
@@ -539,14 +581,8 @@ object Bench {
         }
         val (dt, err) = timedRun(spark, sfDir, q)
         err match {
-          // a warm-sweep-only failure must not poison the board: the
-          // discarded sweep's errors are discarded with its times
-          // (review r17) — a query that also fails in a COUNTED sweep
-          // is still recorded there
-          case Some(e) => if (timed) errors.getOrElseUpdate(q.name, e)
-          case None =>
-            if (timed) times(q.name) = times.getOrElse(q.name, Vector.empty) :+ dt
-            sweepTimes(q.name) = dt
+          case Some(e) => sweepErrs.getOrElseUpdate(q.name, e)
+          case None => sweepTimes(q.name) = dt
         }
         hooks.getOrElse(q.name, Nil).foreach(_(spark))
       }
@@ -556,8 +592,6 @@ object Bench {
       // restores the pre-r17 first-consumer billing).
       Caches.releaseAll(spark)
       val (cgN1, _) = codegenStats
-      sweepStats += SweepStat(sweepTimes.values.sum, gcMillis - gc0,
-        cgN1 - cgN0, buildSec, warm = !timed, builds = familyBuilds)
       if (perSweep) {
         val qd = sweepTimes.map { case (n, t) =>
           n.takeWhile(_ != '_') + "=" + fmt(t) }.mkString(" ")
@@ -565,6 +599,61 @@ object Bench {
           fmt(sweepTimes.values.sum) + s" gc_ms=${gcMillis - gc0}" +
           s" codegen_compiles=${cgN1 - cgN0} $qd")
       }
+      (sweepTimes.toMap, sweepErrs.toMap,
+        SweepStat(sweepTimes.values.sum, gcMillis - gc0, cgN1 - cgN0,
+          buildSec, warm = sweep == 0, builds = familyBuilds))
+    }
+    // per-sweep results, keyed by sweep number in run order; counted
+    // sweeps' times/errors fold into the medians only AFTER the
+    // re-run adjudication below decides which sweeps are kept
+    val statBySweep = scala.collection.mutable.LinkedHashMap[Int, SweepStat]()
+    val timesBySweep = scala.collection.mutable.LinkedHashMap[Int, Map[String, Double]]()
+    val errsBySweep = scala.collection.mutable.LinkedHashMap[Int, Map[String, String]]()
+    for (sweep <- (if (warmSweep) 0 else 1) to repeat) {
+      val (st, errs, stat) = runOneSweep(sweep)
+      statBySweep(sweep) = stat
+      if (sweep >= 1) { timesBySweep(sweep) = st; errsBySweep(sweep) = errs }
+      // a warm-sweep-only failure must not poison the board: the
+      // discarded sweep's errors are discarded with its times (review
+      // r17) — a query that also fails in a COUNTED sweep is still
+      // recorded there
+    }
+    // Bounded re-run for calib-flagged counted sweeps (round 19,
+    // VERDICT r18 item 1: the r18 board's counted sweep 2 flagged —
+    // the guard fired exactly as designed — but the protocol stopped
+    // at flagging, so the contended sweep still contributed to the
+    // committed medians). Each flagged counted sweep is re-run ONCE;
+    // the replacement is used iff its OWN mid-calib samples are clean
+    // against the session norm (recomputed including them), otherwise
+    // the original stays — a second contended reading is evidence the
+    // MACHINE is busy, and endless re-runs would chase it. Replacement
+    // sweeps never trigger further re-runs (bounded by construction:
+    // at most one extra sweep per originally-flagged sweep).
+    // SPARK_GRAFT_RERUN=0 disables (the A/B knob).
+    val rerunOn = !sys.env.get("SPARK_GRAFT_RERUN").contains("0")
+    val dropped = scala.collection.mutable.Set[Int]()
+    val rerunOfMap = scala.collection.mutable.Map[Int, Int]()
+    if (rerunOn) {
+      val flaggedOrig = flaggedSweeps(midSamples.toSeq).filter(_ >= 1).toSeq.sorted
+      var nextNo = repeat
+      flaggedOrig.foreach { orig =>
+        nextNo += 1
+        val rn = nextNo
+        System.err.println(s"[rerun] counted sweep $orig calib-flagged; running replacement sweep $rn")
+        val (st, errs, stat) = runOneSweep(rn)
+        statBySweep(rn) = stat
+        rerunOfMap(rn) = orig
+        if (flaggedSweeps(midSamples.toSeq).contains(rn)) dropped += rn
+        else { dropped += orig; timesBySweep(rn) = st; errsBySweep(rn) = errs }
+      }
+    }
+    // fold the KEPT counted sweeps into the medians, in sweep order
+    timesBySweep.foreach { case (no, st) =>
+      if (!dropped(no)) st.foreach { case (n, dt) =>
+        times(n) = times.getOrElse(n, Vector.empty) :+ dt }
+    }
+    errsBySweep.foreach { case (no, errs) =>
+      if (!dropped(no)) errs.foreach { case (n, e) => errors.getOrElseUpdate(n, e) }
     }
     val (h1, s1) = calibrate(spark)
     calib += ("post_hash" -> h1) += ("post_spark" -> s1)
@@ -573,16 +662,14 @@ object Bench {
     // half): BENCH_r17's sweep-2 mid-calib read 0.443/0.411/0.388
     // against a 0.285–0.30 session norm — a measurable machine
     // episode inside the artifact that nothing FLAGGED. A sweep with
-    // any mid-calib hash sample >25% off the session median now
-    // carries `calib_flag` in both JSON forms (the warm-sweep-error-
-    // discard analogue: the protocol step is marking, medians stay —
-    // the flag is the adjudication pointer). Detection is
-    // [[flaggedSweeps]], per-SAMPLE by review: a contention episode
-    // is a minority of positions, invisible to a per-sweep median.
+    // any mid-calib hash sample >25% off the session median carries
+    // `calib_flag` in both JSON forms; since round 19 a flagged
+    // COUNTED sweep is also re-run once (above), and the kept/dropped
+    // adjudication rides the same rows as `rerun_of`/`dropped`.
     val flagged = flaggedSweeps(midSamples.toSeq)
-    val sweepStatsFlagged = sweepStats.toSeq.zipWithIndex.map { case (st, i) =>
-      val sweepNo = if (warmSweep) i else i + 1
-      if (flagged(sweepNo)) st.copy(calibFlag = true) else st
+    val sweepStatsFlagged = statBySweep.toSeq.map { case (no, st) =>
+      st.copy(calibFlag = flagged(no), rerunOf = rerunOfMap.get(no),
+        dropped = dropped(no))
     }
     val anchors = loadAnchors()
     // full record into the repo (the round commit carries it); path
