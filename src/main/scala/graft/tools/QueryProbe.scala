@@ -16,14 +16,37 @@ import org.apache.spark.sql.SparkSession
   * a cold median at the previous round's level names the regression
   * "sweep context load", a raised one names the query itself.
   *
-  * Usage: `runMain graft.tools.QueryProbe q107,q109 [sfDir] [runs]`
-  * (query prefixes or full names; defaults /root/testdata/sf0.1, 5).
+  * Usage:
+  *   `runMain graft.tools.QueryProbe q107,q109 [sfDir] [runs]`
+  *     (query prefixes or full names; defaults /root/testdata/sf0.1, 5)
+  *   `runMain graft.tools.QueryProbe --flagged [sfDir] [runs] [detail] [commitTag]`
+  *     batch anchor-refresh mode (round 19, VERDICT r18 item 6: nine
+  *     stale fast-flags needed four manual chunk sessions in r18) —
+  *     recomputes the anchor-flag set from the last board's
+  *     BENCH_DETAIL.json medians against the committed ANCHORS.json,
+  *     probes exactly that set in THIS one flat-calib session, and
+  *     emits the ANCHORS.json patch entries (stdout between PATCH
+  *     markers + ANCHORS_PATCH.json) in the committed file's format,
+  *     ready to splice in. The patch is advisory — the curator still
+  *     decides whether a flag was drift (patch it) or a regression
+  *     (fix the query instead).
   */
 object QueryProbe {
+
+  /** Lenient per-query median extraction from a BENCH_DETAIL.json —
+    * same no-JSON-library discipline as [[graft.Bench.parseAnchors]]
+    * (QueryProbeSpec round-trips the committed file). */
+  private val MedRe = "\"(q[0-9]+)\"\\s*:\\s*\\{\\s*\"median\"\\s*:\\s*(-?[0-9.]+)".r
+  def parseMedians(text: String): Seq[(String, Double)] =
+    MedRe.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+
+  /** One ANCHORS.json entry in the committed file's exact shape. */
+  def patchEntry(name: String, cold: Double, hot: Double,
+      commit: String, calib: String): String =
+    f"""  "$name": {%n   "cold": $cold%.2f,%n   "hot": $hot%.2f,%n   "commit": "$commit",%n   "calib": "$calib"%n  }"""
+
   def main(args: Array[String]): Unit = {
-    val wanted = args.headOption
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(sys.error("usage: QueryProbe q107[,q109...] [sfDir] [runs]"))
+    val flaggedMode = args.headOption.contains("--flagged")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder().master("local[32]")
@@ -35,9 +58,28 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val selected = graft.SparkEntry.all.filter(q =>
-      wanted(q.name) || wanted(q.name.takeWhile(_ != '_')))
-    require(selected.nonEmpty, s"no query matches $wanted")
+    val selected =
+      if (flaggedMode) {
+        val detailPath = args.lift(3).getOrElse("BENCH_DETAIL.json")
+        val anchors = graft.Bench.loadAnchors()
+        val meds = parseMedians(new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(detailPath).toPath), "UTF-8"))
+        val flagged = graft.Bench.anchorFlags(meds, anchors).map(_._1).toSet
+        println(s"flagged vs committed anchors: ${flagged.toSeq.sorted.mkString(",")}")
+        graft.SparkEntry.all.filter(q => flagged(q.name.takeWhile(_ != '_')))
+      } else {
+        val wanted = args.headOption
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(sys.error(
+            "usage: QueryProbe q107[,q109...]|--flagged [sfDir] [runs]"))
+        graft.SparkEntry.all.filter(q =>
+          wanted(q.name) || wanted(q.name.takeWhile(_ != '_')))
+      }
+    if (flaggedMode && selected.isEmpty) {
+      println("no queries flagged — nothing to probe")
+      spark.stop(); return
+    }
+    require(selected.nonEmpty, "no query matches the request")
 
     def time(q: graft.core.Q): Double = {
       val t0 = System.nanoTime()
@@ -52,6 +94,7 @@ object QueryProbe {
     // makes "machine drift" a measurement — same pair Bench emits)
     val (h0, s0) = graft.Bench.calibrate(spark)
     println(f"calib pre: hash $h0%.3f s  spark $s0%.3f s")
+    val results = Vector.newBuilder[(String, Double, Double)]
     for (q <- selected) {
       val cold = Vector.newBuilder[Double]
       val hot = Vector.newBuilder[Double]
@@ -62,11 +105,24 @@ object QueryProbe {
       }
       val (c, h) = (cold.result(), hot.result())
       def med(xs: Vector[Double]) = graft.Bench.median(xs)
+      results += ((q.name.takeWhile(_ != '_'), med(c), med(h)))
       println(f"${q.name}%-26s cold median ${med(c)}%5.2f s  hot median ${med(h)}%5.2f s" +
         f"  (cold [${c.min}%.2f,${c.max}%.2f] hot [${h.min}%.2f,${h.max}%.2f])")
     }
     val (h1, s1) = graft.Bench.calibrate(spark)
     println(f"calib post: hash $h1%.3f s  spark $s1%.3f s")
+    if (flaggedMode) {
+      val commitTag = args.lift(4).getOrElse("rNN")
+      val calibStr = f"$h0%.3f/$h1%.3f"
+      val patch = results.result()
+        .map { case (n, c, h) => patchEntry(n, c, h, commitTag, calibStr) }
+        .mkString(",\n")
+      println("---- ANCHORS PATCH (splice into ANCHORS.json \"queries\") ----")
+      println(patch)
+      println("---- END PATCH ----")
+      val w = new java.io.PrintWriter("ANCHORS_PATCH.json", "UTF-8")
+      try w.println("{\n" + patch + "\n}") finally w.close()
+    }
     spark.stop()
   }
 }
