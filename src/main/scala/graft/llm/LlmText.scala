@@ -3888,18 +3888,20 @@ object LlmText {
     * SubstringDedupSpec drives it against a Scala brute force on
     * adversarial fixtures. See the q221 registration comment for the
     * full semantics + scale contract. Requires (doc_id, text). */
-  private[llm] def substringDedupSpans(documents: DataFrame, k: Int): DataFrame = {
+  private[graft] def substringDedupSpans(documents: DataFrame, k: Int,
+      rolling: Boolean = true): DataFrame = {
     val tl = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     // in-row candidate hash stream via the COMPILED WindowHashes
     // kernel (an HOF transform+slice+concat formulation measured
     // 2.35 s cold here — CodegenFallback, the q166 trap; the kernel
-    // emits n−k+1 full-window 64-bit folds over the TokenHashes
-    // stream in one codegen'd projection). posexplode's 0-based array
-    // index IS window start − 1.
+    // emits n−k+1 full-window 64-bit hashes over the TokenHashes
+    // stream in one codegen'd projection; the `rolling` arm choice is
+    // the kernel's — see WindowHashes' scaladoc for the WindowAb
+    // numbers). posexplode's 0-based array index IS window start − 1.
     val g = documents
       .select(col("doc_id"),
         posexplode(graft.plans.TextKernels.windowHashes(
-          graft.plans.TextKernels.tokenHashes(lower(col("text"))), k)))
+          graft.plans.TextKernels.tokenHashes(lower(col("text"))), k, rolling)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gh"))
     val dupHash = g.groupBy("gh")

@@ -41,10 +41,11 @@ class SubstringDedupSpec extends SparkSpec with TableDrivenPropertyChecks {
     }.sortBy(r => (r._1, r._2))
   }
 
-  private def run(rows: Seq[(Long, String)], k: Int): Seq[(Long, Long, Long, String)] = {
+  private def run(rows: Seq[(Long, String)], k: Int,
+      rolling: Boolean = true): Seq[(Long, Long, Long, String)] = {
     import spark.implicits._
     val df = rows.toDF("doc_id", "text")
-    LlmText.substringDedupSpans(df, k).collect()
+    LlmText.substringDedupSpans(df, k, rolling).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(r => (r._1, r._2)).toSeq // the frame is unsorted by design
   }
@@ -75,6 +76,11 @@ class SubstringDedupSpec extends SparkSpec with TableDrivenPropertyChecks {
         Seq(1L -> "c1 c2 c3 c4 c5", 2L -> "c1 c2 c3 c4 c5", 3L -> "z c1 c2 c3 c4 c5")))
     forAll(fixtures) { (name, rows) =>
       assert(run(rows, k) == brute(rows, k), name)
+      // arm equivalence (round 19, WindowHashes A/B): the O(n·k) FNV
+      // fold and the O(n) rolling polynomial hash generate different
+      // CANDIDATE sets, but the exact gram-text verify makes the span
+      // RESULT invariant — both arms must match the brute force
+      assert(run(rows, k, rolling = false) == brute(rows, k), s"$name (fnv arm)")
     }
   }
 
