@@ -3547,8 +3547,118 @@ object LlmText {
          |  UNION ALL SELECT 4, 'budget', count(*)::BIGINT, sum(nt)::BIGINT FROM s4) z
          |ORDER BY stage""".stripMargin) { (s, dir) =>
       curationFunnel(s, dir)
+    },
+
+    // ---- FULL RefinedWeb funnel (round 19, VERDICT r18 item 1 — the
+    // shape Penedo et al. actually run, and the first query to
+    // exercise the facade surface + substring family + budget in ONE
+    // plan): q231's chain with the two missing stages composed in —
+    //   0 corpus → 1 quality (q46's rules) → 2 exact dedup (q38's
+    //   key) → 3 FUZZY dedup (MinHash-LSH components, q57/q222's
+    //   surface: keep the min-id survivor of each cluster ∩ stage-2
+    //   survivors — a cluster's global rep may have died upstream) →
+    //   4 substring CUT (q223's accounting: net tokens = nt −
+    //   interval-union duplicated-span coverage; a token-mass
+    //   adjustment, docs unchanged) → 5 decontamination (q81's
+    //   shingle-overlap rule) → 6 per-source budget (q87's window,
+    //   over NET tokens).
+    // Plan at 100 TB: the fuzzy and substring inputs are the MEMOIZED
+    // family frames (components cache, span frame — PlanSpec pins the
+    // InMemoryTableScans; both are bounded by duplication mass), so
+    // the added stages cost two narrow corpus-scale exchanges (the
+    // cluster-key aggregate + its join back) on top of q231's three
+    // (dedup key, decon hit join, budget window) — each carrying one
+    // purpose the semantics require. Census rows materialize via the
+    // q226 array-unpivot device (7 bounded rows from 2 aggregates +
+    // the budget fold).
+    Q("q232_refinedweb_funnel",
+      s"""${"WITH RECURSIVE " + sqlPrelude.stripPrefix("WITH ")},
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM dsh x JOIN dsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN ssize sa ON sa.doc_id = doc_a
+         |          JOIN ssize sb ON sb.doc_id = doc_b
+         |          WHERE 2 * inter >= sa.n + sb.n - inter),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |closure(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+         |         FROM closure GROUP BY a),
+         |sp AS ($spanSqlCore
+         |       SELECT doc_id, span_start, span_len FROM sp),
+         |iv AS (SELECT doc_id, span_start, span_start + span_len - 1 AS span_end,
+         |         CASE WHEN span_start > coalesce(max(span_start + span_len - 1) OVER (
+         |                PARTITION BY doc_id ORDER BY span_start
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |              THEN 1 ELSE 0 END AS brk
+         |       FROM sp),
+         |ivg AS (SELECT doc_id, span_start, span_end,
+         |          sum(brk) OVER (PARTITION BY doc_id ORDER BY span_start
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+         |        FROM iv),
+         |cov AS (SELECT doc_id, (max(span_end) - min(span_start) + 1)::BIGINT AS ctoks
+         |        FROM ivg GROUP BY doc_id, gid),
+         |cv AS (SELECT doc_id, sum(ctoks)::BIGINT AS dup_toks FROM cov GROUP BY doc_id),
+         |tl2 AS (SELECT doc_id, source, text,
+         |          list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         |        FROM documents),
+         |q AS (SELECT doc_id, source, text, len(t)::BIGINT AS nt,
+         |        (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         |         + CASE WHEN 10 * len(list_distinct(t)) >= 3 * len(t) THEN 1 ELSE 0 END
+         |         + CASE WHEN list_max(list_transform(t, w -> length(w))) <= 15 THEN 1 ELSE 0 END) AS quality
+         |      FROM tl2),
+         |s1 AS (SELECT * FROM q WHERE quality >= 2),
+         |s2 AS (SELECT * FROM s1 WHERE doc_id IN (
+         |         SELECT min(doc_id) FROM s1 GROUP BY trim(lower(text)))),
+         |mm AS (SELECT s1.doc_id, coalesce(comp.cluster_rep, s1.doc_id) AS k
+         |       FROM s1 LEFT JOIN comp USING (doc_id)),
+         |fmin AS (SELECT k, min(doc_id) AS fkept
+         |         FROM mm JOIN s2 USING (doc_id) GROUP BY k),
+         |s3 AS (SELECT s2.* FROM s2 JOIN mm USING (doc_id) JOIN fmin USING (k)
+         |       WHERE doc_id = fkept),
+         |s4 AS (SELECT s3.*, (nt - coalesce(cv.dup_toks, 0))::BIGINT AS ntn
+         |       FROM s3 LEFT JOIN cv USING (doc_id)),
+         |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 20 = 0),
+         |hits AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
+         |         FROM dsh d LEFT JOIN bench b USING (sh) GROUP BY 1),
+         |s5 AS (SELECT s4.* FROM s4 JOIN hits USING (doc_id)
+         |       WHERE doc_id % 20 <> 0 AND 2 * n_hit < n_sh),
+         |s6 AS (SELECT * FROM (
+         |         SELECT s5.*, sum(ntn) OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |         FROM s5) t WHERE cum <= $CurationBudget)
+         |SELECT * FROM (
+         |  SELECT 0::BIGINT AS stage, 'corpus' AS name,
+         |         count(*)::BIGINT AS n_docs, coalesce(sum(nt), 0)::BIGINT AS n_tokens FROM q
+         |  UNION ALL SELECT 1, 'quality', count(*)::BIGINT, coalesce(sum(nt), 0)::BIGINT FROM s1
+         |  UNION ALL SELECT 2, 'exact_dedup', count(*)::BIGINT, coalesce(sum(nt), 0)::BIGINT FROM s2
+         |  UNION ALL SELECT 3, 'fuzzy_dedup', count(*)::BIGINT, coalesce(sum(nt), 0)::BIGINT FROM s3
+         |  UNION ALL SELECT 4, 'substring_cut', count(*)::BIGINT, coalesce(sum(ntn), 0)::BIGINT FROM s4
+         |  UNION ALL SELECT 5, 'decontaminate', count(*)::BIGINT, coalesce(sum(ntn), 0)::BIGINT FROM s5
+         |  UNION ALL SELECT 6, 'budget', count(*)::BIGINT, coalesce(sum(ntn), 0)::BIGINT FROM s6) z
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      refinedFunnel(s, dir)
     }
   )
+
+  /** The q231/q232 decontamination join: per doc, total shingles and
+    * benchmark-hit shingles (bench = doc_id % 20 ≡ 0's distinct
+    * shingle set, broadcast). One definition so the two funnels'
+    * decon semantics cannot drift. */
+  private def benchHits(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("sh")).as("sh")).distinct()
+    sh.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .join(broadcast(bench.withColumn("mark", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("mark")).as("n_hit"))
+  }
 
   /** q231's three-pass funnel (factored for CurationFunnelSpec). */
   private[llm] def curationFunnel(s: SparkSession, dir: String): DataFrame = {
@@ -3563,13 +3673,7 @@ object LlmText {
           + when(ml <= 15, 1).otherwise(0)).as("quality"))
     val s1 = base.filter(col("quality") >= 2)
     val keptMin = s1.groupBy("key").agg(min(col("doc_id")).as("kept"))
-    val sh = docShingles(s, dir)
-    val bench = sh.filter(col("doc_id") % 20 === 0)
-      .select(explode(col("sh")).as("sh")).distinct()
-    val hits = sh.select(col("doc_id"), explode(col("sh")).as("sh"))
-      .join(broadcast(bench.withColumn("mark", lit(1))), Seq("sh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), count(col("mark")).as("n_hit"))
+    val hits = benchHits(s, dir)
     val flagged = s1.join(keptMin, "key")
       .join(hits, Seq("doc_id"), "left")
       .withColumn("l2", col("doc_id") === col("kept"))
@@ -3600,6 +3704,78 @@ object LlmText {
       .select(lit(4L).as("stage"), lit("budget").as("name"),
         col("n_docs"), col("n_tokens"))
     a01.unionAll(a23).unionAll(a4).orderBy("stage")
+  }
+
+  /** q232's seven-stage funnel (factored for CurationFunnelSpec): the
+    * FULL RefinedWeb composition — q231's quality → exact-dedup chain
+    * extended with the fuzzy (MinHash-LSH components) stage, the
+    * substring-cut token accounting, then decontamination and the
+    * per-source budget over NET tokens. See the q232 registration
+    * comment for semantics and the scale contract. */
+  private[llm] def refinedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.plans.TextKernels.qualityStats(lower(col("text")))
+    val Seq(nt, nd, ml) = (1 to 3).map(i => element_at(col("st"), i))
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), st.as("st"))
+      .select(col("doc_id"), col("source"),
+        trim(lower(col("text"))).as("key"), nt.as("nt"),
+        (when(nt.between(20, 1000), 1).otherwise(0)
+          + when(nd * 10 >= nt * 3, 1).otherwise(0)
+          + when(ml <= 15, 1).otherwise(0)).as("quality"))
+    val s1 = base.filter(col("quality") >= 2)
+    val keptMin = s1.groupBy("key").agg(min(col("doc_id")).as("kept"))
+    // fuzzy stage: clusters come from the MEMOIZED corpus-wide
+    // component frame (q57/q91/q222's cache — never rebuilt here);
+    // the survivor election re-runs over the exact-dedup SURVIVORS
+    // (min doc_id of cluster ∩ s2), because a cluster's global
+    // representative may itself have died at an earlier stage
+    val comp = docComponents(s, dir)
+    val withK = s1.join(keptMin, "key")
+      .withColumn("l2", col("doc_id") === col("kept"))
+      .join(comp.select(col("id").as("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
+      .withColumn("k", coalesce(col("cluster_rep"), col("doc_id")))
+    val fuzzyMin = withK.filter(col("l2"))
+      .groupBy("k").agg(min(col("doc_id")).as("fkept"))
+    val flags = withK
+      .join(fuzzyMin, Seq("k"), "left")
+      .withColumn("l3", col("l2") && col("doc_id") === col("fkept"))
+      // substring-cut accounting over the MEMOIZED span frame: net
+      // tokens = nt − interval-union duplicated coverage (q223's rule)
+      .join(spanCoverage(spansFrame(s, dir)), Seq("doc_id"), "left")
+      .withColumn("ntn", col("nt") - coalesce(col("dup_toks"), lit(0L)))
+      .join(benchHits(s, dir), Seq("doc_id"), "left")
+      .withColumn("l5", col("l3") && col("n_sh").isNotNull &&
+        col("doc_id") % 20 =!= 0 && col("n_hit") * 2 < col("n_sh"))
+    val cum = flags.filter(col("l5"))
+      .withColumn("cum", sum(col("ntn")).over(
+        Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= CurationBudget)
+    def stagesOf(df: DataFrame, rows: Seq[(Int, String, Column, Column)]) = {
+      val aggs = rows.zipWithIndex.flatMap { case ((_, _, cond, tok), i) =>
+        Seq(coalesce(sum(when(cond, 1L)), lit(0L)).as(s"d$i"),
+          coalesce(sum(when(cond, tok)), lit(0L)).as(s"t$i")) }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rows.zipWithIndex.map { case ((st0, n, _, _), i) =>
+          struct(lit(st0.toLong).as("stage"), lit(n).as("name"),
+            col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens")) }: _*)).as("r"))
+        .select(col("r.stage").as("stage"), col("r.name").as("name"),
+          col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"))
+    }
+    val a01 = stagesOf(base, Seq(
+      (0, "corpus", lit(true), col("nt")),
+      (1, "quality", col("quality") >= 2, col("nt"))))
+    val a25 = stagesOf(flags, Seq(
+      (2, "exact_dedup", col("l2"), col("nt")),
+      (3, "fuzzy_dedup", col("l3"), col("nt")),
+      (4, "substring_cut", col("l3"), col("ntn")),
+      (5, "decontaminate", col("l5"), col("ntn"))))
+    val a6 = cum.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("ntn")), lit(0L)).as("n_tokens"))
+      .select(lit(6L).as("stage"), lit("budget").as("name"),
+        col("n_docs"), col("n_tokens"))
+    a01.unionAll(a25).unionAll(a6).orderBy("stage")
   }
 
   /** q230's Naive-Bayes scorer over any (doc_id, hs) token-hash frame

@@ -1358,4 +1358,27 @@ class PlanSpec extends SparkSpec {
     assert("Union".r.findAllIn(p).size == 1 && p.contains("Generate explode"),
       s"census shape drifted:\n$p")
   }
+
+  test("q232 refinedweb funnel: fuzzy + substring stages read the MEMOIZED family frames") {
+    // the round-19 contract (VERDICT r18 item 1): the added stages
+    // must consume the persisted component/span frames — rebuilding
+    // either inside the funnel would re-run the LSH pair chain or the
+    // candidate→verify span chain per funnel evaluation
+    val p = plan("q232_refinedweb_funnel")
+    // the component frame (cluster_rep) and the span frame
+    // (span_start/span_len) must each be read through a CACHE SCAN —
+    // the candidate/pair chains print only INSIDE those cached
+    // subtrees, evaluated once per family build, never per funnel run
+    assert("InMemoryTableScan \\[[^\\]]*cluster_rep".r.findAllIn(p).nonEmpty,
+      s"component frame not read from cache:\n$p")
+    assert("InMemoryTableScan \\[[^\\]]*span_".r.findAllIn(p).nonEmpty,
+      s"span frame not read from cache:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "bench mark join stopped broadcasting")
+    // census = 3-branch union (stages 0-1 / 2-5 / 6), not seven
+    // re-evaluations of the whole chain
+    assert("Union".r.findAllIn(p).size == 1 && p.contains("Generate explode"),
+      s"census shape drifted:\n$p")
+    llm.LlmText.release(spark)
+  }
 }
