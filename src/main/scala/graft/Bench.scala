@@ -437,6 +437,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's union-preserves-partitioning feature zips co-partitioned
+      // union children; a memoized frame whose AQE-materialized partition
+      // count diverges from its claimed partitioning crashes the zip
+      // (q233 hot at clone10) -- keep the sound concatenating Union
+      .config("spark.sql.unionOutputPartitioning", "false")
       // the default 100-entry codegen-class LRU thrashes under a
       // 130-query board: the r13 persweep instrument measured ~1985
       // recompilations in EVERY sweep, not just the first — size the

@@ -15,6 +15,11 @@ object Verify {
       // session-wide so no per-read conf mutation (ADVICE r1): events.ts
       // is parquet TIMESTAMP(NANOS), unsupported by the vectorized reader
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's union-preserves-partitioning feature zips co-partitioned
+      // union children; a memoized frame whose AQE-materialized partition
+      // count diverges from its claimed partitioning crashes the zip
+      // (q233 hot at clone10) -- keep the sound concatenating Union
+      .config("spark.sql.unionOutputPartitioning", "false")
       // sized to the full query board (see Bench) — static conf, so set
       // at session create
       .config("spark.sql.codegen.cache.maxEntries", "5000")

@@ -70,6 +70,11 @@ object Q101Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's union-preserves-partitioning feature zips co-partitioned
+      // union children; a memoized frame whose AQE-materialized partition
+      // count diverges from its claimed partitioning crashes the zip
+      // (q233 hot at clone10) -- keep the sound concatenating Union
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

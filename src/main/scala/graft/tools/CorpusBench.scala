@@ -15,6 +15,7 @@ object CorpusBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.unionOutputPartitioning", "false") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mb = new java.io.File(path).length() / 1e6

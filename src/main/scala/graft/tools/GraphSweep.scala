@@ -76,6 +76,7 @@ object GraphSweep {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.unionOutputPartitioning", "false") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

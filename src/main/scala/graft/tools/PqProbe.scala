@@ -17,6 +17,7 @@ object PqProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.unionOutputPartitioning", "false") // see Bench.scala
       .getOrCreate()
     try {
       val brute = graft.llm.LlmVector.qs.find(_.name == "q43_ann_cosine_topk").get

@@ -84,6 +84,63 @@ class SubstringDedupSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  // ---- q233, the incremental form (round 19) ----
+
+  private def bruteIncr(corpus: Seq[(Long, String)], delta: Seq[(Long, String)],
+      k: Int): Seq[(Long, Long, Long, String)] =
+    (brute(corpus ++ delta, k).toSet -- brute(corpus, k).toSet)
+      .toSeq.sortBy(r => (r._1, r._2))
+
+  private def runIncr(corpus: Seq[(Long, String)], delta: Seq[(Long, String)],
+      k: Int): Seq[(Long, Long, Long, String)] = {
+    import spark.implicits._
+    val c = corpus.toDF("doc_id", "text")
+    val d = delta.toDF("doc_id", "text")
+    LlmText.newSpansFromDelta(d, LlmText.gramHashes(c, k),
+        LlmText.substringDedupSpans(c, k), c, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+  }
+
+  test("incremental delta equals from-scratch-on-union minus old spans (adversarial fixtures)") {
+    // the operator's whole contract: newSpansFromDelta over the
+    // pre-built corpus index must equal spans(corpus+delta) EXCEPT
+    // spans(corpus), on fixtures engineered for each change class
+    val fixtures = Table(
+      ("name", "corpus", "delta"),
+      ("delta creates the corpus's first duplication",
+        Seq(1L -> "a b c d e f g", 2L -> "u v w x y z q"),
+        Seq(10L -> "p a b c d e r")),
+      ("delta EXTENDS an existing corpus span asymmetrically",
+        // corpus 1/2 share a..d; delta shares a..f with doc 1 only ->
+        // doc 1's span extends to a..f (old a..d span replaced), doc 2
+        // unchanged, delta holds its own a..f span
+        Seq(1L -> "a b c d e f z1 z2", 2L -> "a b c d y1 y2 y3 y4"),
+        Seq(10L -> "w1 a b c d e f w2")),
+      ("delta merges two corpus islands across their gap",
+        // doc 1's runs a..d and f..i are two old islands (gap = e);
+        // delta shares c d e f g with doc 1 -> positions across the
+        // gap verify and the islands merge into ONE a..i span
+        Seq(1L -> "a b c d e f g h i", 2L -> "a b c d n1 n2 n3 n4", 3L -> "m1 m2 m3 f g h i m4"),
+        Seq(10L -> "t1 c d e f g t2 t3")),
+      ("delta-internal pair only: corpus untouched",
+        Seq(1L -> "a b c d e f g", 2L -> "h i j k l m n"),
+        Seq(10L -> "s1 s2 s3 s4 s5 x1", 20L -> "s1 s2 s3 s4 s5 x2")),
+      ("delta clones ALREADY-duplicated corpus text: only the delta span is new",
+        Seq(1L -> "c1 c2 c3 c4 c5 z1", 2L -> "c1 c2 c3 c4 c5 z2"),
+        Seq(10L -> "c1 c2 c3 c4 c5 z3")),
+      ("sub-k delta contributes nothing",
+        Seq(1L -> "a b c d e f g", 2L -> "a b c d e f h"),
+        Seq(10L -> "a b c")),
+      ("empty delta yields empty output",
+        Seq(1L -> "a b c d e f g", 2L -> "a b c d e f h"),
+        Seq.empty[(Long, String)]))
+    forAll(fixtures) { (name, corpus, delta) =>
+      assert(runIncr(corpus, delta, k) == bruteIncr(corpus, delta, k), name)
+    }
+  }
+
   test("spanCoverage is the interval UNION, never the span-mass sum") {
     import spark.implicits._
     // two islands one gram apart (k=4): spans [1,5] (len 5) and
