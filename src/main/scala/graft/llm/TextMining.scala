@@ -107,6 +107,75 @@ object TextMining {
       (merges.toSeq, cur)
     })
 
+  /** The byte trainer's grafted multibyte word (the q88 convention:
+    * the fixture corpus is pure ASCII, so the gate would otherwise
+    * never exercise a multibyte split — ' café' puts the C3 A9 UTF-8
+    * pair in every document). */
+  private[llm] val ByteGraft = " café"
+
+  /** All-words vocabulary over the grafted stream — the byte trainer's
+    * seed frame (NO [a-z]/length screen: byte fallback = no OOV). */
+  private val byteVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def byteVocab(s: SparkSession, dir: String): DataFrame =
+    byteVocabCache.computeIfAbsent((s, dir), _ =>
+      docs(s, dir)
+        .select(explode(tokens(concat(col("text"), lit(ByteGraft)))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .persist())
+
+  /** Byte-level BPE training state, memoized like [[bpeTrain]] (round
+    * 19, VERDICT r18 item 5 — the GPT-2 production form next to
+    * q218's word-level Sennrich trainer). Same G-step argmax loop and
+    * framing device; the seed alphabet is the word's UTF-8 bytes
+    * HEX-ENCODED ('·63··61··66··C3··A9·' for "café"), so every
+    * framing unit is [0-9A-F] and merge literals are SQL-safe for ANY
+    * input — the property that lets replace() cover arbitrary text,
+    * where q218's raw-char framing needed the ^[a-z]+$ screen. */
+  private val byteBpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  private[llm] def byteBpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    byteBpeCache.computeIfAbsent((s, dir), _ => {
+      var cur = byteVocab(s, dir)
+        .select(col("w"), col("n_w").as("n"),
+          regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)", "·$1·").as("tok"))
+        .persist()
+      cur.count()
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var step = 1
+      try while (step <= BpeSteps) {
+        val best = cur
+          .select(col("n"),
+            split(regexp_replace(col("tok"), "^·|·$", ""), "··").as("sp"))
+          .filter(size(col("sp")) >= 2)
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(sp) - 1), i ->
+              |  struct(element_at(sp, i) AS a, element_at(sp, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        require(best.nonEmpty, "byte-BPE vocabulary exhausted before G merges")
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, cnt))
+        // a, b are hex strings by construction — SQL-literal safe for
+        // any input bytes
+        val next = cur.select(col("w"), col("n"),
+          expr(s"replace(tok, '·${a}··${b}·', '·${a}${b}·')").as("tok")).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        step += 1
+      } catch { case t: Throwable =>
+        cur.unpersist()
+        throw t
+      }
+      (merges.toSeq, cur)
+    })
+
   /** q218's oracle, GENERATED as unrolled SQL (one CTE block per merge
     * step): a recursive CTE cannot reference the working set twice
     * (once for the words, once for the argmax) nor aggregate over the
@@ -115,13 +184,19 @@ object TextMining {
     * and tie-break are byte-identical to the Spark body's. */
   /** The shared unrolled-training prefix: WITH blocks w0..wG (each
     * carrying (w, n, tok)) and the per-step argmax blocks b0..b(G−1). */
-  private def bpeOracleBase(g: Int): String = {
-    val sb = new StringBuilder
-    sb ++= """WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
+  private def bpeOracleBase(g: Int): String =
+    """WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
       |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
       |  FROM documents) t
       |WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 32 GROUP BY 1),
-      |w0 AS (SELECT w, n, regexp_replace(w, '(.)', '·\1·', 'g') AS tok FROM wf)""".stripMargin
+      |w0 AS (SELECT w, n, regexp_replace(w, '(.)', '·\1·', 'g') AS tok FROM wf)""".stripMargin +
+      bpeOracleSteps(g)
+
+  /** The per-step argmax/merge CTE blocks, shared by the word-level
+    * (q218/q219) and byte-level (q234/q235) oracle generators — the
+    * framing machinery is alphabet-agnostic, only w0's seed differs. */
+  private def bpeOracleSteps(g: Int): String = {
+    val sb = new StringBuilder
     for (i <- 0 until g) {
       sb ++= s""",
         |sp$i AS (SELECT n, sp, unnest(generate_series(1, len(sp) - 1)) AS i
@@ -136,6 +211,44 @@ object TextMining {
     }
     sb.toString
   }
+
+  /** Byte-level BPE oracle header (q234/q235): the seed alphabet is
+    * the word's UTF-8 BYTES, hex-encoded two chars per byte so every
+    * framing unit is [0-9A-F] — merge literals stay SQL-safe for ANY
+    * input bytes, which is what lets the q218 replace() device cover
+    * arbitrary text. No [a-z] screen and no length window: byte
+    * fallback means NO OOV class by construction. The stream grafts
+    * one multibyte word (' café') per document (the q88 convention)
+    * so real UTF-8 byte splitting is exercised at the gate. */
+  private def byteBpeOracleBase(g: Int): String =
+    """WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
+      |  SELECT unnest(list_filter(string_split(lower(text) || ' caf' || chr(233), ' '), x -> x != '')) AS w
+      |  FROM documents) t GROUP BY 1),
+      |w0 AS (SELECT w, n, regexp_replace(hex(encode(w)), '(..)', '·\1·', 'g') AS tok FROM wf)""".stripMargin +
+      bpeOracleSteps(g)
+
+  private[llm] def byteBpeOracleSql(g: Int): String =
+    byteBpeOracleBase(g) + (0 until g).map(i =>
+        s"SELECT ${i + 1}::INT AS step, a AS lhs, b AS rhs, cnt AS pair_n FROM b$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q235's oracle: the byte-trained state's per-word token counts
+    * joined against per-source counts of the SAME grafted word
+    * stream — fertility per word and per BYTE (strlen = UTF-8 byte
+    * length in DuckDB; octet_length on the Spark side). */
+  private[llm] def byteBpeFertilityOracleSql(g: Int): String =
+    byteBpeOracleBase(g) + s""",
+      |nt AS (SELECT w, len(string_split(trim(tok, '·'), '··'))::BIGINT AS nt FROM w$g),
+      |psw AS (SELECT source, w, count(*)::BIGINT AS c FROM (
+      |    SELECT source, unnest(list_filter(string_split(lower(text) || ' caf' || chr(233), ' '), x -> x != '')) AS w
+      |    FROM documents) t GROUP BY 1, 2)
+      |SELECT source, sum(c)::BIGINT AS n_words,
+      |       sum(c * nt)::BIGINT AS n_tokens,
+      |       sum(c * strlen(w))::BIGINT AS n_bytes,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c), 0))::BIGINT AS tpw_milli,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c * strlen(w)), 0))::BIGINT AS tpb_milli
+      |FROM psw JOIN nt USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
 
   private[llm] def bpeOracleSql(g: Int): String =
     bpeOracleBase(g) + (0 until g).map(i =>
@@ -542,6 +655,8 @@ object TextMining {
 
   def release(s: SparkSession): Unit = {
     graft.Caches.dropSession(bpeCache, s)(_._2.unpersist())
+    graft.Caches.dropSession(byteBpeCache, s)(_._2.unpersist())
+    graft.Caches.dropSession(byteVocabCache, s)(_.unpersist())
     graft.Caches.dropSession(uniCache, s)(_.unpersist())
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
     graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
@@ -559,6 +674,7 @@ object TextMining {
   private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
     vocab(s, dir).count()
     bpeTrain(s, dir)._2.count()
+    byteBpeTrain(s, dir)._2.count()
     unigramTrain(s, dir).count()
     splitCounts(s, dir).count()
     sourceGrams(s, dir).count()
@@ -1644,6 +1760,49 @@ object TextMining {
         size(split(regexp_replace(col("tok"), "^·|·$", ""), "··"))
           .cast("long").as("nt"))
       fertilityCensus(s, dir, 2, 32, nt)
+    },
+
+    // ---- BYTE-level BPE training (round 19, VERDICT r18 item 5 —
+    // the GPT-2 production form): seed alphabet = the word's UTF-8
+    // bytes, hex-encoded as the framing units, so EVERY word
+    // tokenizes (no OOV class, no [a-z] screen — the byte-fallback
+    // property) and merge literals stay SQL-safe for arbitrary input.
+    // The grafted multibyte word exercises a real UTF-8 split at the
+    // gate: 'café' seeds as 63/61/66/C3/A9 and a C3+A9 merge crosses
+    // the multibyte boundary. Training plan = q218's: G bounded
+    // argmax aggregates over the Heaps-bounded distinct-word frame
+    // (driver pulls ONE row per step), merges applied as map-only
+    // replaces. Unrolled-CTE oracle device carries over verbatim —
+    // only the w0 seed differs (shared bpeOracleSteps blocks).
+    Q("q234_byte_bpe_merges", byteBpeOracleSql(BpeSteps)) { (s, dir) =>
+      import s.implicits._
+      byteBpeTrain(s, dir)._1.toDF("step", "lhs", "rhs", "pair_n").orderBy("step")
+    },
+
+    // ---- byte-BPE fertility census (q219's question under the byte
+    // model, over the FULL grafted word stream — no vocabulary
+    // window, because byte fallback covers everything): per source,
+    // words / trained tokens / UTF-8 bytes, fertility per word and
+    // compression per BYTE (strlen on the DuckDB side ≡ octet_length
+    // on the Spark side). n_words ≤ n_tokens ≤ n_bytes by
+    // construction (ByteBpeSpec pins the laws).
+    Q("q235_byte_bpe_fertility", byteBpeFertilityOracleSql(BpeSteps)) { (s, dir) =>
+      val nt = byteBpeTrain(s, dir)._2.select(col("w"),
+        size(split(regexp_replace(col("tok"), "^·|·$", ""), "··"))
+          .cast("long").as("nt"))
+      val psw = docs(s, dir)
+        .select(col("source"),
+          explode(tokens(concat(col("text"), lit(ByteGraft)))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      psw.join(nt, "w")
+        .groupBy("source")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("nt")).as("n_tokens"),
+          sum(col("c") * octet_length(col("w"))).as("n_bytes"))
+        .select(col("source"), col("n_words"), col("n_tokens"), col("n_bytes"),
+          expr("(1000 * n_tokens) div nullif(n_words, 0)").as("tpw_milli"),
+          expr("(1000 * n_tokens) div nullif(n_bytes, 0)").as("tpb_milli"))
+        .orderBy("source")
     },
     // ---- Exact eval-budget apportionment (round 15 — the allocation
     // step after the mix decision: distribute a FIXED eval budget of
