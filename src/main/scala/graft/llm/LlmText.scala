@@ -846,6 +846,14 @@ object LlmText {
     // index ⊂ delta: precomputed index prefixes probe the delta's postings
     val d2 = prefixOf(exIdx)
       .join(exDelta.select(col("doc_id").as("b"), col("s")), "s")
+    // NOT coalesced (measured, r19): after the engine-wide
+    // union-partitioning disable cost this query ~0.7 s (UnionAb:
+    // conf ON 1.38/1.12 vs OFF 2.02/1.84 cold/hot), an explicit
+    // coalesce(32) after the union was tried to recover it — and read
+    // WORSE on both arms (2.43–2.56 / 2.00–2.05): the narrow coalesce
+    // fuses into the parent stage and halves the two probe joins'
+    // parallelism. The 0.7 s stays as the documented price of dodging
+    // the zip-crash class; q135's anchor carries it.
     val cands = d1.unionByName(d2).select("a", "b").distinct()
     cands
       .join(d.select(col("doc_id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
