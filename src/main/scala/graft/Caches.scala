@@ -75,7 +75,8 @@ object Caches {
       "q202_step_novelty", "q207_padding_waste", "q218_bpe_merges",
       "q219_bpe_fertility", "q227_phrase_search",
       "q228_unigram_lm", "q229_unigram_fertility",
-      "q234_byte_bpe_merges", "q235_byte_bpe_fertility"),
+      "q234_byte_bpe_merges", "q235_byte_bpe_fertility",
+      "q236_byte_bpe_apply"),
       llm.TextMining.release, llm.TextMining.prebuild),
     // the streaming "family" owns no memoized frames (nothing to
     // prebuild) — its release drops the UUID-named memory-sink temp

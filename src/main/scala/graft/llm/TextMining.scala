@@ -137,8 +137,14 @@ object TextMining {
 
   private[llm] def byteBpeTrain(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) =
-    byteBpeCache.computeIfAbsent((s, dir), _ => {
-      var cur = byteVocab(s, dir)
+    byteBpeCache.computeIfAbsent((s, dir), _ => byteBpeTrainOn(byteVocab(s, dir)))
+
+  /** The G-step byte-BPE loop over any (w, n_w) word-frequency frame —
+    * factored so q234 (full grafted stream) and q236 (train split
+    * only) share one trainer body. */
+  private[llm] def byteBpeTrainOn(words: DataFrame)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+      var cur = words
         .select(col("w"), col("n_w").as("n"),
           regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)", "·$1·").as("tok"))
         .persist()
@@ -174,7 +180,24 @@ object TextMining {
         throw t
       }
       (merges.toSeq, cur)
-    })
+  }
+
+  /** q236's TRAIN-split word frame (doc_id % 10 ≠ 0, ungrafted) and
+    * its trained byte-BPE state — the true train/apply separation the
+    * full-stream q234 trainer cannot exercise. */
+  private val splitVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def splitVocab(s: SparkSession, dir: String): DataFrame =
+    splitVocabCache.computeIfAbsent((s, dir), _ =>
+      docs(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .persist())
+  private val splitBpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()
+  private[llm] def byteBpeTrainSplit(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    splitBpeCache.computeIfAbsent((s, dir), _ => byteBpeTrainOn(splitVocab(s, dir)))
 
   /** q218's oracle, GENERATED as unrolled SQL (one CTE block per merge
     * step): a recursive CTE cannot reference the working set twice
@@ -220,12 +243,48 @@ object TextMining {
     * fallback means NO OOV class by construction. The stream grafts
     * one multibyte word (' café') per document (the q88 convention)
     * so real UTF-8 byte splitting is exercised at the gate. */
-  private def byteBpeOracleBase(g: Int): String =
-    """WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
-      |  SELECT unnest(list_filter(string_split(lower(text) || ' caf' || chr(233), ' '), x -> x != '')) AS w
-      |  FROM documents) t GROUP BY 1),
-      |w0 AS (SELECT w, n, regexp_replace(hex(encode(w)), '(..)', '·\1·', 'g') AS tok FROM wf)""".stripMargin +
+  private def byteBpeOracleCore(g: Int, where: String, graftSql: String): String =
+    s"""WITH wf AS (SELECT w, count(*)::BIGINT AS n FROM (
+      |  SELECT unnest(list_filter(string_split(lower(text)$graftSql, ' '), x -> x != '')) AS w
+      |  FROM documents $where) t GROUP BY 1),
+      |w0 AS (SELECT w, n, regexp_replace(hex(encode(w)), '(..)', '·\\1·', 'g') AS tok FROM wf)""".stripMargin +
       bpeOracleSteps(g)
+
+  private def byteBpeOracleBase(g: Int): String =
+    byteBpeOracleCore(g, "", " || ' caf' || chr(233)")
+
+  /** q236's oracle: unrolled training on the TRAIN split (ungrafted),
+    * then the apply chain — the same G merges replayed over the EVAL
+    * split's distinct words as G more replace() CTEs (a0..aG), then
+    * the census with the unseen flag (LEFT JOIN against the train
+    * vocabulary). */
+  private[llm] def byteBpeApplyOracleSql(g: Int): String = {
+    val sb = new StringBuilder(
+      byteBpeOracleCore(g, "WHERE doc_id % 10 <> 0", ""))
+    sb ++= """,
+      |ev AS (SELECT source, w, count(*)::BIGINT AS c FROM (
+      |    SELECT source, unnest(list_filter(string_split(lower(text) || ' zq' || doc_id || chr(233), ' '), x -> x != '')) AS w
+      |    FROM documents WHERE doc_id % 10 = 0) t GROUP BY 1, 2),
+      |a0 AS (SELECT w, regexp_replace(hex(encode(w)), '(..)', '·\1·', 'g') AS tok
+      |       FROM (SELECT DISTINCT w FROM ev) t)""".stripMargin
+    for (i <- 0 until g)
+      sb ++= s""",
+        |a${i + 1} AS (SELECT w, replace(tok, '·' || b$i.a || '··' || b$i.b || '·',
+        |                  '·' || b$i.a || b$i.b || '·') AS tok FROM a$i, b$i)""".stripMargin
+    sb ++= s""",
+      |nt AS (SELECT w, len(string_split(trim(tok, '·'), '··'))::BIGINT AS nt FROM a$g),
+      |uns AS (SELECT nt.w AS w, CASE WHEN wf.w IS NULL THEN 1 ELSE 0 END AS unseen
+      |        FROM nt LEFT JOIN wf ON nt.w = wf.w)
+      |SELECT source, sum(c)::BIGINT AS n_words,
+      |       sum(c * unseen)::BIGINT AS n_unseen,
+      |       sum(c * nt)::BIGINT AS n_tokens,
+      |       sum(c * strlen(w))::BIGINT AS n_bytes,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c), 0))::BIGINT AS tpw_milli,
+      |       ((1000 * sum(c * nt)) // NULLIF(sum(c * strlen(w)), 0))::BIGINT AS tpb_milli
+      |FROM ev JOIN nt USING (w) JOIN uns USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
+    sb.toString
+  }
 
   private[llm] def byteBpeOracleSql(g: Int): String =
     byteBpeOracleBase(g) + (0 until g).map(i =>
@@ -657,6 +716,8 @@ object TextMining {
     graft.Caches.dropSession(bpeCache, s)(_._2.unpersist())
     graft.Caches.dropSession(byteBpeCache, s)(_._2.unpersist())
     graft.Caches.dropSession(byteVocabCache, s)(_.unpersist())
+    graft.Caches.dropSession(splitBpeCache, s)(_._2.unpersist())
+    graft.Caches.dropSession(splitVocabCache, s)(_.unpersist())
     graft.Caches.dropSession(uniCache, s)(_.unpersist())
     graft.Caches.dropSession(vocabCache, s)(_.unpersist())
     graft.Caches.dropSession(splitCountsCache, s)(_.unpersist())
@@ -675,6 +736,7 @@ object TextMining {
     vocab(s, dir).count()
     bpeTrain(s, dir)._2.count()
     byteBpeTrain(s, dir)._2.count()
+    byteBpeTrainSplit(s, dir)._2.count()
     unigramTrain(s, dir).count()
     splitCounts(s, dir).count()
     sourceGrams(s, dir).count()
@@ -1777,6 +1839,58 @@ object TextMining {
     Q("q234_byte_bpe_merges", byteBpeOracleSql(BpeSteps)) { (s, dir) =>
       import s.implicits._
       byteBpeTrain(s, dir)._1.toDF("step", "lhs", "rhs", "pair_n").orderBy("step")
+    },
+
+    // ---- byte-BPE APPLY-TO-UNSEEN (round 19 — the true train/apply
+    // separation neither q219 nor q235 exercises, and the half of the
+    // byte-fallback claim that actually matters in production: train
+    // on the doc_id % 10 ≠ 0 split, tokenize the EVAL split by MERGE
+    // REPLAY — the G trained merges wrapped around the seed framing
+    // as one map-only projection (no join against trained state, so
+    // words the trainer NEVER SAW still tokenize). The fixture corpus
+    // holds only 31 words, all shared across splits, so unseen words
+    // are manufactured by the q88/q38 adversary convention: each eval
+    // doc grafts a deterministic ' zq<doc_id>é' pseudo-word — unseen
+    // by construction, with digits and a multibyte char whose bytes
+    // the trainer also never saw (they survive as single-byte
+    // fallback tokens while trained merges still fire on seen
+    // substrings). Census per eval source: words, unseen words,
+    // tokens, UTF-8 bytes, fertility/compression. Plan at 100 TB:
+    // the merge table is G driver-known literals (the q218
+    // convention), apply is map-only over the Heaps-bounded distinct
+    // eval word frame, unseen = one broadcast join against the
+    // train vocabulary. Oracle replays the same merges as G unrolled
+    // apply CTEs after the unrolled training.
+    Q("q236_byte_bpe_apply", byteBpeApplyOracleSql(BpeSteps)) { (s, dir) =>
+      val merges = byteBpeTrainSplit(s, dir)._1
+      val applyExpr = merges.foldLeft(
+        "regexp_replace(hex(encode(w, 'UTF-8')), '(..)', '·$1·')") {
+        case (acc, (_, a, b, _)) => s"replace($acc, '·${a}··${b}·', '·${a}${b}·')"
+      }
+      val ev = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("source"), explode(tokens(concat(col("text"),
+          lit(" zq"), col("doc_id").cast("string"), lit("é")))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val ntu = ev.select("w").distinct()
+        .withColumn("tok", expr(applyExpr))
+        .select(col("w"),
+          size(split(regexp_replace(col("tok"), "^·|·$", ""), "··"))
+            .cast("long").as("nt"))
+        .join(broadcast(splitVocab(s, dir).select(col("w").as("tw"))),
+          col("w") === col("tw"), "left")
+        .withColumn("unseen", when(col("tw").isNull, 1L).otherwise(0L))
+        .select("w", "nt", "unseen")
+      ev.join(ntu, "w")
+        .groupBy("source")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("unseen")).as("n_unseen"),
+          sum(col("c") * col("nt")).as("n_tokens"),
+          sum(col("c") * octet_length(col("w"))).as("n_bytes"))
+        .select(col("source"), col("n_words"), col("n_unseen"),
+          col("n_tokens"), col("n_bytes"),
+          expr("(1000 * n_tokens) div nullif(n_words, 0)").as("tpw_milli"),
+          expr("(1000 * n_tokens) div nullif(n_bytes, 0)").as("tpb_milli"))
+        .orderBy("source")
     },
 
     // ---- byte-BPE fertility census (q219's question under the byte

@@ -97,6 +97,39 @@ class ByteBpeSpec extends SparkSpec {
     assert(hm.head._2 == "C3" && hm.head._3 == "A9", hm.toString)
   }
 
+  test("q236 merge REPLAY == trained state on seen words; unseen words still tokenize") {
+    // the apply operator's two load-bearing laws: (a) replaying the
+    // merge table over a TRAIN word must reproduce the trained state's
+    // tokenization exactly (apply is stateless-correct), and (b) a
+    // word the trainer never saw — unseen bytes included — still
+    // yields a full tokenization whose concatenated hex decodes back
+    // to the word's bytes (byte fallback, no OOV)
+    val dir = "/root/testdata/sf0.001"
+    val (merges, state) = TextMining.byteBpeTrainSplit(spark, dir)
+    val applyExpr = merges.foldLeft(
+      "regexp_replace(hex(encode(w, 'UTF-8')), '(..)', '·$1·')") {
+      case (acc, (_, a, b, _)) => s"replace($acc, '·${a}··${b}·', '·${a}${b}·')"
+    }
+    val replayed = state.select(col("w"), col("tok").as("trained"))
+      .withColumn("replayed", expr(applyExpr))
+    assert(replayed.filter(col("trained") =!= col("replayed")).count() == 0,
+      "merge replay diverged from the trained state")
+    // unseen words: digits + multibyte bytes the split trainer never saw
+    import spark.implicits._
+    val unseen = Seq("zq123é", "日本x", "---").toDF("w")
+      .withColumn("tok", expr(applyExpr))
+      .select(col("w"),
+        regexp_replace(col("tok"), "·", "").as("hexcat"),
+        hex(encode(col("w"), "UTF-8")).as("hexw"))
+      .collect()
+    unseen.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"${r.getString(0)}: tokenization lost bytes (${r.getString(1)} vs ${r.getString(2)})")
+    }
+    TextMining.release(spark)
+    LlmText.release(spark)
+  }
+
   test("byte-fallback laws on the fixture: no OOV; words <= tokens <= bytes") {
     val dir = "/root/testdata/sf0.001"
     val (_, state) = TextMining.byteBpeTrain(spark, dir)
