@@ -155,7 +155,12 @@ object Bench {
   final case class SweepStat(sum: Double, gcMs: Long, compiles: Long,
       build: Double = 0.0, warm: Boolean = false,
       builds: Seq[(String, Double)] = Nil, calibFlag: Boolean = false,
-      rerunOf: Option[Int] = None, dropped: Boolean = false)
+      rerunOf: Option[Int] = None, dropped: Boolean = false,
+      // explicit sweep number (ADVICE r19: with SPARK_GRAFT_WARMSWEEP=0
+      // the array index no longer equals sweep−1, so rerun_of was
+      // ambiguous to consumers); −1 = not set (unit-test fixtures) →
+      // field omitted from both JSON forms
+      sweep: Int = -1)
 
   /** One mid-sweep calibration sample at query index `pos` (0-based,
     * position in the sweep order) of sweep `sweep` (1-based; 0 = the
@@ -336,7 +341,8 @@ object Bench {
     val sw =
       if (sweeps.isEmpty) ""
       else sweeps.map(s =>
-        s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}""" +
+        (if (s.sweep >= 0) s"""{\"sweep\":${s.sweep},""" else "{") +
+          s"""\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}""" +
           (if (s.warm) ",\"warm\":true" else "") +
           (if (s.calibFlag) ",\"calib_flag\":true" else "") +
           s.rerunOf.map(o => s",\"rerun_of\":$o").getOrElse("") +
@@ -409,7 +415,8 @@ object Bench {
         if (s.builds.isEmpty) ""
         else s.builds.map { case (n, t) => s"""\"$n\":${fmt(t)}""" }
           .mkString(",\"builds\":{", ",", "}")
-      s"""{\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}$fam""" +
+      (if (s.sweep >= 0) s"""{\"sweep\":${s.sweep},""" else "{") +
+        s"""\"sum\":${fmt(s.sum)},\"gc_ms\":${s.gcMs},\"cg\":${s.compiles},\"build\":${fmt(s.build)}$fam""" +
         (if (s.warm) ",\"warm\":true" else "") +
         (if (s.calibFlag) ",\"calib_flag\":true" else "") +
         s.rerunOf.map(o => s",\"rerun_of\":$o").getOrElse("") +
@@ -606,7 +613,7 @@ object Bench {
       }
       (sweepTimes.toMap, sweepErrs.toMap,
         SweepStat(sweepTimes.values.sum, gcMillis - gc0, cgN1 - cgN0,
-          buildSec, warm = sweep == 0, builds = familyBuilds))
+          buildSec, warm = sweep == 0, builds = familyBuilds, sweep = sweep))
     }
     // per-sweep results, keyed by sweep number in run order; counted
     // sweeps' times/errors fold into the medians only AFTER the
@@ -638,8 +645,18 @@ object Bench {
     val rerunOn = !sys.env.get("SPARK_GRAFT_RERUN").contains("0")
     val dropped = scala.collection.mutable.Set[Int]()
     val rerunOfMap = scala.collection.mutable.Map[Int, Int]()
+    // the flag set as DECIDED at adjudication time, per sweep (ADVICE
+    // r19: recomputing flags over the post-rerun sample pool at render
+    // time can disagree with the decision that drove the re-runs — the
+    // session median shifts as replacement samples land). Original
+    // sweeps are judged against the pre-rerun pool; each replacement
+    // sweep against the pool as of ITS adjudication — exactly the
+    // values the kept/dropped decisions used.
+    val flagDecision = scala.collection.mutable.Map[Int, Boolean]()
+    val preFlags = flaggedSweeps(midSamples.toSeq)
+    statBySweep.keys.foreach(no => flagDecision(no) = preFlags(no))
     if (rerunOn) {
-      val flaggedOrig = flaggedSweeps(midSamples.toSeq).filter(_ >= 1).toSeq.sorted
+      val flaggedOrig = preFlags.filter(_ >= 1).toSeq.sorted
       var nextNo = repeat
       flaggedOrig.foreach { orig =>
         nextNo += 1
@@ -648,7 +665,9 @@ object Bench {
         val (st, errs, stat) = runOneSweep(rn)
         statBySweep(rn) = stat
         rerunOfMap(rn) = orig
-        if (flaggedSweeps(midSamples.toSeq).contains(rn)) dropped += rn
+        val rnFlagged = flaggedSweeps(midSamples.toSeq).contains(rn)
+        flagDecision(rn) = rnFlagged
+        if (rnFlagged) dropped += rn
         else { dropped += orig; timesBySweep(rn) = st; errsBySweep(rn) = errs }
       }
     }
@@ -670,11 +689,12 @@ object Bench {
     // any mid-calib hash sample >25% off the session median carries
     // `calib_flag` in both JSON forms; since round 19 a flagged
     // COUNTED sweep is also re-run once (above), and the kept/dropped
-    // adjudication rides the same rows as `rerun_of`/`dropped`.
-    val flagged = flaggedSweeps(midSamples.toSeq)
+    // adjudication rides the same rows as `rerun_of`/`dropped`. The
+    // rendered flags are the SNAPSHOT taken at adjudication time
+    // (flagDecision above), not a render-time recompute — ADVICE r19.
     val sweepStatsFlagged = statBySweep.toSeq.map { case (no, st) =>
-      st.copy(calibFlag = flagged(no), rerunOf = rerunOfMap.get(no),
-        dropped = dropped(no))
+      st.copy(calibFlag = flagDecision.getOrElse(no, false),
+        rerunOf = rerunOfMap.get(no), dropped = dropped(no))
     }
     val anchors = loadAnchors()
     // full record into the repo (the round commit carries it); path

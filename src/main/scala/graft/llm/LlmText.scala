@@ -4236,10 +4236,15 @@ object LlmText {
     val dgh = dg.select("gh").distinct()
     val probed = corpusGrams.join(dgh, "gh").select("doc_id", "pos")
     val cand = probed.unionAll(dg.select("doc_id", "pos"))
-    // token arrays only for docs the probe touched: the broadcast
-    // semi-prune keeps the corpus side map-only (no corpus exchange)
+    // token arrays only for docs the probe touched. NO broadcast hint
+    // (ADVICE r19): on high-duplication adversaries (clone100) cand
+    // approaches a corpus-wide doc_id set, so a forced broadcast is a
+    // driver/executor memory cliff at the 100 TB contract. AQE picks
+    // broadcast when the candidate set is small (the common
+    // delta ≪ corpus regime) and falls back to a shuffle join when it
+    // is not — the shuffle IS the right plan there.
     val candDocs = cand.select("doc_id").distinct()
-    val tlPruned = tl.join(broadcast(candDocs), "doc_id")
+    val tlPruned = tl.join(candDocs, "doc_id")
     val withText = cand.join(tlPruned, "doc_id")
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", slice(col("t"), col("pos").cast("int"), lit(k))).as("gram"))
@@ -4251,7 +4256,9 @@ object LlmText {
       .select("gram")
     val newVer = withText.join(dupGram, "gram").select("doc_id", "pos")
     val affected = newVer.select("doc_id").distinct()
-    val oldPos = corpusSpans.join(broadcast(affected), "doc_id")
+    // same reasoning: `affected` is duplication-mass-bounded but NOT
+    // constant-bounded — AQE decides (ADVICE r19)
+    val oldPos = corpusSpans.join(affected, "doc_id")
       .select(col("doc_id"), explode(sequence(col("span_start"),
         col("span_start") + col("span_len") - k)).as("pos"))
     val allPos = newVer.unionAll(oldPos).distinct()

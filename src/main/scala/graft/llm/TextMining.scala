@@ -844,7 +844,7 @@ object TextMining {
       s"""WITH vocab AS (SELECT w, count(*)::BIGINT AS n_occ
          |    FROM (SELECT unnest(list_filter(string_split(lower(text),' '), x->x!='')) AS w
          |          FROM documents) GROUP BY 1),
-         |lex(term) AS (VALUES ${Lexicon.map(t => s"('$t')").mkString(",")})
+         |lex(term) AS (VALUES ${Lexicon.map(t => s"('${t.replace("'", "''")}')").mkString(",")})
          |SELECT l.term, v.w, levenshtein(l.term, v.w)::BIGINT AS dist, v.n_occ
          |FROM lex l JOIN vocab v ON abs(len(l.term) - len(v.w)) <= 1
          |WHERE levenshtein(l.term, v.w) <= 1

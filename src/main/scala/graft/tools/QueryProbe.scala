@@ -117,16 +117,25 @@ object QueryProbe {
     val (h1, s1) = graft.Bench.calibrate(spark)
     println(f"calib post: hash $h1%.3f s  spark $s1%.3f s")
     if (flaggedMode) {
-      val commitTag = args.lift(4).getOrElse("rNN")
-      val calibStr = f"$h0%.3f/$h1%.3f"
-      val patch = results.result()
-        .map { case (n, c, h) => patchEntry(n, c, h, commitTag, calibStr) }
-        .mkString(",\n")
-      println("---- ANCHORS PATCH (splice into ANCHORS.json \"queries\") ----")
-      println(patch)
-      println("---- END PATCH ----")
-      val w = new java.io.PrintWriter("ANCHORS_PATCH.json", "UTF-8")
-      try w.println("{\n" + patch + "\n}") finally w.close()
+      // committed anchors are DEFINED as sf0.1 flat-calib medians; a
+      // probe at any other SF would emit wrong-scale values in
+      // splice-ready form (ADVICE r19) — print the measurements but
+      // refuse to write the patch artifact
+      if (!new java.io.File(sfDir).getName.equals("sf0.1")) {
+        println(s"REFUSING ANCHORS_PATCH.json: sfDir '$sfDir' is not the " +
+          "anchor-defining sf0.1 dataset (anchors are sf0.1 medians)")
+      } else {
+        val commitTag = args.lift(4).getOrElse("rNN")
+        val calibStr = f"$h0%.3f/$h1%.3f"
+        val patch = results.result()
+          .map { case (n, c, h) => patchEntry(n, c, h, commitTag, calibStr) }
+          .mkString(",\n")
+        println("---- ANCHORS PATCH (splice into ANCHORS.json \"queries\") ----")
+        println(patch)
+        println("---- END PATCH ----")
+        val w = new java.io.PrintWriter("ANCHORS_PATCH.json", "UTF-8")
+        try w.println("{\n" + patch + "\n}") finally w.close()
+      }
     }
     spark.stop()
   }

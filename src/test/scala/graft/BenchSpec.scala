@@ -238,6 +238,30 @@ class BenchSpec extends SparkSpec {
     assert((lp \ "sweeps")(1) \ "calib_flag" == JBool(true), line)
   }
 
+  test("sweep rows carry their explicit sweep number in both JSON forms") {
+    // ADVICE r19: with SPARK_GRAFT_WARMSWEEP=0 the array index is no
+    // longer sweep−1, so rerun_of needs an explicit per-row number
+    import org.json4s._
+    val sweeps = Seq(
+      Bench.SweepStat(5.0, 10L, 300L, 2.0, warm = true, sweep = 0),
+      Bench.SweepStat(3.0, 10L, 50L, 1.0, sweep = 1),
+      Bench.SweepStat(3.1, 10L, 50L, 1.0, rerunOf = Some(1), sweep = 4))
+    val j = Bench.detailJson("/sf", 3, "32", Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, sweeps)
+    val parsed = org.json4s.jackson.JsonMethods.parse(j)
+    assert((parsed \ "sweeps")(0) \ "sweep" == JInt(0), j)
+    assert((parsed \ "sweeps")(2) \ "sweep" == JInt(4), j)
+    val line = Bench.metricLine("/sf", 3, Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, sweeps, None)
+    val lp = org.json4s.jackson.JsonMethods.parse(line)
+    assert((lp \ "sweeps")(1) \ "sweep" == JInt(1), line)
+    // unit-test fixtures without a sweep number keep the old shape
+    val legacy = Bench.detailJson("/sf", 3, "32", Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, Seq(Bench.SweepStat(3.0, 10L, 50L)))
+    val lj = org.json4s.jackson.JsonMethods.parse(legacy)
+    assert((lj \ "sweeps")(0) \ "sweep" == JNothing, legacy)
+  }
+
   test("the calib guard + re-run plan fire on the literal BENCH_r18 counted sweep 2") {
     // the committed official r18 board verbatim: warm sweep 0 carried
     // the big episode (0.523/0.603 at pos 175/200) and counted sweep 2
