@@ -56,7 +56,8 @@ object Caches {
       "q223_substring_cut_census", "q224_span_clusters",
       "q225_kn_perplexity", "q230_nb_quality_score", "q231_curation_funnel",
       "q232_refinedweb_funnel", "q233_substring_incremental",
-      "q237_substring_incremental_disk"),
+      "q237_substring_incremental_disk",
+      "q238_substring_incremental_artifacts"),
       llm.LlmText.release, llm.LlmText.prebuild),
     ("vector", Set("q43_ann_cosine_topk", "q44_ann_ivf_topk",
       "q50_dedup_embedding_cosine", "q65_dedup_embedding_blocked",

@@ -952,10 +952,11 @@ object LlmText {
     spansFrame(s, dir).count()
     corpusGrams(s, dir).count()
     corpusSpans(s, dir).count()
-    // q237's disk index: the write is ingest's job (yesterday's
-    // artifact) — memoized once per (session, dir), so sweeps 2+ cost
-    // a map lookup here
+    // q237/q238's disk artifacts: the writes are ingest's job
+    // (yesterday's artifacts) — written once per session, so sweeps
+    // 2+ cost a catalog lookup here
     gramIndexTable(s, dir)
+    spanIndexTable(s, dir)
     ()
   }
 
@@ -3728,6 +3729,32 @@ object LlmText {
         s.table(gramIndexTable(s, dir)), corpusSpans(s, dir),
         docs(s, dir).filter(col("doc_id") % 10 =!= 0), SpanK)
         .orderBy("doc_id", "span_start")
+    },
+
+    // ---- The COMPLETE at-scale artifact cycle (round 20 — closes the
+    // last memoized stand-in in the substring family's 100 TB story):
+    // q237 put the gram index on disk but still read the span set from
+    // the in-session memo; q238 reads BOTH sides as yesterday's
+    // persisted artifacts — the gh-bucketed gram table (delta probes
+    // bucket-aligned) and the doc_id-bucketed span table
+    // ([[writeSpanIndex]]; doc_id is the key both span consumers join
+    // on: the affected-doc old-position explode and the final
+    // new-vs-old anti-join). This is exactly the frame an ingest
+    // pipeline runs at each cycle: no in-session state survives from
+    // "yesterday", only the two tables. Oracle unchanged (access
+    // path, not semantics). Measured (r20 flat-calib): sf0.1
+    // 2.83/2.27 s; clone10 4.15/3.92; clone100 7.34/7.72 — vs q237's
+    // 23.77/7.97 and q233's 31.74/17.63 on the same adversary: the
+    // complete artifact pair wins across the board because NEITHER
+    // side rebuilds per cycle; cold ≈ hot is the signature (the only
+    // per-cycle work left is the probe itself).
+    Q("q238_substring_incremental_artifacts",
+      substringIncrementalOracle) { (s, dir) =>
+      newSpansFromDelta(
+        docs(s, dir).filter(col("doc_id") % 10 === 0),
+        s.table(gramIndexTable(s, dir)), s.table(spanIndexTable(s, dir)),
+        docs(s, dir).filter(col("doc_id") % 10 =!= 0), SpanK)
+        .orderBy("doc_id", "span_start")
     }
   )
 
@@ -4245,8 +4272,16 @@ object LlmText {
     * cleanup) rebuilds instead of dangling; the dir-derived name keeps
     * concurrent SFs in one session apart. */
   private[graft] def gramIndexTable(s: SparkSession, dir: String): String =
+    artifactTable(s, dir, "graft_gram_index_", writeGramIndex(s, dir, _))
+
+  /** q238's second disk artifact: the persisted span set ([[writeSpanIndex]]). */
+  private[graft] def spanIndexTable(s: SparkSession, dir: String): String =
+    artifactTable(s, dir, "graft_span_index_", writeSpanIndex(s, dir, _))
+
+  private def artifactTable(s: SparkSession, dir: String, prefix: String,
+      write: String => Unit): String =
     synchronized {
-      val name = "graft_gram_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val name = prefix + dir.replaceAll("[^A-Za-z0-9]", "_")
       if (!s.catalog.tableExists(name)) {
         // a previous JVM's warehouse directory outlives the in-memory
         // catalog it was registered in, and saveAsTable(Overwrite)
@@ -4256,7 +4291,7 @@ object LlmText {
           s.conf.get("spark.sql.warehouse.dir"), name)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
-        writeGramIndex(s, dir, name)
+        write(name)
       }
       name
     }
@@ -4272,6 +4307,20 @@ object LlmText {
     gramHashes(docs(s, dir).filter(col("doc_id") % 10 =!= 0), SpanK)
       .write.mode("overwrite")
       .bucketBy(buckets, "gh").sortBy("gh")
+      .format("parquet").saveAsTable(table)
+
+  /** The OTHER half of the at-scale substring artifact pair (round
+    * 20): yesterday's span set persisted, bucketed on doc_id — the
+    * key BOTH consumers join on (the affected-doc old-position
+    * explode and the final new-vs-old anti-join), so a delta cycle
+    * reads it bucket-aligned. Each ingest cycle rewrites only the
+    * affected docs' span rows (span sets change per-doc, never
+    * per-row). */
+  def writeSpanIndex(s: SparkSession, dir: String, table: String,
+                     buckets: Int = 32): Unit =
+    substringDedupSpans(docs(s, dir).filter(col("doc_id") % 10 =!= 0), SpanK)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(table)
 
   /** q233's operator body: the NEW duplicated spans after a delta

@@ -1404,4 +1404,28 @@ class PlanSpec extends SparkSpec {
       llm.LlmText.release(spark)
     }
   }
+
+  test("q238: BOTH substring artifacts read from disk catalog tables") {
+    // the complete ingest-cycle frame: no in-session state from
+    // "yesterday" — gram index AND span set are persisted tables
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q238_substring_incremental_artifacts")
+      assert(p.contains("graft_gram_index_"),
+        s"gram side not reading the catalog bucket table:\n$p")
+      assert(p.contains("graft_span_index_"),
+        s"span side not reading the catalog table:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"no bucket-aligned scan in the plan:\n$p")
+      // neither memoized stand-in may appear: the whole candidate /
+      // span chain must live behind the two disk scans
+      assert(!p.contains("InMemoryTableScan"),
+        s"q238 still reads an in-session memoized frame:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      llm.LlmText.release(spark)
+    }
+  }
 }
