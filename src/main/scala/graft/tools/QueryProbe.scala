@@ -40,6 +40,18 @@ object QueryProbe {
   def parseMedians(text: String): Seq[(String, Double)] =
     MedRe.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toSeq
 
+  /** A board that carries its own contention evidence — the sweep-sum
+    * spread flag, or dropped/re-run sweep rows — is not
+    * anchor-adjudicable: its medians may include contended sweeps the
+    * protocol itself flagged in real time. The anchor-drift gate
+    * (QueryProbeSpec) skips the zero-flag assertion for such boards
+    * (VERDICT r20 item 1: the driver's contended post-freeze board
+    * overwrote the worktree artifact and turned the frozen suite red
+    * with zero code change). */
+  def selfFlagged(detailText: String): Boolean =
+    detailText.contains("\"sweep_spread_flag\":true") ||
+      detailText.contains("\"dropped\":true")
+
   /** One ANCHORS.json entry in the committed file's exact shape. */
   def patchEntry(name: String, cold: Double, hot: Double,
       commit: String, calib: String): String =

@@ -18,15 +18,35 @@ class QueryProbeSpec extends AnyFunSuite {
     assert(meds.count(_._2 >= 0) >= 200)
   }
 
-  test("the committed r18 board recomputes to zero anchor flags") {
+  test("a clean committed board recomputes to zero anchor flags") {
     // the freeze invariant the batch mode automates: flags are derived
     // from (detail medians × committed anchors), not stored — the
-    // committed artifacts must agree with the committed "zero flags"
+    // committed artifacts must agree with the committed "zero flags".
+    // A board that SELF-FLAGGED (sweep_spread_flag / dropped re-run
+    // rows) is contention evidence, not anchor evidence: the gate is
+    // not applicable to it (VERDICT r20 item 1 — the driver's
+    // contended board turned this suite red with zero code change).
+    val text = read("BENCH_DETAIL.json")
     val anchors = graft.Bench.loadAnchors("ANCHORS.json")
-    val meds = QueryProbe.parseMedians(read("BENCH_DETAIL.json"))
+    val meds = QueryProbe.parseMedians(text)
     assert(anchors.nonEmpty && meds.nonEmpty)
+    if (QueryProbe.selfFlagged(text))
+      cancel("board self-flagged as contended (sweep_spread_flag/dropped) — drift gate skipped")
     val flags = graft.Bench.anchorFlags(meds, anchors)
     assert(flags.isEmpty, s"stale board/anchors: $flags")
+  }
+
+  test("selfFlagged reproduces the r20 contended-board case") {
+    // literal fragments of the shapes Bench emits: the r20 driver board
+    // carried both markers; a clean board carries neither
+    val contended =
+      """{"total":177.050,"sweeps":[{"sweep":1,"sum":228.291,"calib_flag":true,"dropped":true},
+        |{"sweep":4,"sum":147.052,"rerun_of":1}],"sweep_spread":0.581,"sweep_spread_flag":true}""".stripMargin
+    val spreadOnly = """{"total":150.0,"sweep_spread":0.181,"sweep_spread_flag":true}"""
+    val clean = """{"total":140.8,"sweeps":[{"sweep":1,"sum":46.9}],"sweep_spread":0.013}"""
+    assert(QueryProbe.selfFlagged(contended))
+    assert(QueryProbe.selfFlagged(spreadOnly))
+    assert(!QueryProbe.selfFlagged(clean))
   }
 
   test("patch entries parse back through Bench.parseAnchors") {
