@@ -648,10 +648,28 @@ object LlmText {
     * (|classes|-way parallel, no global sort anywhere); candidate
     * buckets are rare-shingle-sized, not corpus-sized. */
   private[llm] def prefixJaccardPairs(dsh: DataFrame): DataFrame = {
+    // PERSIST + eagerly materialize the class table (round 21, guide
+    // §2.4/§5): classes is consumed FIVE times below (within, ex → dfc
+    // and pre, and the a/b verify sides), and because each consumer
+    // re-derives the groupBy(sort_array(sh)) under a FRESH
+    // _groupingexpression id, Spark's exchange reuse cannot unify them
+    // — the final runtime plan carried five independent
+    // ObjectHashAggregate(collect_list) pipelines over the shingle
+    // frame (StageProf: the 2.1 MB-scan stage family, ~40 s of
+    // executor time on a 4.8 s query). One materialization is the
+    // whole-query lower bound; the eager count() exists because
+    // concurrent AQE query-stages racing an UNMATERIALIZED cache each
+    // recompute it (measured: docShingles rebuilt 7× by one run).
+    // Size argument: classes ≤ |dsh| rows (one per distinct shingle
+    // set) with the same arrays dsh already persists — same memory
+    // class as the family's existing caches. Released by releaseAll.
     val classes = dsh
       .groupBy(sort_array(col("sh")).as("shs"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .withColumn("cid", element_at(col("ids"), 1))
+      .persist()
+    graft.Caches.registerPersisted(classes)
+    classes.count()
     val within = classes.filter(size(col("ids")) > 1)
       .select(size(col("shs")).cast("long").as("n"), explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -691,13 +709,33 @@ object LlmText {
     // join-identical to the unsalted form (SkewJoinSpec's law);
     // PlanSpec pins the salt in the join keys. AQE skew-split stays
     // as the backstop for residual block imbalance.
+    // Explicit cid-repartition at the session's shuffle width (round
+    // 21, guide §2.5's expansion trap — q133's pairCounts fix applied
+    // here): the rank windows' ENSURE_REQUIREMENTS exchange reads ~6 MB
+    // of (cid, sh, dfc) rows, so AQE coalesced it to 5 partitions while
+    // the window stage does the heavy per-class rank work (StageProf:
+    // 4.5 s + 2.0 s executor over 5 tasks on a 32-core session — the
+    // two biggest post-build stages of the query). Pinning the width to
+    // spark.sql.shuffle.partitions keeps the stage at full parallelism
+    // locally and is a no-op at real scale where the exchange is big
+    // enough that AQE would not coalesce it anyway.
+    val nParts = dsh.sparkSession.sessionState.conf.numShufflePartitions
+    // pre is consumed twice (x and y sides of the candidate join) and
+    // the candidate BHJ's build side re-ran the whole salted-join +
+    // rank-window pipeline — persist + materialize once (same
+    // rationale as classes above; bounded: ≤ one row per (class,
+    // prefix shingle), strictly smaller than ex).
     val pre = graft.ops.SkewJoin.saltedJoin(
         ex, "sh", dfc.withColumnRenamed("sh", "sh_b"), "sh_b", 16)
       .drop("sh_b")
+      .repartition(nParts, col("cid"))
       .select(col("cid"), col("sh"), col("n"),
         (row_number().over(wd.orderBy(col("dfc"), col("sh")))
           + (col("n") - count(lit(1)).over(wd))).as("fr"))
       .filter(expr("fr <= n div 2 + 1"))
+      .persist()
+    graft.Caches.registerPersisted(pre)
+    pre.count()
     // PPJoin positional filter on the candidate join (measured at
     // sf0.1: the bare prefix join generated 408k candidate class
     // pairs for 256 true pairs — hot boilerplate shingles; with the

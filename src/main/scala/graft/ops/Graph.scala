@@ -556,7 +556,18 @@ object Graph {
                                 threshold: Int = 4096,
                                 slices: Int = 16): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = items.withColumn("bn",
+    // Explicit k-repartition at the SESSION's shuffle width (round 21,
+    // guide §2.5's expansion trap): the window's ENSURE_REQUIREMENTS
+    // exchange reads ~11 MB of (k, p) rows, so AQE coalesced it to 10
+    // partitions — but the stage ABOVE it expands each basket to its
+    // C(n,2) pairs (114.8 MB of pair partials, StageProf: 10.8 s over
+    // 10 tasks, the query's single biggest stage), so coalescing by
+    // INPUT size starves exactly the stage that does the work. An
+    // explicit numPartitions pins the exchange against AQE coalescing;
+    // the width is the session's spark.sql.shuffle.partitions (a
+    // deployment's scale dial, 32 = cores locally), never a constant.
+    val nParts = items.sparkSession.sessionState.conf.numShufflePartitions
+    val sized = items.repartition(nParts, col("k")).withColumn("bn",
       count(lit(1)).over(Window.partitionBy("k")))
     val small = sized.filter(col("bn") <= threshold).select("k", "p")
     val smallPairs = small.as("a")
@@ -583,7 +594,22 @@ object Graph {
   private[graft] def frequentTriples(items: org.apache.spark.sql.DataFrame,
                                      minSup: Int): org.apache.spark.sql.DataFrame = {
     val pairs = pairCounts(items)
-    val fp = pairs.filter(col("n") >= minSup).select("pa", "pb")
+    // PERSIST the frequent-pair table (round 21, guide §2.4/§5): fp is
+    // consumed THREE times below (f/g sides of the candidate closure
+    // plus the h LeftSemi), and while AQE's exchange reuse already
+    // dedupes the pair-partial SHUFFLE, each consumer re-ran the FINAL
+    // support aggregation over that exchange — StageProf measured the
+    // 114.8 MB pair-partial exchange read + final-agg'd 3× (8.7/8.2/
+    // 8.1 s executor time of a 40.8 s query, ~60% of all executor
+    // work). fp post-filter is support-thresholded small (8,976 rows
+    // at sf0.1 — the same smallness the broadcast hints below already
+    // rely on), so caching it is bounded by the SAME argument; the
+    // round-14 TripleAb finding (caching ITEMS flipped downstream join
+    // strategies 2× slower) does not apply because every downstream
+    // consumer of fp/cand carries an explicit broadcast hint.
+    // Released by Caches.releaseAll with the other ad-hoc frames.
+    val fp = pairs.filter(col("n") >= minSup).select("pa", "pb").persist()
+    graft.Caches.registerPersisted(fp)
     val fpH = fp.select(col("pa").as("hpa"), col("pb").as("hpb"))
     val cand = broadcast(fp).as("f")
       .join(broadcast(fp).as("g"),

@@ -7,8 +7,13 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.tools.PlanDump q109_pagerank [qNNN...]`. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // env overrides (round 21): SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS
+    // let the dump run at the bench's fixture + width, where AQE's
+    // runtime strategy choices (broadcast conversions, coalescing)
+    // match the board being debugged.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -19,7 +24,7 @@ object PlanDump {
       .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     args.foreach { n =>
       println(s"========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, dir)
