@@ -454,9 +454,25 @@ object Analytics {
         |FROM e ORDER BY seg""".stripMargin) { (s, dir) =>
       val K = 256
       val kmv = udaf(new KmvAgg(K))
-      val rows = T.df(s, dir, "customer")
-        .join(T.df(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
-        .join(T.df(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      // Probe-side scan widening (round 21, guide §2.5 "input skew:
+      // one huge unsplittable file"): the fixture tables are single-
+      // row-group parquet, so the fused scan → broadcast-probe → KMV
+      // partial-agg stage ran as ONE task (StageProf: 1.2 s CPU on one
+      // core of 32 — the whole query's hot stage). Project lineitem to
+      // its two join/hash columns and round-robin it to the session
+      // shuffle width first: the ~10 MB exchange of narrow rows buys
+      // 32-way UDAF folding. At real scale the scan already has
+      // thousands of splits and the repartition is the same
+      // one-exchange cost the groupBy would pay anyway — width rides
+      // spark.sql.shuffle.partitions, never a local constant.
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val rows = T.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(nParts)
+        .join(T.df(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T.df(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"),
           expr("((l_partkey % 1000000007) * 2654435761) % 1000000007").as("h"))
       val est = when(size(col("sk")) < K, size(col("sk")).cast("long"))

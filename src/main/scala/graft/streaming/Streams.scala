@@ -41,10 +41,32 @@ object Streams {
     * set here binds every micro-batch of queries started inside
     * `f`, while the conf restore keeps batch post-processing (and
     * every non-streaming query) on the session default. */
+  /** THE one config point for streaming state width (round 21, VERDICT
+    * r20 item 4 — this dial previously lived inline in q86/q149's
+    * bodies as a literal "8"): `SPARK_GRAFT_STREAM_PARTS`, default 8,
+    * the A/B knob and the deployment's capacity dial. State-store
+    * partition count is fixed per checkpoint lineage in a real
+    * deployment (set once per stream job); these harness entries start
+    * fresh checkpoints per run, so the width is free to choose here.
+    * At real state volume the knob is per-checkpoint and the
+    * HDFS-backed store gives way to RocksDB
+    * (spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider) — the width stays the same dial.
+    * Width A/B at sf0.1 (round 21, isolated QueryProbe cold medians,
+    * one flat-calib session per arm): 8 → 4 → 2 parts read
+    * q86 3.10/2.24/2.58, q149 2.83/2.61/2.79, q72 1.53/1.50/1.88,
+    * q55 1.37/1.35/1.34 — 4 is the knee (fewer per-batch store
+    * lifecycles than 8, still enough task parallelism that 2 loses
+    * it back), so the fixture default moves 8 → 4; results identical
+    * (width is partitioning, not semantics — StreamingSpec pins
+    * result equality across widths). */
+  private[streaming] def streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
   private[streaming] def withStreamParts[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, streamParts)
     try f finally s.conf.set(key, old)
   }
 
@@ -343,13 +365,10 @@ object Streams {
       // stream-stream joins keep FOUR state stores per shuffle
       // partition (left/right × rows/keyToNumValues); state-store
       // partitioning is a per-checkpoint choice, sized to state
-      // volume, not to the batch compute parallelism — at fixture
-      // scale 8 partitions cuts store setup/commit 4× with identical
-      // results (restored after the run; a real deployment sets this
-      // once per stream job)
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // volume, not to the batch compute parallelism. The width is set
+      // ONCE by the SQ wrapper's withStreamParts ([[streamParts]], the
+      // family config point) — the inline save/set this body carried
+      // was redundant with it (round 21, VERDICT r20 item 4).
       val clicks = eventStream(s, dir)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
@@ -376,7 +395,6 @@ object Streams {
           unix_micros(col("c_ts")).as("click_ts_us"),
           unix_micros(col("p_ts")).as("purchase_ts_us"))
         .orderBy("click_id", "purchase_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // ---- stream-stream LEFT OUTER interval join (round 14 — q86's
@@ -414,10 +432,8 @@ object Streams {
         |  AND p.pts >= c.cts AND p.pts <= c.cts + 1800000000
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
       val name = memTable(s, "stream_outer_")
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // state-store sizing, q86's rationale
-      try {
-        val clicks = eventStream(s, dir)
+      // width set once by SQ's withStreamParts (q86's rationale)
+      val clicks = eventStream(s, dir)
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "1 hour")
@@ -445,7 +461,6 @@ object Streams {
             unix_micros(col("c_ts")).as("click_ts_us"),
             unix_micros(col("p_ts")).as("purchase_ts_us"))
           .orderBy("click_id", "purchase_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // ---- streaming heavy hitters (hot-key detection): the event
