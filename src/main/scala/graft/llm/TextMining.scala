@@ -1129,6 +1129,9 @@ object TextMining {
         .select(col("doc_id"), col("source"),
           expr("filter(split(text, ' '), x -> x != '')").as("ws"))
         .filter(size(col("ws")) >= 3)
+        // widen before the md5 gram explode (q146's single-row-group
+        // scan rationale; the exchange carries (doc_id, source, ws))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), col("source"),
           explode(expr(triHashes("ws"))).as("h"))
       val first = g.groupBy("h").agg(min(col("doc_id")).as("fd"))
@@ -2811,6 +2814,8 @@ object TextMining {
         .select(col("doc_id"),
           expr("filter(split(text, ' '), x -> x != '')").as("ws"))
         .filter(size(col("ws")) >= 3)
+        // widen before the md5 gram explode (q146's rationale)
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), explode(expr(triHashes("ws"))).as("h"))
         .join(sm, "doc_id")
       val first = g.groupBy("h").agg(min("gr").as("fr"))
@@ -3253,6 +3258,14 @@ object TextMining {
           lit("winnowFingerprints: document exceeds the 2^20-token " +
             "packed-position bound (1048578 tokens max)")),
         lit(true)))
+      // widen BEFORE the md5/sliding-min arithmetic (round 21, guide
+      // §2.5 input skew: the fixture's single-row-group parquet makes
+      // the scan one task, so the per-trigram md5 + window-min HOF —
+      // the query's dominant CPU (StageProf q154: 0.75 s on one core)
+      // — ran single-threaded). The exchange carries only (doc_id,
+      // ws); width = the session's shuffle dial, a no-op at real scale
+      // where the scan already has many splits.
+      .repartition(documents.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), expr(
         s"""transform(sequence(0, size(ws) - 3), i ->
            |  ${triHashAt("ws", "i")}

@@ -209,8 +209,18 @@ object Extras {
         |  cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-      SkewJoin.saltedJoin(T.df(s, dir, "lineitem"), "l_orderkey",
-          T.df(s, dir, "orders"), "o_orderkey", 8)
+      // Project the probe BEFORE salting (round 21, guide §2.3): the
+      // salt is xxhash64 over every probe column, so passing the full
+      // lineitem forced an 11-column ReadSchema (strings included)
+      // for a query that consumes two columns — the salt only needs
+      // to be deterministic PER ROW, not over any particular columns,
+      // so hashing the pruned row changes salt values but not the
+      // join's result (the oracle is the plain join; still exact).
+      SkewJoin.saltedJoin(
+          T.df(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          "l_orderkey",
+          T.df(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderkey", 8)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), T.dbl(sum(T.dec(col("l_quantity")))).as("sum_qty"))
         .orderBy("o_orderpriority")
