@@ -192,11 +192,50 @@ object Multimodal {
       * read back 25 frames, no exception). Catches NonFatal + OOME
       * like [[MediaCodec.decodeSafe]]; other Errors are JVM faults
       * and still kill the task. */
+    /** Load the platform's audio file readers ONCE (public SPI, same
+      * classes `AudioSystem.getAudioInputStream` dispatches to):
+      * every AudioSystem call funnels through a SYNCHRONIZED static
+      * provider lookup (JDK13Services.getProviders), which serialized
+      * the 32-way decode stage once the staged wav table went
+      * multi-part (round 21 — q134 isolated cold 2.3 s contended vs
+      * 0.7 s single-task; with per-partition readers it reads ~0.6 s).
+      * The AviCodec.newJpegReader discipline applied to audio. */
+    def newReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+        // EXCLUDE the MIDI-synthesis reader (thread-dumped, round 21):
+        // SoftMidiAudioFileReader.getAudioInputStream calls
+        // MidiSystem.getMidiFileReaders → JDK13Services.getProviders,
+        // SYNCHRONIZED on a JVM-global class — 31 of 32 decode tasks
+        // sat BLOCKED on that monitor (26 s runtime vs 1.9 s CPU for
+        // the stage). Excluding it cannot change any result: a RIFF
+        // payload is never claimed by the MIDI reader (MThd magic),
+        // and a hypothetical MIDI-claimed payload synthesizes stereo
+        // PCM that fails the mono-16-bit require below into the SAME
+        // quarantined row a no-reader payload gets.
+        .filterNot(_.getClass.getName.toLowerCase.contains("midi"))
+    }
+
+    /** Registry-dispatching form (tests / one-shot callers): resolves
+      * readers through [[newReaders]] per call — correct everywhere,
+      * but inside a decode STAGE pass a per-partition reader list to
+      * the 3-arg form instead. */
     def decodeSafe(docId: Long, bytes: Array[Byte]): WavStatQ =
+      decodeSafe(docId, bytes, newReaders())
+
+    def decodeSafe(docId: Long, bytes: Array[Byte],
+                   readers: Seq[javax.sound.sampled.spi.AudioFileReader]): WavStatQ =
       try {
         import javax.sound.sampled._
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = readers.view.flatMap { r =>
+          // a reader that does not claim the payload throws
+          // UnsupportedAudioFileException — same contract AudioSystem
+          // itself iterates on
+          try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: UnsupportedAudioFileException => None }
+        }.headOption.getOrElse(throw new UnsupportedAudioFileException(
+          s"no reader claims payload for doc $docId"))
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && !fmt.isBigEndian,
@@ -1397,27 +1436,43 @@ object Multimodal {
       }
     }
 
-    /** Partition-batched REAL image decode: the codec registry is
-      * touched once per partition (the init-once slot a heavier
-      * decoder/feature-net would occupy), then every payload in the
-      * partition streams through [[MediaCodec.decode]]. Map-only —
-      * payload bytes never shuffle. */
+    /** JVM-once codec init (round 21): `scanForPlugins()` WRITES the
+      * global IIORegistry under its lock — fine when the decode stage
+      * was one task, a 32-way contention point once the staged media
+      * tables went multi-part (every partition re-scanned the
+      * classpath concurrently). And `ImageIO.read(InputStream)` with
+      * the default `getUseCache()==true` backs every image with a
+      * FileCacheImageInputStream — one TEMP FILE per payload, which
+      * serialized 32 concurrent decoders on tmpdir I/O (measured:
+      * q128 isolated cold 5.2 s multi-part vs 1.6 s single-task; with
+      * this init it reads 0.9 s). Both are per-JVM facts, so the init
+      * is a lazy val, not a per-partition call. */
+    private lazy val codecInit: Unit = {
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.scanForPlugins()
+    }
+
+    /** Partition-batched REAL image decode: codec registry initialized
+      * once per JVM ([[codecInit]] — the init slot a heavier
+      * decoder/feature-net would occupy per partition), then every
+      * payload in the partition streams through [[MediaCodec.decode]].
+      * Map-only — payload bytes never shuffle. */
     def decodeImages(ds: Dataset[(Long, Array[Byte])]): Dataset[ImgStat] = {
       import ds.sparkSession.implicits._
       ds.mapPartitions { it =>
-        javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
+        codecInit
         it.map { case (id, bytes) => MediaCodec.decode(id, bytes) }
       }
     }
 
     /** Partition-batched TOTAL decode ([[MediaCodec.decodeSafe]]):
-      * same init-once-per-partition, map-only shape as
-      * [[decodeImages]], but undecodable payloads land as counted
-      * quarantine rows instead of failing the task. */
+      * same init-once, map-only shape as [[decodeImages]], but
+      * undecodable payloads land as counted quarantine rows instead
+      * of failing the task. */
     def decodeImagesSafe(ds: Dataset[(Long, String, Array[Byte])]): Dataset[ImgStatQ] = {
       import ds.sparkSession.implicits._
       ds.mapPartitions { it =>
-        javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
+        codecInit
         it.map { case (id, mime, bytes) => MediaCodec.decodeSafe(id, mime, bytes) }
       }
     }
@@ -1429,8 +1484,11 @@ object Multimodal {
     def decodeWavsSafe(ds: Dataset[(Long, Array[Byte])]): Dataset[WavStatQ] = {
       import ds.sparkSession.implicits._
       ds.mapPartitions { it =>
-        // audio codec/mixer init would happen here, once per partition
-        it.map { case (id, bytes) => WavCodec.decodeSafe(id, bytes) }
+        // audio reader SPI loaded once per partition (WavCodec.newReaders
+        // — the synchronized AudioSystem registry lookup must not run
+        // per payload)
+        val readers = WavCodec.newReaders()
+        it.map { case (id, bytes) => WavCodec.decodeSafe(id, bytes, readers) }
       }
     }
 
@@ -1441,7 +1499,7 @@ object Multimodal {
     def sampleGifFramesSafe(ds: Dataset[(Long, Int, Array[Byte])]): Dataset[GifFrameQ] = {
       import ds.sparkSession.implicits._
       ds.mapPartitions { it =>
-        javax.imageio.ImageIO.scanForPlugins() // codec init, once per partition
+        codecInit
         it.flatMap { case (id, expected, bytes) =>
           GifCodec.decodeSampledSafe(id, expected, bytes)
         }
@@ -1562,12 +1620,28 @@ object Multimodal {
     s.read.parquet(base.toString)
   }
 
+  /** doc_id seed for the staged-table writers, widened to the session
+    * shuffle width (round 21, guide §6 "fix layout at the source"):
+    * the fixture's documents.parquet is single-row-group, so an
+    * unwidened writer (a) encodes every staged payload on ONE core and
+    * (b) writes the staged table as ONE part file — which then makes
+    * every downstream decode query scan single-task forever (StageProf:
+    * q214/q216/q217 each spent ~0.65 s on one task of 32). The
+    * exchange carries bare ids, once per fixture generation. */
+  private def stagedIds(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    T.df(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+  }
+
   /** Media table staged once per fixture: payload bytes + typed
     * metadata columns, all derived deterministically from `documents`
     * so every oracle expresses the same values over the base table. */
   private[llm] def mediaTable(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "media") { stage =>
       T.df(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"),
           element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
             (col("doc_id") % 3 + 1).cast("int")).as("mime"),
@@ -1616,7 +1690,7 @@ object Multimodal {
   private[llm] def pngTable(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "png") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map(id =>
           (id, "image/png", encodeImage(formulaImage(id), "png"))))
         .toDF("doc_id", "mime", "payload")
@@ -1635,7 +1709,7 @@ object Multimodal {
   private[llm] def mixedTable(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "mixed") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map { id =>
           id % 4 match {
             case 1 =>
@@ -1669,7 +1743,7 @@ object Multimodal {
   private[llm] def wavTable(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "wav") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map { id =>
           val n = WavCodec.nSamples(id)
           val samples = Array.tabulate(n)(i => WavCodec.sampleAt(id, i).toShort)
@@ -1706,7 +1780,7 @@ object Multimodal {
   private[llm] def gifTable(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "gif") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map { id =>
           val whole = GifCodec.encodeGif(id)
           val payload = id % 5 match {
@@ -1740,7 +1814,7 @@ object Multimodal {
     // staged C444-only payloads without the bump
     stagedTable(s, dir, "y4m_v2") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map { id =>
           val whole = Y4mCodec.encodeY4m(id)
           val payload = id % 5 match {
@@ -1772,7 +1846,7 @@ object Multimodal {
   private[llm] def aviTable(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "avi") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map { id =>
           val nf = AviCodec.nFrames(id)
           val jpegs = (0 until nf).map(f => AviCodec.frameJpeg(id, f))
@@ -1799,7 +1873,7 @@ object Multimodal {
   private[llm] def mp4Table(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "mp4") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map { id =>
           val nf = Mp4Codec.nFrames(id)
           val jpegs = (0 until nf).map(f => Mp4Codec.frameJpeg(id, f))
@@ -1823,7 +1897,7 @@ object Multimodal {
   private[llm] def mkvTable(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "mkv") { stage =>
       import s.implicits._
-      T.df(s, dir, "documents").select(col("doc_id")).as[Long]
+      stagedIds(s, dir)
         .mapPartitions(_.map { id =>
           val nf = MkvCodec.nFrames(id)
           val jpegs = (0 until nf).map(f => MkvCodec.frameJpeg(id, f))
