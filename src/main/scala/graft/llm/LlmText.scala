@@ -1744,6 +1744,12 @@ object LlmText {
         |                    ORDER BY score DESC, w) AS rk FROM scored)
         |SELECT doc_id, rk, w AS term, tf, df, score
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      // Round 21 A/B NOTE: widening this scan (repartition before the
+      // tokenize+explode) was tried and REVERTED — the single-task
+      // stages here hold only ~0.3 s of CPU, and 32-way task spread +
+      // two concurrent AQE stage jobs cost more than they saved
+      // (1.50 → 1.84 s wall). The widening rule of thumb this round:
+      // spread a one-task stage only when it holds ≳0.5 s of real CPU.
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

@@ -3164,6 +3164,10 @@ object TextMining {
       .where(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      // widen before the md5-per-trigram cut scan + per-chunk md5
+      // (round 21, q146's single-row-group rationale: the whole
+      // chunker ran as ONE 0.88 s task — the query's entire cost)
+      .repartition(documents.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("n", size(col("ws")))
       // sequence() is guarded through greatest(): sequence(0, n-3) at
       // n < 3 would DESCEND ([0,-1,…]) instead of being empty — the
@@ -3303,6 +3307,9 @@ object TextMining {
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .filter(size(col("ws")) >= 3)
+      // widen before the md5 gram arithmetic (q146's single-row-group
+      // rationale; q168's whole gram census ran as one 0.66 s task)
+      .repartition(documents.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), posexplode(expr(triHashes("ws"))))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
 }

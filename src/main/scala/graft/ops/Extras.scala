@@ -134,6 +134,12 @@ object Extras {
       // partial combine — joined on the 5-row group key keep both
       // paths in their fast plans. Two scans beat one Expand×2 + sort
       // at any scale.
+      // Round 21 A/B NOTE: widening this scan (project + repartition
+      // before the two aggs) was tried and REVERTED — the HLL partial
+      // (rsd 0.01 → 2^14 registers) instantiated per task × 32 plus
+      // two concurrent 32-task stages oversubscribing the cores read
+      // 3.2 s wall vs 1.4 s for this single-task-scan shape. 150k
+      // narrow rows are cheaper to aggregate in place than to spread.
       val o = T.df(s, dir, "orders")
       val exact = o.groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("exact_cust"))
