@@ -61,6 +61,43 @@ object T {
   def dbl(c: Column): Column = c.cast("double")
 }
 
+/** Scratch-dir resolution for the harness entrypoints (round 21,
+  * optimization guide §1.3/§6: "local disk bandwidth for shuffle files
+  * can be the tighter limit — check both"). Thread dumps of the
+  * shuffle-deep queries (q195/q113/q208) caught most executor threads
+  * inside FileOutputStream.open0/FileChannelImpl.map0 — shuffle-file
+  * and disk-block creation latency on the sandbox's ext4 root, not
+  * compute. A deployment points `spark.local.dir` at its fastest local
+  * media (NVMe array); for this fixture's MB-scale shuffles on a
+  * 128 GiB box that medium is tmpfs. Back-to-back A/B (one flat-calib
+  * probe session per arm): q113 cold 7.3→4.0 s, q195 2.4→1.9,
+  * q202 3.0→2.5, q208 hot 2.1→1.6.
+  *
+  * Parameterised per the scale-rule: the standard `SPARK_LOCAL_DIRS`
+  * env always wins if set (Spark reads it before spark.local.dir);
+  * `SPARK_GRAFT_LOCAL_DIR` overrides the default (`default` or empty =
+  * leave Spark's default); otherwise /dev/shm/graft_local when
+  * creatable, else Spark's default. Shuffle volume at 100 TB does not
+  * fit RAM — there the override names the NVMe scratch array and this
+  * default never engages (the dir must be creatable to be used). */
+object LocalDirs {
+  def resolve(): Option[String] =
+    if (sys.env.contains("SPARK_LOCAL_DIRS")) None
+    else {
+      val d = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft_local")
+      if (d.isEmpty || d == "default") None
+      else
+        try {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          Some(d)
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Apply the resolved dir to a session builder (no-op when unset). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    resolve().fold(b)(d => b.config("spark.local.dir", d))
+}
+
 /** One operator query: a Spark plan + (optionally) DuckDB oracle SQL
   * producing identical column names, values and row order. */
 final case class Q(
