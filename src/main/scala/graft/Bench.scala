@@ -275,6 +275,28 @@ object Bench {
   private def fmt(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Self-describing board environment (round 22, VERDICT r21 item 6:
+    * the r21 tmpfs scratch move made scratch media a board variable the
+    * artifact did not record, so cross-round comparisons could silently
+    * mix media). Rendered into BOTH JSON forms, additions-only:
+    * resolved scratch dir, streaming state width, and any session
+    * SQL-conf overrides in effect. Empty seq → empty string (legacy
+    * shape preserved; BenchSpec pins both). */
+  def envJson(env: Seq[(String, String)]): String =
+    if (env.isEmpty) ""
+    else env.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString(",\"env\":{", ",", "}")
+
+  /** The live env block for this process: scratch dir as resolved by
+    * [[graft.core.LocalDirs]] (`default` = Spark's own), the streaming
+    * family's state width, and the effective SessionTuning pairs. */
+  def liveEnv(): Seq[(String, String)] =
+    Seq("local_dir" -> graft.core.LocalDirs.resolve().getOrElse("default"),
+      "stream_parts" -> graft.streaming.Streams.streamParts) ++
+      (if (graft.core.SessionTuning.effective().isEmpty) Nil
+       else Seq("sqlconf" -> graft.core.SessionTuning.effective()
+         .map { case (k, v) => s"$k=$v" }.mkString(";")))
+
   /** Render the headline JSON line. Pure — BenchSpec drives it with a
     * poisoned query to pin the error rendering. `times` holds each
     * query's per-sweep seconds (successful runs only; empty = every
@@ -296,7 +318,8 @@ object Bench {
                  sweeps: Seq[SweepStat] = Nil,
                  detail: Option[String] = None,
                  anchors: Map[String, (Double, Double)] = Map.empty,
-                 budget: Int = LineBudget): String = {
+                 budget: Int = LineBudget,
+                 env: Seq[(String, String)] = Nil): String = {
     def short(n: String) = n.takeWhile(_ != '_')
     val meds = times.map { case (n, ts) =>
       n -> (if (errors.contains(n) || ts.isEmpty) -1.0 else median(ts))
@@ -366,7 +389,7 @@ object Bench {
       val om = if (omitted > 0) s""",\"queries_omitted\":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
         s""""error_count":${errors.size}$errs,"queries":${qEntries.mkString("{", ",", "}")}""" +
-        s"""$om$spread$midS$sw$cal$det$anch,"sf":"$sfDir"}"""
+        s"""$om$spread$midS$sw$cal$det$anch${envJson(env)},"sf":"$sfDir"}"""
     }
     val ranked = meds.sortBy { case (n, m) =>
       (if (errors.contains(n)) Double.NegativeInfinity else -m, n) }
@@ -389,7 +412,8 @@ object Bench {
                  calib: Seq[(String, Double)],
                  mid: Seq[CalibSample],
                  sweeps: Seq[SweepStat],
-                 anchors: Map[String, (Double, Double)] = Map.empty): String = {
+                 anchors: Map[String, (Double, Double)] = Map.empty,
+                 env: Seq[(String, String)] = Nil): String = {
     def short(n: String) = n.takeWhile(_ != '_')
     val qs = times.map { case (n, ts) =>
       val med = if (errors.contains(n) || ts.isEmpty) -1.0 else median(ts)
@@ -424,7 +448,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = times.collect { case (n, ts) if !errors.contains(n) && ts.nonEmpty => median(ts) }.sum
     s"""{\"total\":${fmt(total)},\"runs\":$runs,\"cpus\":\"$cpus\",\"sf\":\"$sfDir\",""" +
-      s"""\"calib\":$cal,\"mid_calib\":$midS,\"sweeps\":$sw${spreadBlock(sweeps)},\"queries\":$qs}"""
+      s"""\"calib\":$cal,\"mid_calib\":$midS,\"sweeps\":$sw${spreadBlock(sweeps)}${envJson(env)},\"queries\":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -438,7 +462,7 @@ object Bench {
     // default must match the measurement protocol.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = graft.core.LocalDirs.configure(SparkSession.builder())
+    val spark = graft.core.SessionTuning.configure(graft.core.LocalDirs.configure(SparkSession.builder()))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -701,17 +725,18 @@ object Bench {
     // overridable for ablation arms so they don't clobber the official
     // record
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val env = liveEnv()
     val detailName =
       try {
         val w = new java.io.PrintWriter(detailPath, "UTF-8")
         try w.println(detailJson(sfDir, repeat, cpus, ordered, errors.toMap,
-          calib.toSeq, midSamples.toSeq, sweepStatsFlagged, anchors))
+          calib.toSeq, midSamples.toSeq, sweepStatsFlagged, anchors, env))
         finally w.close()
         Some(new java.io.File(detailPath).getName)
       } catch { case NonFatal(e) =>
         System.err.println(s"detail write failed: $e"); None }
     println(metricLine(sfDir, repeat, ordered, errors.toMap, calib.toSeq,
-      midSamples.toSeq, sweepStatsFlagged, detailName, anchors))
+      midSamples.toSeq, sweepStatsFlagged, detailName, anchors, env = env))
     spark.stop()
   }
 }

@@ -4392,7 +4392,25 @@ object LlmText {
     val dg = gramHashes(deltaDocs, k)
     val dgh = dg.select("gh").distinct()
     val probed = corpusGrams.join(dgh, "gh").select("doc_id", "pos")
-    val cand = probed.unionAll(dg.select("doc_id", "pos"))
+    // PERSIST the three duplication-mass-bounded intermediates that
+    // each feed TWO downstream consumers (round 22, VERDICT r21 item 3;
+    // the r21 q124/q133 repeated-subtree pattern, guide §2.4/§5).
+    // Without this the single final DAG contains `cand` twice
+    // (candDocs chain + withText), `withText` twice (dupGram build +
+    // verify probe) and `newVer` twice (affected + allPos) — so the
+    // bucket-table probe join, the delta gram kernel and the gram-text
+    // exchange each ran ~2x, and EVERY duplicate added its own AQE
+    // stage rounds to exactly the driver-bound plans the r21 verdict
+    // flagged (q237/q238: executors parked while the driver walks
+    // 24-stage plans). Each frame is bounded by the SAME duplication-
+    // mass argument the ADVICE-r19 no-broadcast-hint decision rests
+    // on, and persist() (MEMORY_AND_DISK) degrades to disk, not OOM,
+    // on clone-adversary corpora. Eagerly materialized (count) because
+    // concurrent AQE stages racing an unmaterialized cache each
+    // recompute it (r21 q124: measured 7x). Released by releaseAll.
+    val cand = probed.unionAll(dg.select("doc_id", "pos")).persist()
+    graft.Caches.registerPersisted(cand)
+    cand.count()
     // token arrays only for docs the probe touched. NO broadcast hint
     // (ADVICE r19): on high-duplication adversaries (clone100) cand
     // approaches a corpus-wide doc_id set, so a forced broadcast is a
@@ -4405,13 +4423,18 @@ object LlmText {
     val withText = cand.join(tlPruned, "doc_id")
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", slice(col("t"), col("pos").cast("int"), lit(k))).as("gram"))
+      .persist()
+    graft.Caches.registerPersisted(withText)
+    withText.count()
     // exact-text verify over the candidate UNION: a gram is duplicated
     // in corpus+delta iff >= 2 distinct docs hold its text — and every
     // union occurrence of a delta-present gram text is in `cand`
     val dupGram = withText.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
       .select("gram")
-    val newVer = withText.join(dupGram, "gram").select("doc_id", "pos")
+    val newVer = withText.join(dupGram, "gram").select("doc_id", "pos").persist()
+    graft.Caches.registerPersisted(newVer)
+    newVer.count()
     val affected = newVer.select("doc_id").distinct()
     // same reasoning: `affected` is duplication-mass-bounded but NOT
     // constant-bounded — AQE decides (ADVICE r19)

@@ -60,7 +60,7 @@ object Streams {
     * it back), so the fixture default moves 8 → 4; results identical
     * (width is partitioning, not semantics — StreamingSpec pins
     * result equality across widths). */
-  private[streaming] def streamParts: String =
+  private[graft] def streamParts: String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
 
   private[streaming] def withStreamParts[T](s: SparkSession)(f: => T): T = {

@@ -12,7 +12,7 @@ object PlanDump {
     // runtime strategy choices (broadcast conversions, coalescing)
     // match the board being debugged.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = graft.core.LocalDirs.configure(SparkSession.builder()).master(s"local[$cpus]")
+    val spark = graft.core.SessionTuning.configure(graft.core.LocalDirs.configure(SparkSession.builder())).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -61,7 +61,7 @@ object QueryProbe {
     val flaggedMode = args.headOption.contains("--flagged")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).map(_.toInt).getOrElse(5)
-    val spark = graft.core.LocalDirs.configure(SparkSession.builder()).master("local[32]")
+    val spark = graft.core.SessionTuning.configure(graft.core.LocalDirs.configure(SparkSession.builder())).master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

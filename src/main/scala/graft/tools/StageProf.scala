@@ -27,7 +27,7 @@ object StageProf {
     * like board medians, not isolated colds. */
   private def multi(qlist: String, sfDir: String, runs: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.LocalDirs.configure(SparkSession.builder()).master(s"local[$cpus]")
+    val spark = graft.core.SessionTuning.configure(graft.core.LocalDirs.configure(SparkSession.builder())).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -86,7 +86,7 @@ object StageProf {
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
     if (args(0).contains(",")) { multi(args(0), sfDir, runs); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.LocalDirs.configure(SparkSession.builder()).master(s"local[$cpus]")
+    val spark = graft.core.SessionTuning.configure(graft.core.LocalDirs.configure(SparkSession.builder())).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

