@@ -112,8 +112,27 @@ object LocalDirs {
   * fixture scale does not belong in defaults. */
 object SessionTuning {
   /** Adopted by the round-22 A/B (see OPTIMIZATION_r22.md "Global
-    * planner-latency pass" for the per-arm numbers). */
-  val defaults: Seq[(String, String)] = Seq()
+    * planner-latency pass" for the per-arm numbers).
+    *
+    * bypassMergeThreshold=0 — use the sort-based shuffle writer for
+    * EVERY shuffle, never the bypass-merge writer. Thread-dump
+    * sampling during hot loops showed 207/262 RUNNABLE executor-task
+    * samples inside SparkStreamUtils.copyFileStreamNIO: the bypass
+    * writer opens one file PER REDUCER per map task and then
+    * concatenates them (32 mappers x 32 reducers ~ 1,024 file
+    * creates+copies per tiny shuffle) — the per-task blocking behind
+    * the runtime>>cpu stages and the 8-core-beats-32 scaling of the
+    * r21 board. The at-scale argument is independent of the local
+    * numbers: the bypass writer only ever engages below 200 reduce
+    * partitions, so a 100 TB deployment NEVER uses it — this default
+    * makes the local bench exercise the production writer. Measured
+    * (same-machine-state 3-sweep boards): 113.6 vs 121.9 s total,
+    * 19 queries faster (q136 1.16 vs 1.86, q237/q232/q233/q203/q124/
+    * q109/q135 each -0.3..-0.7), worst observed cost under a quiet
+    * machine ~ +0.2 s on q152/q154-class small shuffles. Override via
+    * SPARK_GRAFT_SQLCONF. */
+  val defaults: Seq[(String, String)] =
+    Seq("spark.shuffle.sort.bypassMergeThreshold" -> "0")
 
   /** `SPARK_GRAFT_SQLCONF=k=v;k=v` — experiment/deployment overrides. */
   def overrides(): Seq[(String, String)] =

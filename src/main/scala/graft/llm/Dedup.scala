@@ -213,17 +213,8 @@ object Dedup {
         .select(col(idCol), col("kept_id"), col("n_members"))
         .unionAll(nullKeyed)
     case (MatchRule.PairGraph(pairs, a, b), mr) if mr != MergeRule.FieldMerge =>
-      val comp = components(pairs, a, b).withColumnRenamed("id", idCol)
-      val m = df.select(col(idCol),
-          (mr match {
-            case MergeRule.KeepBest(s) => s
-            case _ => lit(0L)
-          }).as("s"))
-        .join(comp, Seq(idCol), "left")
-        .select(col(idCol), col("s"),
-          coalesce(col("cluster_rep"), col(idCol)).as("k"))
-      keptByGroup(m, idCol, "k", mr)
-        .select(col(idCol), col("kept_id"), col("n_members"))
+      dedupWithComponents(df, idCol,
+        components(pairs, a, b).withColumnRenamed("id", idCol), mr)
     case (MatchRule.AnyFieldInGroup(group, seqCol, listCol), MergeRule.FieldMerge) =>
       val impAgg = org.apache.spark.sql.functions.udaf(graft.registry.ImpDedup)
       df.groupBy(group)
@@ -233,6 +224,27 @@ object Dedup {
         s"unsupported dedup combination: ${m.getClass.getSimpleName} + " +
           s"${r.getClass.getSimpleName} (FieldMerge pairs only with " +
           "AnyFieldInGroup — the rule set is the reference's)")
+  }
+
+  /** The PairGraph membership map over an ALREADY-BUILT component
+    * frame (id-keyed, with `cluster_rep`) — factored out (round 22)
+    * so a caller holding a memoized/persisted component frame (q222:
+    * the q57/q91 family cache) can skip re-running the iterative
+    * [[components]] loop per evaluation; the PairGraph arm above
+    * routes through here with a fresh loop. Semantics identical:
+    * membership map + survivor election over `cluster_rep`. */
+  private[llm] def dedupWithComponents(df: DataFrame, idCol: String,
+      comp: DataFrame, mr: MergeRule): DataFrame = {
+    val m = df.select(col(idCol),
+        (mr match {
+          case MergeRule.KeepBest(s) => s
+          case _ => lit(0L)
+        }).as("s"))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), col("s"),
+        coalesce(col("cluster_rep"), col(idCol)).as("k"))
+    keptByGroup(m, idCol, "k", mr)
+      .select(col(idCol), col("kept_id"), col("n_members"))
   }
 
   /** Shared survivor election for the membership-map arms: per `kCol`

@@ -1356,8 +1356,14 @@ object LlmText {
         |       (mm.doc_id = agg.kept_id) AS survivor
         |FROM mm JOIN agg USING (k)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Dedup.dedup(docs(s, dir).select(col("doc_id")), "doc_id",
-          Dedup.nearDupLsh(s, dir), Dedup.MergeRule.KeepFirst)
+      // join the MEMOIZED component frame (round 22): the generic
+      // PairGraph arm re-ran the iterative components loop on every
+      // evaluation, while q57/q91/q232 already share one run via the
+      // family cache — q222 now reads the same frame (identical
+      // result by construction: same lshPairs input, same loop)
+      Dedup.dedupWithComponents(docs(s, dir).select(col("doc_id")), "doc_id",
+          docComponents(s, dir).withColumnRenamed("id", "doc_id"),
+          Dedup.MergeRule.KeepFirst)
         .select(col("doc_id"), col("kept_id"), col("n_members"),
           (col("doc_id") === col("kept_id")).as("survivor"))
         .orderBy("doc_id")
@@ -3840,6 +3846,15 @@ object LlmText {
         (when(nt.between(20, 1000), 1).otherwise(0)
           + when(nd * 10 >= nt * 3, 1).otherwise(0)
           + when(ml <= 15, 1).otherwise(0)).as("quality"))
+    // PERSIST the kernel pass and the flagged frame (round 22, guide
+    // §2.4/§5 — the r21 q124/q133 repeated-subtree pattern): `base`
+    // fed THREE plan copies (keptMin's s1, flagged's s1, the a01
+    // census) so the qualityStats kernel scan ran 3x, and `flagged`
+    // fed TWO (a23 census + budget window). One narrow per-doc frame
+    // each (the `key` column is the q38 exact-dedup contract string);
+    // MEMORY_AND_DISK spills, never OOMs. Eager count: concurrent AQE
+    // stages racing an unmaterialized cache recompute it (r21 q124).
+    base.persist(); graft.Caches.registerPersisted(base); base.count()
     val s1 = base.filter(col("quality") >= 2)
     val keptMin = s1.groupBy("key").agg(min(col("doc_id")).as("kept"))
     val hits = benchHits(s, dir)
@@ -3848,6 +3863,8 @@ object LlmText {
       .withColumn("l2", col("doc_id") === col("kept"))
       .withColumn("l3", col("l2") && col("doc_id") % 20 =!= 0 &&
         col("n_hit") * 2 < col("n_sh"))
+      .select("doc_id", "source", "quality", "nt", "l2", "l3")
+    flagged.persist(); graft.Caches.registerPersisted(flagged); flagged.count()
     val cum = flagged.filter(col("l3"))
       .withColumn("cum", sum(col("nt")).over(
         Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
@@ -3891,6 +3908,11 @@ object LlmText {
         (when(nt.between(20, 1000), 1).otherwise(0)
           + when(nd * 10 >= nt * 3, 1).otherwise(0)
           + when(ml <= 15, 1).otherwise(0)).as("quality"))
+    // PERSIST the kernel pass (round 22, guide §2.4/§5 — same
+    // rationale as curationFunnel above): `base` fed three plan
+    // copies, the kernel scan ran 3x per evaluation (StageProf: q232
+    // at 34 stages with near-identical kernel stages).
+    base.persist(); graft.Caches.registerPersisted(base); base.count()
     val s1 = base.filter(col("quality") >= 2)
     val keptMin = s1.groupBy("key").agg(min(col("doc_id")).as("kept"))
     // fuzzy stage: clusters come from the MEMOIZED corpus-wide
@@ -3916,6 +3938,12 @@ object LlmText {
       .join(benchHits(s, dir), Seq("doc_id"), "left")
       .withColumn("l5", col("l3") && col("n_sh").isNotNull &&
         col("doc_id") % 20 =!= 0 && col("n_hit") * 2 < col("n_sh"))
+      // narrow projection (drop key/kept/cluster text columns), then
+      // PERSIST: the a25 census and the budget window both consume
+      // this frame — unpersisted, the whole withK/span/bench chain
+      // (itself containing s1 twice) executed twice
+      .select("doc_id", "source", "quality", "nt", "ntn", "l2", "l3", "l5")
+    flags.persist(); graft.Caches.registerPersisted(flags); flags.count()
     val cum = flags.filter(col("l5"))
       .withColumn("cum", sum(col("ntn")).over(
         Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
@@ -3993,8 +4021,21 @@ object LlmText {
       .filter(col("pos") < size(col("hs")) - 1)
       .select(col("doc_id"), col("h").as("w1"),
         element_at(col("hs"), col("pos") + 2).as("w2"))
+    // PERSIST the bigram-type table (round 22, guide §2.4/§5): c2 has
+    // FOUR consumers (c1, bwd, k, and the scoring broadcast join) and
+    // exchange reuse dedupes only its SHUFFLE — each consumer re-ran
+    // the final count aggregate over the reused exchange (the r21
+    // q133 finding; StageProf: three near-identical 32-task stages
+    // re-reading the same 2.2 MB exchange, ~60% of q225's executor
+    // time). c2 is bigram-TYPE-bounded — the same smallness the
+    // broadcast below already relies on. Eagerly materialized: its
+    // consumers' stages run concurrently under AQE and an
+    // unmaterialized cache is recomputed per racer (r21 q124, 7x).
     val c2 = big.filter(col("doc_id") % 5 =!= 0)
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_b"))
+      .persist()
+    graft.Caches.registerPersisted(c2)
+    c2.count()
     val c1 = c2.groupBy("w1")
       .agg(sum(col("n_b")).as("n_c"), count(lit(1)).as("n1f"))
     val bwd = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
@@ -4175,6 +4216,19 @@ object LlmText {
     * equivalence on sparse/degenerate frames at several bucket counts.
     * Input: (doc_id, n_tokens); output adds `tok_offset`. */
   private[llm] def globalOffsets(d: DataFrame, nBuckets: Int): DataFrame = {
+    // PERSIST the input (round 22, guide §2.4/§5): this helper runs
+    // THREE sequential passes over `d` — the max(doc_id) probe, the
+    // per-bucket totals collect, and the final windowed pass inside
+    // the caller's plan — so an unpersisted input re-ran its whole
+    // upstream chain 3x (q195/q202: the curriculum-rank pipeline;
+    // q70: the token-count scan). `d` is one narrow row per doc —
+    // exactly the lightweight proxy frame guide §8 says to persist
+    // while heavy passes are decided; MEMORY_AND_DISK degrades to
+    // disk at 100 TB doc counts. The max probe materializes the
+    // cache (sequential actions — no concurrent-stage race), and
+    // releaseAll drops it with the other ad-hoc frames.
+    d.persist()
+    graft.Caches.registerPersisted(d)
     // the max(doc_id) probe reads only that column
     val maxId = Option(d.agg(max("doc_id")).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -644,6 +644,9 @@ object TextMining {
         .select(when(col("hh") < 800, "train").when(col("hh") < 900, "val")
           .otherwise("test").as("split"), col("v"))
         .groupBy("split", "v").agg(count(lit(1)).as("c"))
+        // one cached partition — ≤ 3·|distinct lengths| rows at any
+        // scale (see sourceLenCounts above for the width rationale)
+        .coalesce(1)
         .persist()
     })
 
@@ -676,6 +679,15 @@ object TextMining {
         .select(col("source"),
           size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("v"))
         .groupBy("source", "v").agg(count(lit(1)).as("c"))
+        // ONE cached partition (round 22): the frame is VALUE-bounded
+        // (≤ |sources|·|distinct doc lengths| rows at ANY corpus size,
+        // the same bound the persist rests on), yet it was cached at
+        // the session's 32 shuffle partitions — so every consumer
+        // stage (q165's pair fan, q184/q195's pre/srcs aggregates,
+        // q197/q207's histograms) paid 32 near-empty tasks per pass
+        // (StageProf: runtime >> cpu on every such stage). A bounded
+        // frame's cache width should follow its bound, not the dial.
+        .coalesce(1)
         .persist()
     })
 
@@ -2818,8 +2830,15 @@ object TextMining {
         .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), explode(expr(triHashes("ws"))).as("h"))
         .join(sm, "doc_id")
-      val first = g.groupBy("h").agg(min("gr").as("fr"))
-      g.join(first, "h")
+      // first-occurrence rank as a WINDOW over the gram stream, not a
+      // groupBy(h)+join-back (round 22, guide §2.4): the join form put
+      // the md5 gram explode in the DAG twice (agg side + probe side —
+      // the partial-agg above one copy defeats exchange reuse) and
+      // shuffled it twice; min() OVER (PARTITION BY h) is one shuffle
+      // of g and zero joins, and h is a 2^32-domain hash so the window
+      // partitioning is skew-free at any scale. Result identical:
+      // fr(h) = min(gr) per hash either way (the oracle's f-CTE).
+      g.withColumn("fr", min("gr").over(Window.partitionBy("h")))
         .groupBy("step")
         .agg(count(lit(1)).as("n_occ"),
           count(when(col("gr") === col("fr"), 1)).as("n_novel_occ"),

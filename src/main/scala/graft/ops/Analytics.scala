@@ -604,8 +604,18 @@ object Analytics {
         .select(col("event_type"),
           (T.dec(col("value")) * 100).cast("long").as("cents"))
         .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+        // ONE cached partition + eager materialization (round 22): the
+        // histogram is VALUE-bounded (|event_type|·|cents domain| rows
+        // at ANY corpus size — the query's own 100 TB contract), yet
+        // it was cached at 32 shuffle partitions, so each of its FIVE
+        // consumers paid a 32-near-empty-task stage (StageProf: q208 at
+        // 33 stages, runtime >> cpu); and without the eager count the
+        // consumers' concurrent AQE stages raced the unmaterialized
+        // cache and recomputed it (the r21 q124 finding, measured 7x).
+        .coalesce(1)
         .persist()
       graft.Caches.registerPersisted(h)
+      h.count()
       val n = h.groupBy("event_type").agg(sum("c").as("n"))
       val wv = Window.partitionBy("event_type").orderBy("cents")
       val med = h.withColumn("cum", sum("c").over(wv))

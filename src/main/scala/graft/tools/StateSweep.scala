@@ -42,7 +42,13 @@ object StateSweep {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val chunks = args.lift(2).map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder().master("local[8]")
+    // SessionTuning wired in (round 22) so the RocksDB state-store A/B
+    // (VERDICT r21 item 8) runs as
+    //   SPARK_GRAFT_SQLCONF="spark.sql.streaming.stateStore.providerClass=
+    //     org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    // against the same sweep, no rebuild.
+    val spark = graft.core.SessionTuning.configure(
+      graft.core.LocalDirs.configure(SparkSession.builder())).master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
